@@ -1,0 +1,158 @@
+"""Seeded, fully deterministic synthetic transcript-CDC generator.
+
+Produces the input the north rule specifies (BASELINE.json ``input_hint``):
+Parquet change-events over a conversation-transcript table
+``(conv_id, turn_idx, role, text, tool, ts)`` wrapped in ``(op, lsn)``.
+
+Knobs (FIXTURES.md §2): zipf-skewed turns-per-conversation (hot conversations
+exercise the salted partitioner), update/delete ratios, duplicated-LSN
+replays (exactly-once dedup), bounded out-of-order timestamps, and an
+optional additive ``model`` column appearing from a given LSN onward
+(schema evolution).
+
+Generation is vectorized numpy/pyarrow; events land in one Parquet file per
+epoch (``events-epoch=NNNNNN.parquet``), shuffled within the epoch to model
+unordered delivery, so the engine can prune at the read by epoch file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "tool"])
+TOOLS = np.array(["", "search", "python", "browser"])
+
+
+def _int_str(prefix: str, values: np.ndarray) -> pa.Array:
+    """Vectorized '<prefix><int>' string column."""
+    s = pc.cast(pa.array(values), pa.string())
+    return pc.binary_join_element_wise(pa.array([prefix] * len(values)), s, "")
+
+
+def generate_cdc_events(
+    out_dir: str,
+    *,
+    n_events: int = 100_000,
+    n_convs: int = 1_000,
+    epochs: int = 4,
+    seed: int = 42,
+    zipf_a: float = 1.4,
+    max_turns_hot: int = 4096,
+    update_ratio: float = 0.25,
+    delete_ratio: float = 0.05,
+    dup_ratio: float = 0.05,
+    ooo_window_us: int = 60_000_000,
+    evolve_at_lsn: int | None = None,
+) -> dict:
+    """Write ``epochs`` Parquet event files under ``out_dir``; return metadata.
+
+    LSNs 0..n_events-1 are unique; an extra ``dup_ratio`` fraction of events
+    is re-emitted verbatim (same LSN, same payload) to model at-least-once
+    delivery. Epoch *e* holds (original) LSNs in ``[e*B, (e+1)*B)`` plus any
+    replayed duplicates of earlier LSNs.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # --- conversation popularity: zipf ranks → conv ids; hot convs get many turns
+    ranks = rng.zipf(zipf_a, size=n_events).astype(np.int64)
+    conv_nums = (ranks - 1) % n_convs
+    # turns-per-conv grows with popularity: hot convs (low conv_num) are long
+    max_turn_per_conv = np.minimum(
+        max_turns_hot, (max_turns_hot // (1 + np.arange(n_convs))) + 8
+    )
+    turn_idx = (
+        rng.integers(0, 1 << 30, size=n_events) % max_turn_per_conv[conv_nums]
+    ).astype(np.int32)
+
+    lsn = np.arange(n_events, dtype=np.int64)
+    op_draw = rng.random(n_events)
+    op = np.full(n_events, "insert", dtype=object)
+    op[op_draw < update_ratio + delete_ratio] = "update"
+    op[op_draw < delete_ratio] = "delete"
+
+    t0 = np.int64(1_700_000_000_000_000)  # fixed base, microseconds
+    step = np.int64(1_000_000)
+    jitter = rng.integers(-ooo_window_us, ooo_window_us, size=n_events)
+    ts_us = t0 + lsn * step + jitter
+
+    role = ROLES[turn_idx % 3]
+    tool_codes = rng.integers(0, 4, size=n_events)
+    tool = TOOLS[tool_codes].astype(object)
+    tool[tool_codes == 0] = None
+    # role/tool/text must be pure functions of (conv,turn,lsn) replays copy rows verbatim below
+
+    conv_id = _int_str("c", conv_nums)
+    text = pc.binary_join_element_wise(
+        _int_str("conv ", conv_nums),
+        _int_str(" turn ", turn_idx),
+        _int_str(" rev ", lsn),
+        pa.array(
+            np.where(op == "delete", " (tombstone)", " lorem ipsum dolor sit amet"),
+            type=pa.string(),
+        ),
+        "",
+    )
+
+    cols: dict[str, pa.Array] = {
+        "conv_id": conv_id,
+        "turn_idx": pa.array(turn_idx, type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": text,
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        "op": pa.array(op, type=pa.string()),
+        "lsn": pa.array(lsn, type=pa.int64()),
+    }
+    if evolve_at_lsn is not None:
+        model = pc.if_else(
+            pa.array(lsn >= evolve_at_lsn),
+            _int_str("model-v", (lsn % 3)),
+            pa.nulls(n_events, pa.string()),
+        )
+        cols["model"] = model
+    table = pa.table(cols)
+
+    # --- duplicated-LSN replays: verbatim copies of random earlier rows
+    n_dup = int(n_events * dup_ratio)
+    dup_idx = rng.integers(0, n_events, size=n_dup) if n_dup else np.empty(0, np.int64)
+
+    epoch_size = (n_events + epochs - 1) // epochs
+    files = []
+    base_epoch = lsn // epoch_size
+    dup_epoch = (dup_idx // epoch_size) if n_dup else np.empty(0, np.int64)
+    for e in range(epochs):
+        part = table.filter(pa.array(base_epoch == e))
+        if n_dup:
+            # replays of this epoch's rows, delivered in this epoch or later
+            replay_here = dup_idx[dup_epoch <= e]
+            replay_here = replay_here[
+                (replay_here // epoch_size == e)
+                | ((rng.random(len(replay_here)) < 0.5) & (replay_here // epoch_size < e))
+            ]
+            if len(replay_here):
+                part = pa.concat_tables([part, table.take(pa.array(replay_here))])
+        # unordered delivery inside the epoch
+        order = rng.permutation(part.num_rows)
+        part = part.take(pa.array(order))
+        # no '=' in the name: hive-partition inference (DuckDB, Arrow datasets)
+        # would otherwise materialize a phantom partition column
+        path = os.path.join(out_dir, f"events-epoch-{e:06d}.parquet")
+        pq.write_table(part, path)
+        files.append(path)
+
+    return {
+        "files": files,
+        "n_events": n_events,
+        "n_convs": n_convs,
+        "epochs": epochs,
+        "epoch_size": epoch_size,
+        "seed": seed,
+        "evolve_at_lsn": evolve_at_lsn,
+        "schema": [f.name for f in table.schema],
+    }

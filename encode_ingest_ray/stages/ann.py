@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — baseline: per-batch numpy matmul of the batch's
+  embedding matrix against a broadcast query matrix (``ray.put`` once), local
+  top-k per batch, then a tiny global top-k reduce per query.  The input
+  streams; only (num_queries × k × num_blocks) candidate rows shuffle.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH (Charikar
+  2002) assigns each vector to a bucket; queries probe only their own bucket
+  (and optionally neighbors), turning the all-pairs matmul into a per-bucket
+  one. Recall < 1 by construction; same output schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _matrix(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch.column(column).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    if isinstance(col, pa.FixedSizeListArray) or pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        return np.asarray(col.values, dtype=np.float64).reshape(n, dim)
+    dim = len(col[0])
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(n, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cos_milli": pa.array([], pa.int64()),
+    }
+)
+
+
+def _local_topk(
+    batch: pa.Table, *, qref=None, queries=None, id_column: str, column: str, k: int
+) -> pa.Table:
+    if queries is None:
+        queries = ray.get(qref)  # (q_ids, normalized query matrix) — zero-copy
+    q_ids, qm = queries
+    m = _matrix(batch, column)
+    if m.shape[0] == 0 or len(q_ids) == 0:
+        return _EMPTY_TOPK
+    sims = qm @ _normalize(m).T  # (Q, B)
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    kk = min(k, sims.shape[1])
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows_q = np.repeat(q_ids, kk)
+    rows_n = ids[top.ravel()]
+    rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "cos_milli": pa.array(np.round(rows_s * 1000).astype(np.int64)),
+        }
+    )
+
+
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    """Per-query reduce of block-local candidates: deterministic top-k by
+    (sim desc, neighbor_id asc)."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[("cos_milli", "descending"), ("neighbor_id", "ascending")],
+    )
+    return group.take(idx).slice(0, k)
+
+
+def brute_force_topk(
+    ds,
+    query_table: pa.Table,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    k: int = 5,
+):
+    """Exact cosine top-k of every query against the full Dataset."""
+    q_ids = query_table.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _normalize(_matrix(query_table, column))
+    qref = ray.put((q_ids, qm))
+    from functools import partial
+
+    local = ds.map_batches(
+        partial(_local_topk, qref=qref, id_column=id_column, column=column, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return local.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+class HyperplaneLsh:
+    """Random-hyperplane signature stage: bucket = sign-bits of (v · H).
+    H is seeded → identical across actors/runs."""
+
+    def __init__(self, dim: int, num_planes: int = 8, column: str = "embedding", seed: int = 23):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.column)
+        if m.shape[0] == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        bits = (m @ self.planes) > 0
+        bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_bucketed_topk(
+    ds,
+    query_table: pa.Table,
+    *,
+    dim: int,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+):
+    """Approximate top-k: vectors and queries bucketed by hyperplane LSH;
+    each query scans only its bucket.  One groupby exchange on bucket."""
+    hasher = HyperplaneLsh(dim, num_planes, column)
+    q_ids = query_table.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _normalize(_matrix(query_table, column))
+    q_buckets = ((qm @ hasher.planes) > 0)
+    q_buckets = (q_buckets * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int32)
+    by_bucket: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for b in np.unique(q_buckets):
+        sel = q_buckets == b
+        by_bucket[int(b)] = (q_ids[sel], qm[sel])
+    qref = ray.put(by_bucket)
+
+    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _bucket_topk(group: pa.Table) -> pa.Table:
+        buckets = ray.get(qref)
+        b = group.column("bucket")[0].as_py()
+        if b not in buckets:
+            return _EMPTY_TOPK
+        local = _local_topk(
+            group, queries=buckets[b], id_column=id_column, column=column, k=k
+        )
+        return local
+
+    out = bucketed.groupby("bucket").map_groups(_bucket_topk, batch_format="pyarrow")
+    return out.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )

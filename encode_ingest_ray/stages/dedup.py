@@ -1,0 +1,88 @@
+"""Exact deduplication operators.
+
+Reference: ``distinctBy(_.read[String]("@id"))`` applied to every extracted
+entity stream (ExtractionPipelineBuilder.scala:90-91) and
+``distinctBy[String](_._1)`` (TransformationPipelineBuilder.scala:461).
+
+Scale design: dedup is a single hash exchange on the key. For "keep an
+arbitrary/first element" the reference relies on unordered streams; here the
+winner is made *deterministic* (min/max of an ordering column) so replays and
+different parallelism levels produce identical output — the same philosophy as
+the reference's sorted-list normalizations
+(ExperimentActivityTransformations.scala:51-53).
+
+At 100 TB: a per-batch local dedup (combiner) runs inside ``map_batches``
+before the exchange, so the shuffle only moves one candidate row per key per
+block, not every row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _winner_per_key(
+    table: pa.Table, key_columns: list[str], order_column: str, keep_max: bool
+) -> pa.Table:
+    """One deterministic winner row per key: the row with min/max
+    ``order_column`` (ties broken by the later sort key being the order col
+    itself — callers should pass a unique ordering column)."""
+    if table.num_rows <= 1:
+        return table
+    direction = "descending" if keep_max else "ascending"
+    keys = [(k, "ascending") for k in key_columns] + [(order_column, direction)]
+    idx = pc.sort_indices(table, sort_keys=keys)
+    t = table.take(idx)
+    import numpy as np
+
+    n = t.num_rows
+    mask = np.empty(n, dtype=bool)
+    mask[0] = True
+    prev_cols = [
+        t.column(k).combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        if pa.types.is_string(t.schema.field(k).type)
+        else t.column(k).combine_chunks().to_numpy(zero_copy_only=False)
+        for k in key_columns
+    ]
+    acc = np.zeros(n - 1, dtype=bool)
+    for c in prev_cols:
+        acc |= c[1:] != c[:-1]
+    mask[1:] = acc
+    return t.filter(pa.array(mask))
+
+
+def dedup_exact(
+    ds,
+    key_columns: list[str],
+    order_column: str,
+    keep_max: bool = False,
+):
+    """Distributed exact dedup: local combiner → hash exchange → final winner.
+
+    ``groupby(key).map_groups`` would also work but ships every duplicate row
+    through the shuffle; the pre-combine inside ``map_batches`` cuts exchange
+    volume to ≤ one row per key per block.
+    """
+    local = ds.map_batches(
+        lambda t: _winner_per_key(t, key_columns, order_column, keep_max),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return local.groupby(key_columns).map_groups(
+        lambda t: _winner_per_key(t, key_columns, order_column, keep_max),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_values(ds, column: str):
+    """Distinct values of one column (reference: keyed distinct streams).
+    Local per-block distinct first, then the global shuffle distinct."""
+    local = ds.map_batches(
+        lambda t: pa.table({column: pc.unique(t.column(column).combine_chunks())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return local.groupby(column).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,68 @@
+"""List-unnest / stream-split operators.
+
+Reference: the FK-unnest flatMaps — explode list-FK fields into (fk → record)
+pairs (TransformationPipelineBuilder.scala:233-242, 278-285, 448-451) and
+``partition(isFunctionalCharacterizationReplicate)``
+(ExtractionPipelineBuilder.scala:302-306).  Vectorized with
+``pyarrow.compute.list_parent_indices`` — no Python loop.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_list(
+    batch: pa.Table,
+    list_column: str,
+    value_out: str,
+    index_out: str | None = None,
+    keep_columns: list[str] | None = None,
+) -> pa.Table:
+    """Explode one list column; parent columns are repeated per element.
+
+    Rows with null/empty lists are dropped (flatMap semantics).  With
+    ``index_out`` the 0-based position inside the list is emitted too.
+    """
+    col = batch.column(list_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        batch = batch.combine_chunks()
+    parents = pc.list_parent_indices(col)
+    flat = pc.list_flatten(col)
+    keep = keep_columns if keep_columns is not None else [
+        c for c in batch.column_names if c != list_column
+    ]
+    out = batch.select(keep).take(parents)
+    out = out.append_column(value_out, flat)
+    if index_out is not None:
+        import numpy as np
+
+        p = parents.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(p), dtype=np.int64)
+        if len(p):
+            # subtract the start index of each parent's run (parents ascend)
+            change = np.flatnonzero(np.diff(p)) + 1
+            run_id = np.zeros(len(p), dtype=np.int64)
+            run_id[change] = 1
+            run_id = np.cumsum(run_id)
+            run_starts = np.concatenate(([0], change))
+            pos = pos - run_starts[run_id]
+        out = out.append_column(index_out, pa.array(pos, type=pa.int64()))
+    return out
+
+
+def split_by_predicate(
+    ds, predicate_fn
+) -> tuple:
+    """Two filtered datasets from one (Ray Data has no multi-output split).
+    Reference: partition() at ExtractionPipelineBuilder.scala:302-306."""
+    return (
+        ds.map_batches(
+            lambda t: t.filter(predicate_fn(t)), batch_format="pyarrow"
+        ),
+        ds.map_batches(
+            lambda t: t.filter(pc.invert(predicate_fn(t))), batch_format="pyarrow"
+        ),
+    )

@@ -1,0 +1,126 @@
+"""End-to-end CDC engine tests: replay equivalence, idempotent re-run,
+crash-resume, schema evolution, metrics."""
+
+import numpy as np
+
+import pyarrow.compute as pc
+import pytest
+
+from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.functions.oracle import expected_final_state
+from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+
+@pytest.fixture(scope="module")
+def gen(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc-events")
+    meta = generate_cdc_events(
+        str(d),
+        n_events=20_000,
+        n_convs=200,
+        epochs=4,
+        seed=7,
+        dup_ratio=0.08,
+        evolve_at_lsn=12_000,
+    )
+    return str(d), meta
+
+
+def assert_matches_oracle(engine, files):
+    got = engine.final_table()
+    want = expected_final_state(files)
+    assert got.num_rows == want.num_rows
+    want = want.select(got.column_names)  # same column order
+    got_pd = got.to_pandas()
+    want_pd = want.to_pandas()
+    # per-turn text equality under stable turn ordering (the north-rule invariant)
+    assert got_pd["conv_id"].tolist() == want_pd["conv_id"].tolist()
+    assert got_pd["turn_idx"].tolist() == want_pd["turn_idx"].tolist()
+    assert got_pd["text"].tolist() == want_pd["text"].tolist()
+    for col in got.column_names:
+        assert got_pd[col].fillna("∅").tolist() == want_pd[col].fillna("∅").tolist(), col
+
+
+def test_replay_equivalence(gen, tmp_path):
+    events_dir, meta = gen
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=4)
+    summary = engine.run(events_dir)
+    assert summary["epochs_run"] == meta["epochs"]
+    assert summary["dup_lsn_dropped"] > 0  # generator injected replays
+    assert_matches_oracle(engine, meta["files"])
+    # schema evolution: the additive column made it to the final table
+    assert "model" in engine.final_table().column_names
+
+
+def test_rerun_is_idempotent(gen, tmp_path):
+    events_dir, meta = gen
+    out = str(tmp_path / "out")
+    e1 = CdcEngine(out, num_partitions=16, num_actors=4)
+    e1.run(events_dir)
+    before = e1.final_table()
+    # a fresh engine over the same out_dir re-applies nothing
+    e2 = CdcEngine(out, num_partitions=16, num_actors=4)
+    s2 = e2.run(events_dir)
+    assert s2["epochs_run"] == 0 and s2["epochs_skipped"] == meta["epochs"]
+    assert e2.final_table().equals(before)
+
+
+def test_crash_resume_mid_stream(gen, tmp_path):
+    """Kill the driver after 2 of 4 epochs; a fresh engine resumes from the
+    committed manifest without duplicates."""
+    events_dir, meta = gen
+    out = str(tmp_path / "out")
+    epoch_files = discover_epoch_files(events_dir)
+    e1 = CdcEngine(out, num_partitions=16, num_actors=4)
+    e1.run(epoch_files=epoch_files[:2])  # "crash" after epoch 1 commit
+    assert set(e1.manifest.committed_epochs()) == {0, 1}
+    # new process / new engine: resumes, skipping committed epochs
+    e2 = CdcEngine(out, num_partitions=16, num_actors=4)
+    s = e2.run(events_dir)
+    assert s["epochs_skipped"] == 2 and s["epochs_run"] == 2
+    assert_matches_oracle(e2, meta["files"])
+
+
+def test_partial_prefix_matches_oracle_prefix(gen, tmp_path):
+    """State after k epochs == oracle over the first k epochs' lsn range
+    (per-partition lineage: watermarks bound what has been applied)."""
+    events_dir, meta = gen
+    epoch_files = discover_epoch_files(events_dir)
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=4)
+    engine.run(epoch_files=epoch_files[:2])
+    lsn_hi = 2 * meta["epoch_size"] - 1
+    got = engine.final_table()
+    want = expected_final_state(meta["files"], lsn_hi=lsn_hi)
+    assert got.num_rows == want.num_rows
+    assert (
+        got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
+    )
+
+
+def test_metrics_and_lineage_in_manifest(gen, tmp_path):
+    events_dir, meta = gen
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    rec = engine.manifest.latest()
+    assert rec["epoch"] == meta["epochs"] - 1
+    m = rec["metrics"]
+    assert m["events_in"] >= m["applied"] > 0
+    assert m["commit_latency_s"] >= 0
+    assert m["per_partition"]  # per-partition metrics present
+    # lineage: every pointer carries its lsn watermark and snapshot path
+    for ptr in rec["partitions"].values():
+        assert ptr["lsn_hi"] >= 0 and ptr["path"].endswith(".parquet")
+    # watermark sanity: max watermark equals max generated lsn
+    assert max(p["lsn_hi"] for p in rec["partitions"].values()) == meta["n_events"] - 1
+
+
+def test_hot_conversation_spreads_over_partitions(gen, tmp_path):
+    events_dir, meta = gen
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    rec = engine.manifest.latest()
+    touched = {int(p) for p in rec["partitions"]}
+    # zipf head conv c0 has thousands of turns → salted across many partitions
+    assert len(touched) >= 12
+    counts = np.array([p["rows_state"] for p in rec["partitions"].values()])
+    assert counts.max() < 4 * counts.mean()  # no single hot partition
