@@ -1,0 +1,187 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "cdc_events_per_sec": ...}
+
+``--scaling`` runs the same benchmark twice in fresh processes
+(num_cpus=8 and num_cpus=32) and reports both throughputs + scaling
+efficiency (the sandbox evidence for the north rule's N vs 4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: CDC headline scale: events generated deterministically (cached), sized
+#: independently of sf so the engine stage dominates the measurement.
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "2000000"))
+CDC_EPOCHS = 4
+
+#: representative operator pipelines benched over $GRAFT_SF_DIR
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "join_cohash",
+    "join_broadcast_dims",
+    "dedup_first_event",
+    "window_tumbling",
+    "cdc_upsert",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "ann_brute_force",
+]
+
+
+def _consume(result) -> int:
+    import ray
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        total = 0
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            total += b.num_rows
+        return total
+    return len(result)
+
+
+def bench_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from encode_ingest_ray.functions.generator import generate_cdc_events
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+
+    timings: dict[str, float] = {}
+
+    # --- CDC headline: generate (cached, untimed) then apply end-to-end
+    cache_key = f"n{CDC_EVENTS}-e{CDC_EPOCHS}-s42"
+    events_dir = os.path.join("/tmp/graft_bench_cache", cache_key)
+    marker = os.path.join(events_dir, "_complete.json")
+    if not os.path.exists(marker):
+        os.makedirs(events_dir, exist_ok=True)
+        meta = generate_cdc_events(
+            events_dir,
+            n_events=CDC_EVENTS,
+            n_convs=max(1000, CDC_EVENTS // 2000),
+            epochs=CDC_EPOCHS,
+            seed=42,
+            dup_ratio=0.05,
+            evolve_at_lsn=int(CDC_EVENTS * 0.7),
+        )
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    with open(marker) as f:
+        meta = json.load(f)
+
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    # untimed warmup: spin up the worker pool and warm the page cache so the
+    # timed section measures compute + shuffle, not process spawn / first read
+    ray.data.read_parquet(meta["files"]).map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).count()
+
+    out_dir = tempfile.mkdtemp(prefix="bench-cdc-out-")
+    n_actors = max(2, NUM_CPUS // 4)
+    engine = CdcEngine(
+        out_dir,
+        num_partitions=max(32, 4 * n_actors),
+        num_actors=n_actors,
+        actor_num_cpus=1,
+    )
+    t0 = time.perf_counter()
+    summary = engine.run(events_dir)
+    cdc_wall = time.perf_counter() - t0
+    timings["cdc_engine"] = round(cdc_wall, 3)
+    events_total = summary["events_applied"] + summary["dup_lsn_dropped"]
+    cdc_eps = events_total / cdc_wall if cdc_wall else 0.0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- operator pipelines over $GRAFT_SF_DIR (one untimed warm read first)
+    import ray.data
+
+    for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        ray.data.read_parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "sec total: CDC upsert engine (2M synthetic transcript change-events, "
+        "4 epochs, exactly-once commits) + representative operator pipelines",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "cdc_events_total": events_total,
+        "cdc_events_per_sec": round(cdc_eps, 1),
+    }
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eps_lo, eps_hi = lo["cdc_events_per_sec"], hi["cdc_events_per_sec"]
+    eff = (eps_hi / eps_lo) / (32 / 8) if eps_lo else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "CDC throughput scaling efficiency, num_cpus 8 -> 32",
+                "events_per_sec_8": eps_lo,
+                "events_per_sec_32": eps_hi,
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(bench_once()))

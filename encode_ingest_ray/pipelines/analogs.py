@@ -1,0 +1,633 @@
+"""Reference-operator analogs over the driver testdata (SURVEY.md §2.2-2.7).
+
+Each query is the Ray-Data expression of one reference operator family, with
+an exact DuckDB oracle.  Aggregates over monetary doubles are encoded as
+integer cents (ROUND half-away, then BIGINT sum) so results are bit-stable
+under any summation order — float sums are order-dependent and would break
+the driver's value-hash.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.dedup import dedup_exact, distinct_values
+from encode_ingest_ray.stages.explode import explode_list
+from encode_ingest_ray.stages.joins import broadcast_join, cohash_join, semi_join_filter
+from encode_ingest_ray.stages.normalize import (
+    case_when,
+    dict_lookup,
+    extract_id,
+    json_int_field,
+    parse_age_bounds,
+    parse_paired_end,
+    remove_unknowns,
+    url_prefix,
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(expr_col):
+    """double → integer cents, half-away rounding (matches DuckDB ROUND)."""
+    return pc.cast(
+        pc.round(pc.multiply(expr_col, 100.0), 0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 removeUnknowns
+# ---------------------------------------------------------------------------
+@register(
+    "normalize_unknowns",
+    """SELECT doc_id, NULLIF(lang, 'unknown') AS lang_norm,
+              NULLIF(source, 'unknown') AS source_norm
+       FROM documents""",
+)
+def normalize_unknowns(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = remove_unknowns(t)
+        return t.rename_columns(["doc_id", "lang_norm", "source_norm"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# M2 transformId (regex id extraction)
+# ---------------------------------------------------------------------------
+@register(
+    "extract_id",
+    "SELECT doc_id, regexp_extract(source, 'src([0-9]+)', 1) AS src_num FROM documents",
+)
+def extract_id_q(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(
+        lambda t: extract_id(t, "source", "src_num", r"src(?P<id>[0-9]+)").drop_columns(
+            ["source"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 convertToEncodeUrl
+# ---------------------------------------------------------------------------
+@register(
+    "url_prefix",
+    """SELECT doc_id, 'https://www.encodeproject.org/' || source AS url FROM documents""",
+)
+def url_prefix_q(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(
+        lambda t: url_prefix(t, "source", "url", "https://www.encodeproject.org/").drop_columns(
+            ["source"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 computeAgeLowerAndUpperbounds — synthesize the reference's age-string
+# shapes deterministically from events, then parse with the real operator
+# ---------------------------------------------------------------------------
+@register(
+    "age_bounds",
+    """WITH aged AS (
+         SELECT event_id,
+                CASE event_id % 3
+                  WHEN 0 THEN CAST(user_id % 90 AS VARCHAR) || '-' || CAST(user_id % 90 + 3 AS VARCHAR)
+                  WHEN 1 THEN CAST(user_id % 90 AS VARCHAR)
+                  ELSE CAST(user_id % 90 AS VARCHAR) || ' or above'
+                END AS age
+         FROM events)
+       SELECT event_id,
+              CAST(user_id % 90 AS DOUBLE) AS age_lower,
+              CASE event_id % 3
+                WHEN 0 THEN CAST(user_id % 90 + 3 AS DOUBLE)
+                WHEN 1 THEN CAST(user_id % 90 AS DOUBLE)
+                ELSE NULL END AS age_upper
+       FROM events""",
+)
+def age_bounds_q(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid, uid = t.column("event_id"), t.column("user_id")
+        base = pc.cast(pc.subtract(uid, pc.multiply(pc.divide(uid, 90), 90)), pa.string())
+        upper = pc.cast(
+            pc.add(pc.subtract(uid, pc.multiply(pc.divide(uid, 90), 90)), 3), pa.string()
+        )
+        emod = pc.subtract(eid, pc.multiply(pc.divide(eid, 3), 3))
+        age = pc.if_else(
+            pc.equal(emod, 0),
+            pc.binary_join_element_wise(base, upper, "-"),
+            pc.if_else(
+                pc.equal(emod, 1), base, pc.binary_join_element_wise(base, " or above", "")
+            ),
+        )
+        t2 = pa.table({"event_id": eid, "age": age})
+        return parse_age_bounds(t2, "age").drop_columns(["age"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# M5 summarizeAudits (level→color), raw JSON field read
+# ---------------------------------------------------------------------------
+@register(
+    "audit_color",
+    """SELECT event_id,
+              CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS level,
+              CASE WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) >= 60 THEN 'red'
+                   WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) >= 50 THEN 'orange'
+                   WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) >= 40 THEN 'yellow'
+                   ELSE 'white' END AS audit_color
+       FROM events""",
+)
+def audit_color_q(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = json_int_field(t, "props", "k", "level")
+        lvl = t.column("level")
+        color = pc.if_else(
+            pc.greater_equal(lvl, 60),
+            "red",
+            pc.if_else(
+                pc.greater_equal(lvl, 50),
+                "orange",
+                pc.if_else(pc.greater_equal(lvl, 40), "yellow", "white"),
+            ),
+        )
+        return pa.table(
+            {"event_id": t.column("event_id"), "level": lvl, "audit_color": color}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# M6 assay-term → data-modality dict lookup with '!' sentinel
+# ---------------------------------------------------------------------------
+_MODALITY = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+}
+
+
+@register(
+    "lookup_modality",
+    """SELECT event_id,
+              CASE event_type
+                WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'conversion'
+                WHEN 'signup' THEN 'conversion'
+                ELSE '!' || event_type END AS modality
+       FROM events""",
+)
+def lookup_modality_q(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    return ds.map_batches(
+        lambda t: dict_lookup(t, "event_type", "modality", _MODALITY).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7/M8 case-when + paired-end parser
+# ---------------------------------------------------------------------------
+@register(
+    "paired_end_parse",
+    """SELECT event_id,
+              CASE user_id % 4 WHEN 0 THEN '1' WHEN 1 THEN '2'
+                               WHEN 2 THEN '1,2' ELSE 'x' END AS paired_end,
+              CASE user_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE NULL END AS paired_end_int
+       FROM events""",
+)
+def paired_end_q(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        umod = pc.subtract(
+            t.column("user_id"), pc.multiply(pc.divide(t.column("user_id"), 4), 4)
+        )
+        pe = pc.if_else(
+            pc.equal(umod, 0),
+            "1",
+            pc.if_else(pc.equal(umod, 1), "2", pc.if_else(pc.equal(umod, 2), "1,2", "x")),
+        )
+        t2 = pa.table({"event_id": t.column("event_id"), "paired_end": pe})
+        return parse_paired_end(t2, "paired_end", "paired_end_int")
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# M10 pushed-down filter + projection (+ computed revenue)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+              CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
+       FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.02""",
+)
+def filter_project(sf_dir: str):
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        # row-group/pushdown filter at the read (prune before any compute)
+        filter=(pads.field("l_shipdate") < datetime.datetime(1995, 6, 1))
+        & (pads.field("l_discount") > 0.02),
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "l_quantity": t.column("l_quantity"),
+                "revenue_cents": rev,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# A1 grouped aggregate (TPC-H Q1 shape, integer-exact)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+              SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(
+                t.column("l_shipdate"), pa.scalar("1998-09-02").cast(pa.timestamp("us"))
+            )
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "base_cents": _cents(t.column("l_extendedprice")),
+                "disc_cents": _cents(
+                    pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 global sort + limit (top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "totalprice_cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 distinctBy — deterministic first event per user
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_first_event",
+    """SELECT user_id, event_id AS first_event_id, event_type
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1""",
+)
+def dedup_first_event(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    out = dedup_exact(ds, ["user_id"], "ts", keep_max=False)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "first_event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct values (keyed distinct streams)
+# ---------------------------------------------------------------------------
+@register("distinct_event_types", "SELECT DISTINCT event_type FROM events")
+def distinct_event_types(sf_dir: str):
+    return distinct_values(_read(sf_dir, "events", ["event_type"]), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# M11 FK-unnest explode (list column with ordinality)
+# ---------------------------------------------------------------------------
+@register(
+    "explode_embeddings",
+    """SELECT vec_id,
+              UNNEST(range(len(embedding)))  AS pos,
+              UNNEST(embedding)              AS val
+       FROM embeddings WHERE vec_id < 100""",
+)
+def explode_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 100)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        lambda t: explode_list(t, "embedding", value_out="val", index_out="pos").select(
+            ["vec_id", "pos", "val"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M12/D1 stream split + tagged union
+# ---------------------------------------------------------------------------
+@register(
+    "split_streams",
+    """SELECT event_id, 'high' AS band FROM events WHERE value >= 10
+       UNION ALL
+       SELECT event_id, 'low'  AS band FROM events WHERE value < 10""",
+)
+def split_streams(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    hi = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.filter(pc.greater_equal(t.column("value"), 10.0)).column("event_id"),
+            }
+        ).append_column("band", pa.array(["high"] * len(t.filter(pc.greater_equal(t.column("value"), 10.0))))),
+        batch_format="pyarrow",
+    )
+    lo = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.filter(pc.less(t.column("value"), 10.0)).column("event_id"),
+            }
+        ).append_column("band", pa.array(["low"] * len(t.filter(pc.less(t.column("value"), 10.0))))),
+        batch_format="pyarrow",
+    )
+    return hi.union(lo)
+
+
+# ---------------------------------------------------------------------------
+# J1/J4 broadcast dimension joins (customer ⟕ nation ⟕ region)
+# ---------------------------------------------------------------------------
+@register(
+    "join_broadcast_dims",
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def join_broadcast_dims(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    ds = broadcast_join(ds, nation, "c_nationkey", "n_nationkey", how="inner")
+    ds = broadcast_join(ds, region, "n_regionkey", "r_regionkey", how="inner")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t.column("r_name"),
+                "n_name": t.column("n_name"),
+                "acctbal_cents": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+        .map_batches(
+            lambda t: t.select(["r_name", "n_name", "n_customers", "acctbal_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12-style large-large co-hash join (orders ⋈ lineitem)
+# ---------------------------------------------------------------------------
+@register(
+    "join_cohash",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderpriority""",
+)
+def join_cohash(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    joined = cohash_join(orders, items, "o_orderkey", "l_orderkey", num_buckets=32)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    return (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("price_cents", alias_name="price_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 semi-join filter (broadcast key set)
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi",
+    """SELECT l_partkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+       GROUP BY l_partkey""",
+)
+def join_semi(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"])
+    keys = part.filter(pc.greater(part.column("p_size"), 40)).column("p_partkey")
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    ds = semi_join_filter(ds, keys.combine_chunks(), "l_partkey")
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"l_partkey": t.column("l_partkey"), "qty": pc.cast(t.column("l_quantity"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("l_partkey").aggregate(
+        Count(alias_name="n"), Sum("qty", alias_name="sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 deterministic sorted-list collect per group
+# ---------------------------------------------------------------------------
+@register(
+    "collect_sorted_parts",
+    """SELECT l_orderkey,
+              string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv
+       FROM lineitem WHERE l_orderkey % 97 = 0
+       GROUP BY l_orderkey""",
+)
+def collect_sorted_parts(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.subtract(t.column("l_orderkey"), pc.multiply(pc.divide(t.column("l_orderkey"), 97), 97)), 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def collect(group: pa.Table) -> pa.Table:
+        parts = sorted(group.column("l_partkey").to_pylist())
+        return pa.table(
+            {
+                "l_orderkey": [group.column("l_orderkey")[0].as_py()],
+                "parts_csv": [",".join(str(p) for p in parts)],
+            }
+        )
+
+    return ds.groupby("l_orderkey").map_groups(collect, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# A4 cardinality validation per group
+# ---------------------------------------------------------------------------
+@register(
+    "cardinality_check",
+    """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(DISTINCT l_suppkey) > 1 AS multi
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def cardinality_check(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def check(group: pa.Table) -> pa.Table:
+        n = pc.count_distinct(group.column("l_suppkey")).as_py()
+        return pa.table(
+            {"l_orderkey": [group.column("l_orderkey")[0].as_py()], "n_supp": [n], "multi": [n > 1]}
+        )
+
+    return ds.groupby("l_orderkey").map_groups(check, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 tumbling-window aggregate (streaming-shaped)
+# ---------------------------------------------------------------------------
+@register(
+    "window_tumbling",
+    """SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+              COUNT(*) AS n_events,
+              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       FROM events GROUP BY user_id, hour_bucket""",
+)
+def window_tumbling(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        bucket = pc.divide(us, 3600000000)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour_bucket": bucket,
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )

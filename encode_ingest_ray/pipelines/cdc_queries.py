@@ -1,0 +1,151 @@
+"""CDC flagship queries over the driver's ``events`` table.
+
+The driver testdata has no native CDC table, so a *deterministic, pure*
+derivation turns ``events`` into transcript change-events — expressed
+identically in Arrow kernels (Ray side) and ANSI SQL (oracle side):
+
+    conv_id  = 'u' || user_id
+    turn_idx = int32(event_id % 40)
+    role     = case event_id%3 {0:user, 1:assistant, 2:tool}
+    text     = event_type || ':' || props
+    tool     = case event_type {click/view: browser, error: null, else: api}
+    ts, lsn  = ts, event_id
+    op       = case event_type {error: delete, purchase: update, else: insert}
+
+``cdc_upsert`` runs the Dataset-only merge (one exchange + LWW kernel);
+``cdc_upsert_engine`` runs the full epoch engine (actors, manifest, commit,
+multi-epoch) — both must equal the same SQL window-function oracle, which is
+exactly the replay-equivalence gate of the north rule.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.state.lww import live_view, lww_reduce
+from encode_ingest_ray.state.partition import assign_partition_column
+
+_DERIVE_SQL = """
+SELECT 'u' || CAST(user_id AS VARCHAR)                       AS conv_id,
+       CAST(event_id % 40 AS INTEGER)                        AS turn_idx,
+       CASE event_id % 3 WHEN 0 THEN 'user'
+                         WHEN 1 THEN 'assistant'
+                         ELSE 'tool' END                     AS role,
+       event_type || ':' || props                            AS text,
+       CASE WHEN event_type IN ('click','view') THEN 'browser'
+            WHEN event_type = 'error' THEN NULL
+            ELSE 'api' END                                   AS tool,
+       ts                                                    AS ts,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type = 'purchase' THEN 'update'
+            ELSE 'insert' END                                AS op,
+       event_id                                              AS lsn
+FROM events
+"""
+
+CDC_FINAL_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def derive_cdc_batch(batch: pa.Table) -> pa.Table:
+    """Arrow-kernel twin of _DERIVE_SQL (vectorized, zero Python rows)."""
+    eid = batch.column("event_id")
+    etype = batch.column("event_type")
+    conv_id = pc.binary_join_element_wise(
+        pa.scalar("u"), pc.cast(batch.column("user_id"), pa.string()), ""
+    )
+    turn_idx = pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 40), 40)), pa.int32())
+    rmod = pc.subtract(eid, pc.multiply(pc.divide(eid, 3), 3))
+    role = pc.if_else(
+        pc.equal(rmod, 0), "user", pc.if_else(pc.equal(rmod, 1), "assistant", "tool")
+    )
+    text = pc.binary_join_element_wise(etype, batch.column("props"), ":")
+    tool = pc.if_else(
+        pc.is_in(etype, value_set=pa.array(["click", "view"])),
+        pa.scalar("browser"),
+        pc.if_else(pc.equal(etype, "error"), pa.scalar(None, pa.string()), pa.scalar("api")),
+    )
+    op = pc.if_else(
+        pc.equal(etype, "error"),
+        "delete",
+        pc.if_else(pc.equal(etype, "purchase"), "update", "insert"),
+    )
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": batch.column("ts"),
+            "op": op,
+            "lsn": pc.cast(eid, pa.int64()),
+        }
+    )
+
+
+def _derived_events(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return ds.map_batches(derive_cdc_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("cdc_upsert", CDC_FINAL_SQL)
+def cdc_upsert(sf_dir: str):
+    """Dataset-only single-shot upsert: one hash exchange (salted partition
+    key) + the LWW kernel per partition + live projection."""
+    ds = _derived_events(sf_dir)
+    ds = ds.map_batches(
+        partial(assign_partition_column, num_partitions=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def merge_partition(group: pa.Table) -> pa.Table:
+        return live_view(lww_reduce(group.drop_columns(["part"])))
+
+    return ds.groupby("part").map_groups(merge_partition, batch_format="pyarrow")
+
+
+@register("cdc_upsert_engine", CDC_FINAL_SQL)
+def cdc_upsert_engine(sf_dir: str):
+    """Full engine path: derived events written as 3 epoch files by LSN range,
+    applied by CdcEngine (actor pool, watermarks, two-phase manifest), final
+    live table read back from committed snapshots."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcq-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    derived = _derived_events(sf_dir)
+    table = pa.concat_tables(ray.get(derived.to_arrow_refs()))
+    n = table.num_rows
+    lsn_hi = pc.max(table.column("lsn")).as_py() if n else 0
+    epoch_size = max(1, (lsn_hi + 3) // 3)
+    for e in range(3):
+        mask = pc.and_(
+            pc.greater_equal(table.column("lsn"), pa.scalar(e * epoch_size)),
+            pc.less(table.column("lsn"), pa.scalar((e + 1) * epoch_size)),
+        )
+        pq.write_table(
+            table.filter(mask), os.path.join(events_dir, f"events-epoch-{e:06d}.parquet")
+        )
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    return engine.final_dataset()

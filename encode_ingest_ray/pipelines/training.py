@@ -1,0 +1,189 @@
+"""Training-data-pipeline queries: text analysis, exact & near dedup,
+similarity search (documents / embeddings tables).
+
+These are the large-scale additions beyond the reference's operator set; the
+SQL-expressible ones carry exact DuckDB oracles (integer counts / milli-unit
+encodings), the sketch/LSH ones are deterministic rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.ann import brute_force_topk, lsh_bucketed_topk
+from encode_ingest_ray.stages.neardup import (
+    SimHasher,
+    minhash_lsh_pairs,
+    verify_pairs_jaccard,
+)
+from encode_ingest_ray.stages.text import (
+    LANG_STOPWORDS,
+    LangId,
+    TextStats,
+    md5_fingerprint,
+    rolling_fingerprint,
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# text stats / token counting / quality (integer-exact)
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    r"""SELECT doc_id,
+              length(text) AS n_chars,
+              len(regexp_extract_all(text, '\S+')) AS n_words,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+              len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+              len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              w -> list_contains(['the','and','of','to','a','in','is','that'], w))) AS n_stop,
+              CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                   THEN (1000 * len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                              w -> list_contains(['the','and','of','to','a','in','is','that'], w))))
+                        // len(regexp_extract_all(text, '\S+'))
+                   ELSE 0 END AS quality_milli
+       FROM documents""",
+)
+def text_stats_q(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(TextStats(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars", "n_words", "n_tokens", "n_punct", "n_stop", "quality_milli"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id heuristic (SQL-reproducible argmax)
+# ---------------------------------------------------------------------------
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        rf"len(list_filter(regexp_extract_all(lower(text), '\S+'), "
+        rf"w -> list_contains([{words}], w)))"
+    )
+
+
+@register(
+    "langid_heuristic",
+    f"""SELECT doc_id, lang,
+              CASE
+                WHEN {_lang_hits_sql('de')} >= {_lang_hits_sql('en')}
+                 AND {_lang_hits_sql('de')} >= {_lang_hits_sql('es')}
+                 AND {_lang_hits_sql('de')} >= {_lang_hits_sql('fr')}
+                 AND {_lang_hits_sql('de')} >= {_lang_hits_sql('zh')} THEN 'de'
+                WHEN {_lang_hits_sql('en')} >= {_lang_hits_sql('es')}
+                 AND {_lang_hits_sql('en')} >= {_lang_hits_sql('fr')}
+                 AND {_lang_hits_sql('en')} >= {_lang_hits_sql('zh')} THEN 'en'
+                WHEN {_lang_hits_sql('es')} >= {_lang_hits_sql('fr')}
+                 AND {_lang_hits_sql('es')} >= {_lang_hits_sql('zh')} THEN 'es'
+                WHEN {_lang_hits_sql('fr')} >= {_lang_hits_sql('zh')} THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+       FROM documents""",
+)
+def langid_heuristic(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    out = ds.map_batches(LangId(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+@register("fingerprint_md5", "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+def fingerprint_md5_q(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: md5_fingerprint(t).select(["doc_id", "fp_md5"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+@register("fingerprint_rolling")  # rolling-hash sketch — rows-only oracle
+def fingerprint_rolling_q(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: rolling_fingerprint(t).select(["doc_id", "fp_roll"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup by content hash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_text_exact",
+    """SELECT md5(text) AS fp_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_text_exact(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda t: md5_fingerprint(t).select(["fp_md5", "doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hashed.groupby("fp_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash-LSH candidate pairs + Jaccard verify (rows-only)
+# ---------------------------------------------------------------------------
+@register("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16, concurrency=2)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return verify_pairs_jaccard(pairs, docs, threshold=0.5)
+
+
+@register("simhash")
+def simhash_q(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(SimHasher(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+def _queries_table(sf_dir: str, n: int = 8) -> pa.Table:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return t.filter(pc.less(t.column("vec_id"), n))
+
+
+@register("ann_brute_force")  # float cosine — rows-only (FP order-sensitivity)
+def ann_brute_force_q(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return brute_force_topk(ds, _queries_table(sf_dir), k=5)
+
+
+@register("ann_lsh")
+def ann_lsh_q(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = _queries_table(sf_dir)
+    dim = len(q.column("embedding")[0])
+    return lsh_bucketed_topk(ds, q, dim=dim, k=5)

@@ -74,28 +74,25 @@ class TextStats:
 
 
 class LangId:
-    """Stopword-hit language heuristic; argmax over per-language hit counts,
-    deterministic tie-break by LANG_ORDER. Compiled once per actor."""
+    """Stopword-hit language heuristic: tokenize on whitespace, count hits
+    against each language's stopword set, argmax with deterministic
+    tie-break by LANG_ORDER.  Word sets are built once per actor.  Semantics
+    chosen to be exactly reproducible in SQL (list_filter + list_contains),
+    so the DuckDB oracle can check it bit-for-bit."""
 
     def __init__(self, column: str = "text"):
-        import re
-
         self.column = column
-        self.rx = {
-            lang: re.compile(
-                r"(?:^|\s)(?:" + "|".join(map(re.escape, words)) + r")(?=\s|$)"
-            )
-            for lang, words in LANG_STOPWORDS.items()
-        }
+        self.sets = {lang: frozenset(w) for lang, w in LANG_STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
         preds = []
         for t in texts:
-            t = (t or "").lower()
-            best_lang, best_n = "en", -1
+            words = (t or "").lower().split()
+            best_lang, best_n = None, -1
             for lang in LANG_ORDER:
-                n = len(self.rx[lang].findall(t))
+                s = self.sets[lang]
+                n = sum(1 for w in words if w in s)
                 if n > best_n:
                     best_lang, best_n = lang, n
             preds.append(best_lang)
