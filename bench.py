@@ -26,8 +26,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 #: CDC headline scale: events generated deterministically (cached), sized
 #: independently of sf so the engine stage dominates the measurement.
-CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "2000000"))
-CDC_EPOCHS = 4
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "8000000"))
+CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "4"))
 
 #: representative operator pipelines benched over $GRAFT_SF_DIR
 BENCH_QUERIES = [
@@ -121,7 +121,7 @@ def bench_once() -> dict:
     summary = engine.run(events_dir)
     cdc_wall = time.perf_counter() - t0
     timings["cdc_engine"] = round(cdc_wall, 3)
-    events_total = summary["events_applied"] + summary["dup_lsn_dropped"]
+    events_total = summary.get("events_raw") or (summary["events_applied"] + summary["dup_lsn_dropped"])
     cdc_eps = events_total / cdc_wall if cdc_wall else 0.0
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -48,6 +48,8 @@ def generate_cdc_events(
     dup_ratio: float = 0.05,
     ooo_window_us: int = 60_000_000,
     evolve_at_lsn: int | None = None,
+    text_bytes: int = 400,
+    rows_per_file: int = 131_072,
 ) -> dict:
     """Write ``epochs`` Parquet event files under ``out_dir``; return metadata.
 
@@ -85,49 +87,56 @@ def generate_cdc_events(
     tool_codes = rng.integers(0, 4, size=n_events)
     tool = TOOLS[tool_codes].astype(object)
     tool[tool_codes == 0] = None
-    # role/tool/text must be pure functions of (conv,turn,lsn) replays copy rows verbatim below
 
-    conv_id = _int_str("c", conv_nums)
-    text = pc.binary_join_element_wise(
-        _int_str("conv ", conv_nums),
-        _int_str(" turn ", turn_idx),
-        _int_str(" rev ", lsn),
-        pa.array(
-            np.where(op == "delete", " (tombstone)", " lorem ipsum dolor sit amet"),
-            type=pa.string(),
-        ),
-        "",
+    # realistic transcript-sized payload (~text_bytes); unique per (key, lsn)
+    # so the per-turn text-equality invariant detects any mis-merge
+    filler = (
+        " lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+        " tempor incididunt ut labore et dolore magna aliqua ut enim ad minim"
     )
+    filler = (filler * (text_bytes // len(filler) + 1))[:text_bytes]
 
-    cols: dict[str, pa.Array] = {
-        "conv_id": conv_id,
-        "turn_idx": pa.array(turn_idx, type=pa.int32()),
-        "role": pa.array(role, type=pa.string()),
-        "text": text,
-        "tool": pa.array(tool, type=pa.string()),
-        "ts": pa.array(ts_us, type=pa.timestamp("us")),
-        "op": pa.array(op, type=pa.string()),
-        "lsn": pa.array(lsn, type=pa.int64()),
-    }
-    if evolve_at_lsn is not None:
-        model = pc.if_else(
-            pa.array(lsn >= evolve_at_lsn),
-            _int_str("model-v", (lsn % 3)),
-            pa.nulls(n_events, pa.string()),
+    def make_table(idx: np.ndarray) -> pa.Table:
+        """Materialize event rows for global indices ``idx`` — a pure function
+        of the pre-drawn numpy columns, so a replayed index reproduces its row
+        verbatim.  Building per-epoch keeps every string column far below the
+        2 GiB int32-offset limit of ``pa.string()``."""
+        o = op[idx]
+        text = pc.binary_join_element_wise(
+            _int_str("conv ", conv_nums[idx]),
+            _int_str(" turn ", turn_idx[idx]),
+            _int_str(" rev ", lsn[idx]),
+            pa.array(np.where(o == "delete", " (tombstone)", filler), type=pa.string()),
+            "",
         )
-        cols["model"] = model
-    table = pa.table(cols)
+        cols: dict[str, pa.Array] = {
+            "conv_id": _int_str("c", conv_nums[idx]),
+            "turn_idx": pa.array(turn_idx[idx], type=pa.int32()),
+            "role": pa.array(role[idx], type=pa.string()),
+            "text": text,
+            "tool": pa.array(tool[idx], type=pa.string()),
+            "ts": pa.array(ts_us[idx], type=pa.timestamp("us")),
+            "op": pa.array(o, type=pa.string()),
+            "lsn": pa.array(lsn[idx], type=pa.int64()),
+        }
+        if evolve_at_lsn is not None:
+            cols["model"] = pc.if_else(
+                pa.array(lsn[idx] >= evolve_at_lsn),
+                _int_str("model-v", (lsn[idx] % 3)),
+                pa.nulls(len(idx), pa.string()),
+            )
+        return pa.table(cols)
 
-    # --- duplicated-LSN replays: verbatim copies of random earlier rows
+    # --- duplicated-LSN replays: verbatim re-emissions of random earlier rows
     n_dup = int(n_events * dup_ratio)
     dup_idx = rng.integers(0, n_events, size=n_dup) if n_dup else np.empty(0, np.int64)
 
     epoch_size = (n_events + epochs - 1) // epochs
     files = []
-    base_epoch = lsn // epoch_size
     dup_epoch = (dup_idx // epoch_size) if n_dup else np.empty(0, np.int64)
+    schema_names = None
     for e in range(epochs):
-        part = table.filter(pa.array(base_epoch == e))
+        idx = np.arange(e * epoch_size, min((e + 1) * epoch_size, n_events), dtype=np.int64)
         if n_dup:
             # replays of this epoch's rows, delivered in this epoch or later
             replay_here = dup_idx[dup_epoch <= e]
@@ -136,15 +145,22 @@ def generate_cdc_events(
                 | ((rng.random(len(replay_here)) < 0.5) & (replay_here // epoch_size < e))
             ]
             if len(replay_here):
-                part = pa.concat_tables([part, table.take(pa.array(replay_here))])
+                idx = np.concatenate([idx, replay_here])
         # unordered delivery inside the epoch
-        order = rng.permutation(part.num_rows)
-        part = part.take(pa.array(order))
-        # no '=' in the name: hive-partition inference (DuckDB, Arrow datasets)
-        # would otherwise materialize a phantom partition column
-        path = os.path.join(out_dir, f"events-epoch-{e:06d}.parquet")
-        pq.write_table(part, path)
-        files.append(path)
+        idx = idx[rng.permutation(len(idx))]
+        # one epoch = a directory-of-files shard set (the shape a real log
+        # tail delivers): many moderate files give the reader natural block
+        # parallelism and let Ray fuse read->route into one task, so no row
+        # transits the object store twice.  No '=' in names: hive-partition
+        # inference (DuckDB, Arrow datasets) would invent phantom columns.
+        for shard_no, lo in enumerate(range(0, len(idx), rows_per_file)):
+            part = make_table(idx[lo : lo + rows_per_file])
+            schema_names = [f.name for f in part.schema]
+            path = os.path.join(
+                out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
+            )
+            pq.write_table(part, path, row_group_size=131_072, compression="zstd", compression_level=3)
+            files.append(path)
 
     return {
         "files": files,
@@ -154,5 +170,5 @@ def generate_cdc_events(
         "epoch_size": epoch_size,
         "seed": seed,
         "evolve_at_lsn": evolve_at_lsn,
-        "schema": [f.name for f in table.schema],
+        "schema": schema_names,
     }

@@ -29,6 +29,7 @@ import time
 from functools import partial
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -38,25 +39,94 @@ from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK, assign_partiti
 
 
 def discover_epoch_files(events_dir: str) -> list[list[str]]:
-    """events-epoch-NNNNNN.parquet files grouped by epoch id, ascending."""
+    """events-epoch-NNNNNN[-SSSS].parquet files grouped by epoch id, ascending."""
     out: dict[int, list[str]] = {}
     for path in glob.glob(os.path.join(events_dir, "events-epoch-*.parquet")):
-        m = re.search(r"events-epoch-(\d+)\.parquet$", path)
+        m = re.search(r"events-epoch-(\d+)(?:-\d+)?\.parquet$", path)
         if m:
             out.setdefault(int(m.group(1)), []).append(path)
     return [sorted(out[e]) for e in sorted(out)]
 
 
-def _route_group(group: pa.Table, *, actors, num_actors: int, epoch: int) -> pa.Table:
-    """map_groups body: ship one partition's epoch slice to its owning actor.
+def _route_batch(
+    batch: pa.Table,
+    *,
+    actors,
+    num_actors: int,
+    num_partitions: int,
+    turn_block: int,
+    epoch: int,
+) -> pa.Table:
+    """map_batches body: the push exchange (combiner + route in one pass).
 
-    Runs as a Ray Data task after the exchange; the (epoch, part) idempotency
-    set inside the actor makes task retries no-ops.
+    All ordering work happens in numpy over integer key columns (dictionary
+    codes for conv_id) — one ``lexsort`` by (actor, part, conv, turn, ts,
+    lsn) — so the only full-width Arrow copy is the single ``take`` of the
+    winner rows:
+
+    1. block-level LWW combiner: keep only each key's winner (associative,
+       exactness-preserving — like partial pre-aggregation before a shuffle);
+       on update-heavy CDC streams this cuts exchanged bytes substantially;
+    2. ship each actor ONE contiguous slice plus (part, len) run boundaries.
+       Actor pushes are memcpy-bound: message count and bytes — not kernels —
+       set the exchange cost.
+
+    Task retries re-push identical rows; that is safe (see merger.py).
     """
-    part = group.column("part")[0].as_py()
-    handle = actors[part % num_actors]
-    m = ray.get(handle.apply.remote(epoch, part, group))
-    return pa.table({k: [v] for k, v in m.items()})
+    import numpy as np
+
+    from encode_ingest_ray.state.partition import partition_ids
+
+    n_raw = batch.num_rows
+    if n_raw == 0:
+        return pa.table(
+            {"rows_raw": pa.array([0], pa.int64()), "rows_routed": pa.array([0], pa.int64())}
+        )
+    conv = batch.column("conv_id").combine_chunks().dictionary_encode()
+    conv_codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turns = batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts").combine_chunks(), pa.int64()).to_numpy(zero_copy_only=False)
+    lsn = batch.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
+    parts_np = partition_ids(
+        batch.column("conv_id"), batch.column("turn_idx"), num_partitions, turn_block
+    ).astype(np.int64)
+    actor_np = parts_np % num_actors
+
+    # lexsort: last key is primary → (actor, part, conv, turn, ts, lsn)
+    order = np.lexsort((lsn, ts, turns, conv_codes, parts_np, actor_np))
+    oc, ot = conv_codes[order], turns[order]
+    winner = np.empty(n_raw, dtype=bool)
+    winner[-1] = True
+    np.not_equal(oc[1:], oc[:-1], out=winner[:-1])
+    winner[:-1] |= ot[1:] != ot[:-1]
+    final_idx = order[winner]
+    routed = batch.take(pa.array(final_idx))  # the one full-width copy
+    rparts = parts_np[final_idx]
+    ractors = actor_np[final_idx]
+
+    m = len(final_idx)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(rparts)) + 1, [m]))
+    futures = []
+    i = 0
+    while i < len(starts) - 1:
+        a = int(ractors[starts[i]])
+        seg_start = int(starts[i])
+        parts_list: list[int] = []
+        lens: list[int] = []
+        while i < len(starts) - 1 and int(ractors[starts[i]]) == a:
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            parts_list.append(int(rparts[lo]))
+            lens.append(hi - lo)
+            i += 1
+        seg = routed.slice(seg_start, sum(lens))
+        futures.append(actors[a].apply_block.remote(epoch, parts_list, lens, seg))
+    ray.get(futures)
+    return pa.table(
+        {
+            "rows_raw": pa.array([n_raw], pa.int64()),
+            "rows_routed": pa.array([m], pa.int64()),
+        }
+    )
 
 
 class CdcEngine:
@@ -118,8 +188,8 @@ class CdcEngine:
             assert events_dir is not None
             epoch_files = discover_epoch_files(events_dir)
         committed = set(self.manifest.committed_epochs())
-        summary = {"epochs_run": 0, "epochs_skipped": 0, "events_applied": 0,
-                   "dup_lsn_dropped": 0, "wall_s": 0.0}
+        summary = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
+                   "events_applied": 0, "dup_lsn_dropped": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
         try:
             for epoch, files in enumerate(epoch_files):
@@ -139,6 +209,7 @@ class CdcEngine:
                         if attempt > retries_per_epoch:
                             raise
                 summary["epochs_run"] += 1
+                summary["events_raw"] += m.get("rows_raw", 0)
                 summary["events_applied"] += m["applied"]
                 summary["dup_lsn_dropped"] += m["dup_lsn_dropped"]
         finally:
@@ -149,51 +220,56 @@ class CdcEngine:
 
     def _run_epoch(self, epoch: int, files: list[str]) -> dict:
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(files)
-        ds = ds.map_batches(
+        # routing parallelism == input shard count (epochs are directories of
+        # moderate files).  Pin one block per shard: Ray's min-parallelism
+        # heuristic otherwise re-splits blocks ~7x (SplitBlocks), which both
+        # breaks read->route operator fusion and multiplies actor-push count
+        # (and its per-message overhead) by the same factor.
+        prev_min = ray.data.DataContext.get_current().read_op_min_num_blocks
+        ray.data.DataContext.get_current().read_op_min_num_blocks = 1
+        try:
+            ds = ray.data.read_parquet(files)
+        finally:
+            ray.data.DataContext.get_current().read_op_min_num_blocks = prev_min
+        route_rows = ds.map_batches(
             partial(
-                assign_partition_column,
+                _route_batch,
+                actors=self._actors,
+                num_actors=self.num_actors,
                 num_partitions=self.num_partitions,
                 turn_block=self.turn_block,
+                epoch=epoch,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        metrics_rows = (
-            ds.groupby("part")
-            .map_groups(
-                partial(
-                    _route_group,
-                    actors=self._actors,
-                    num_actors=self.num_actors,
-                    epoch=epoch,
-                ),
-                batch_format="pyarrow",
-            )
-            .take_all()
-        )
-        apply_s = time.perf_counter() - t0
+            # one routing call per input shard: map_batches' DEFAULT batch
+            # size is 1024 rows, which would explode the exchange into
+            # thousands of tiny actor pushes
+            batch_size=None,
+        ).take_all()
+        raw = sum(r["rows_raw"] for r in route_rows)
+        routed = sum(r["rows_routed"] for r in route_rows)
+        exchange_s = time.perf_counter() - t0
 
         t1 = time.perf_counter()
         staged_maps = ray.get([a.flush.remote(epoch) for a in self._actors])
         pointers = self.manifest.pointers()
-        per_part_metrics = {}
+        per_part_metrics: dict[str, dict] = {}
         totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0}
-        for row in metrics_rows:
-            p = row["part"]
-            per_part_metrics[str(p)] = {
-                k: row[k] for k in ("events_in", "dup_lsn_dropped", "applied", "apply_s")
-            }
-            for k in totals:
-                totals[k] += row[k]
         for staged in staged_maps:
             for p, ptr in staged.items():
+                m = ptr.pop("metrics", {})
+                per_part_metrics[str(p)] = m
+                for k in totals:
+                    totals[k] += m.get(k, 0)
                 pointers[str(p)] = ptr
         commit_s = time.perf_counter() - t1
         metrics = {
             **totals,
+            "rows_raw": raw,
+            "rows_routed": routed,
             "partitions_touched": len(per_part_metrics),
-            "exchange_apply_s": apply_s,
+            "exchange_apply_s": exchange_s,
             "commit_latency_s": commit_s,
             "per_partition": per_part_metrics,
         }
@@ -201,35 +277,59 @@ class CdcEngine:
         return metrics
 
     # -- read side -------------------------------------------------------
-    def snapshot_files(self) -> list[str]:
-        return sorted(ptr["path"] for ptr in self.manifest.pointers().values())
+    def partition_files(self) -> dict[int, dict]:
+        """part -> {base, deltas} from the latest manifest."""
+        return {
+            int(p): {"base": ptr.get("base"), "deltas": list(ptr.get("deltas", []))}
+            for p, ptr in self.manifest.pointers().items()
+        }
 
     def final_dataset(self) -> "ray.data.Dataset":
-        """Streaming live view of the committed table (unordered; apply
-        ``sort(['conv_id','turn_idx'])`` when a total order is needed).
+        """Streaming live view of the committed table: one merge-on-read task
+        per partition (base snapshot + epoch deltas resolved by the LWW
+        kernel), unordered; apply ``sort(['conv_id','turn_idx'])`` when a
+        total order is needed.
 
-        Snapshot files written before/after an additive schema evolution can
-        differ; every batch is aligned to the unified schema (null-filling
-        old rows) before the live projection.
+        Schema evolution: partitions last written before an additive column
+        appeared lack it; every partition is aligned to the union schema
+        (null-filled), computed driver-side from parquet footers (one footer
+        read per committed file — cache/prune this at very large partition
+        counts).
         """
         import pyarrow.parquet as pq
 
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
         from encode_ingest_ray.state.lww import live_view
+        from encode_ingest_ray.state.merger import load_partition_state
 
-        files = self.snapshot_files()
-        if not files:
+        parts = self.partition_files()
+        if not parts:
             return ray.data.from_items([])
         unified = None
-        for f in files:  # footer reads only — cheap, driver-side
-            s = pq.read_schema(f)
-            unified = s if unified is None else unify_schemas(unified, s)
-        ds = ray.data.read_parquet(files, schema=unified)
-        return ds.map_batches(
-            lambda t: live_view(align_to_schema(t, unified)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        for info in parts.values():
+            for f in ([info["base"]] if info["base"] else []) + info["deltas"]:
+                s = pq.read_schema(f)
+                unified = s if unified is None else unify_schemas(unified, s)
+
+        items = [
+            {"base": info["base"] or "", "deltas": info["deltas"]}
+            for _, info in sorted(parts.items())
+        ]
+
+        def read_part(batch: pa.Table) -> pa.Table:
+            tables = []
+            for row in batch.to_pylist():
+                state = load_partition_state(
+                    {"base": row["base"] or None, "deltas": list(row["deltas"])}
+                )
+                if state is not None and state.num_rows:
+                    tables.append(live_view(align_to_schema(state, unified)))
+            if not tables:
+                return live_view(align_to_schema(unified.empty_table(), unified))
+            return pa.concat_tables(tables)
+
+        ds = ray.data.from_items(items)
+        return ds.map_batches(read_part, batch_size=1, batch_format="pyarrow")
 
     def final_table(self) -> pa.Table:
         """Small-scale convenience: fully ordered live table (per-conv_id sort

@@ -1,25 +1,32 @@
-"""Partition-merger actor: the only mutable state in the engine.
+"""Partition-merger actor: the stateful stage of the engine.
 
 Reference analog: the per-worker stateful singleton of
 ``ScalaAsyncLookupDoFn`` (/root/reference/extraction/src/main/scala/org/
 broadinstitute/monster/encode/extraction/ExtractionPipelineBuilder.scala:31-42)
-generalized to hold upsert state — SURVEY.md §2.3 ST2.
+generalized to own upsert partitions — SURVEY.md §2.3 ST2.
 
-Each actor owns a fixed subset of partitions.  Per partition it holds:
+Each actor owns a fixed subset of partitions.  Per partition it holds the
+**monotonic LSN watermark** (the sequence-number dedup high-water mark) and
+an epoch delta buffer; durable state lives in Parquet (base + deltas), so
+actor RAM stays O(watermarks + one epoch delta) — at 10^10-event scale the
+table itself can never be required to fit in actor memory.
 
-* ``state``   — Arrow winners table (one row per (conv_id, turn_idx) incl.
-  tombstones) — the per-key ``(ts, lsn)`` entries double as the sequence-
-  number dedup table;
-* ``watermark`` — the max LSN applied (monotonic); events at or below it are
-  replays and are dropped before any mutation (exactly-once under retry);
-* ``applied`` — the set of (epoch) ids already applied this flush-cycle, so a
-  retried routing task is a no-op.
+Commit layout (write amplification matters at 10^10 events): each epoch
+stages a *delta* file per dirty partition
+(``part=PPPPP/delta-EEEEEE.parquet``: the LWW-collapsed epoch delta) and,
+every ``compact_every`` deltas, a compacted *base* snapshot
+(``base-EEEEEE.parquet``).  A partition's state = base merged with newer
+deltas (merge-on-read via the LWW kernel).  All staged paths are
+deterministic per (partition, epoch): a replayed crash re-stages identical
+bytes, and writes go through temp + ``os.replace`` so a racing zombie writer
+cannot leave a torn file.  Files are zstd-compressed — at lake scale you buy
+scalable CPU and save non-scalable IO/network bytes.
 
-Durability: actors are caches.  The only durable state is the committed
-snapshot Parquet referenced by the manifest; a (re)spawned actor lazily
-reloads each partition from its manifest pointer.  Staged snapshot writes go
-through temp-file + ``os.replace`` so a racing zombie writer can never leave
-a torn file.
+Exactly-once under retries: a retried routing task re-pushes identical
+sub-tables; LWW winner selection is idempotent under duplicates, cross-epoch
+replays are cut by the committed watermark, in-epoch duplicate LSNs collapse
+in the delta reduce.  (Reference analog: "will not re-ingest or re-delete
+rows if the state already matches", ingest-processed-data.yaml:7-12.)
 """
 
 from __future__ import annotations
@@ -32,89 +39,151 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from encode_ingest_ray.state.lww import merge_state
+from encode_ingest_ray.state.lww import lww_reduce
+from encode_ingest_ray.schema import align_to_schema, unify_schemas
+
+PARQUET_OPTS = dict(compression="zstd", compression_level=3, row_group_size=131_072)
 
 
-def _snapshot_path(out_dir: str, part: int, epoch: int) -> str:
-    return os.path.join(out_dir, f"part={part:05d}", f"epoch={epoch:06d}.parquet")
+def _part_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part:05d}")
+
+
+def _concat_unified(tables: list[pa.Table]) -> pa.Table:
+    """Concat tables whose schemas may differ additively (schema evolution
+    mid-stream): align every table to the unified column set."""
+    if len(tables) == 1:
+        return tables[0]
+    schema = tables[0].schema
+    for t in tables[1:]:
+        schema = unify_schemas(schema, t.schema)
+    return pa.concat_tables([align_to_schema(t, schema) for t in tables])
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, **PARQUET_OPTS)
+    os.replace(tmp, path)
+
+
+def load_partition_state(ptr: dict) -> pa.Table | None:
+    """Reconstruct a partition's durable state from its manifest pointer:
+    base snapshot merged with subsequent deltas in epoch order (merge-on-read)."""
+    tables = []
+    if ptr.get("base"):
+        tables.append(pq.read_table(ptr["base"]))
+    for d in ptr.get("deltas", []):
+        tables.append(pq.read_table(d))
+    if not tables:
+        return None
+    if len(tables) == 1:
+        return tables[0]
+    return lww_reduce(_concat_unified(tables))
 
 
 @ray.remote(max_restarts=0)
 class PartitionMerger:
-    """One merger owns ``parts``; state survives across epochs in RAM and is
-    checkpointed to Parquet at every epoch flush."""
+    """One merger owns a fixed set of partitions: their LSN watermarks, the
+    current epoch's delta buffers, and the staging of delta/base files."""
 
-    def __init__(self, out_dir: str, pointers: dict[int, dict]):
+    def __init__(self, out_dir: str, pointers: dict[int, dict], compact_every: int = 8):
         self.out_dir = out_dir
-        self.pointers = pointers  # part -> committed pointer (for lazy reload)
-        self.state: dict[int, pa.Table | None] = {}
+        self.pointers = pointers  # part -> committed pointer
+        self.compact_every = compact_every
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
-        self.applied: set[tuple[int, int]] = set()
-        self.dirty: set[int] = set()
+        self.buffers: dict[int, list[pa.Table]] = {}
+        self.events_in: dict[int, int] = {}
 
-    def _load(self, part: int) -> pa.Table | None:
-        if part not in self.state:
-            ptr = self.pointers.get(part)
-            self.state[part] = pq.read_table(ptr["path"]) if ptr else None
-        return self.state[part]
-
-    def apply(self, epoch: int, part: int, events: pa.Table) -> dict:
-        """Merge one partition's epoch slice; idempotent per (epoch, part)."""
-        t0 = time.perf_counter()
-        if (epoch, part) in self.applied:
-            return {"part": part, "events_in": events.num_rows, "replayed_call": 1,
-                    "dup_lsn_dropped": 0, "applied": 0, "apply_s": 0.0}
-        if "part" in events.column_names:
-            events = events.drop_columns(["part"])
-
-        wm = self.watermark.get(part, -1)
-        n_in = events.num_rows
-        fresh = events.filter(pc.greater(events.column("lsn"), pa.scalar(wm)))
-        dup_cross = n_in - fresh.num_rows
-        # in-epoch replays: same LSN delivered twice inside this epoch
-        dup_in = fresh.num_rows - pc.count_distinct(fresh.column("lsn")).as_py() if fresh.num_rows else 0
-
-        state = self._load(part)
-        if fresh.num_rows:
-            self.state[part] = merge_state(state, fresh)
-            self.watermark[part] = max(wm, pc.max(fresh.column("lsn")).as_py())
-            self.dirty.add(part)
-        self.applied.add((epoch, part))
-        return {
-            "part": part,
-            "events_in": n_in,
-            "replayed_call": 0,
-            "dup_lsn_dropped": dup_cross + dup_in,
-            "applied": fresh.num_rows,
-            "apply_s": time.perf_counter() - t0,
-        }
+    def apply_block(
+        self, epoch: int, parts: list[int], lens: list[int], table: pa.Table
+    ) -> int:
+        """Buffer one routed block: ``table`` is ordered so that the rows of
+        ``parts[i]`` occupy the next ``lens[i]`` rows.  One actor call per
+        (routing task, actor) — slicing here is zero-copy metadata work, no
+        Arrow kernels (per-push compute on plasma-backed views costs ~10ms a
+        call and would dominate the epoch at call volume)."""
+        off = 0
+        for part, n in zip(parts, lens):
+            if n:
+                self.buffers.setdefault(part, []).append(table.slice(off, n))
+                self.events_in[part] = self.events_in.get(part, 0) + n
+            off += n
+        return table.num_rows
 
     def flush(self, epoch: int) -> dict[int, dict]:
-        """Stage snapshots for dirty partitions; return their new pointers."""
+        """Per dirty partition: wm-filter + LWW-collapse the buffered delta,
+        stage it as this epoch's delta file; every ``compact_every`` epochs
+        fold base+deltas into a new base (amortized O(state))."""
         out: dict[int, dict] = {}
-        for part in sorted(self.dirty):
-            state = self.state[part]
-            path = _snapshot_path(self.out_dir, part, epoch)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".tmp"
-            pq.write_table(state, tmp)
-            os.replace(tmp, path)
-            live = pc.sum(
-                pc.not_equal(state.column("op"), pa.scalar("delete"))
-            ).as_py() or 0
+        for part in sorted(self.buffers):
+            t0 = time.perf_counter()
+            raw = _concat_unified(self.buffers[part])
+            wm = self.watermark.get(part, -1)
+            fresh = raw
+            if wm >= 0 and raw.num_rows:
+                fresh = raw.filter(pc.greater(raw.column("lsn"), pa.scalar(wm)))
+            metrics = {
+                "events_in": self.events_in.get(part, raw.num_rows),
+                "dup_lsn_dropped": raw.num_rows - fresh.num_rows,
+                "applied": fresh.num_rows,
+            }
+            if fresh.num_rows == 0:
+                continue
+            delta = lww_reduce(fresh)
+            wm = max(wm, pc.max(delta.column("lsn")).as_py())
+            self.watermark[part] = wm
+
+            prev = self.pointers.get(part, {})
+            deltas = list(prev.get("deltas", []))
+            base = prev.get("base")
+            rows_state = None
+            rows_live = None
+            if len(deltas) + 1 >= self.compact_every:
+                # amortized compaction: fold base+deltas+this delta into a base
+                state = load_partition_state({"base": base, "deltas": deltas})
+                state = (
+                    delta
+                    if state is None
+                    else lww_reduce(_concat_unified([state, delta]))
+                )
+                base = os.path.join(
+                    _part_dir(self.out_dir, part), f"base-{epoch:06d}.parquet"
+                )
+                _atomic_write(state, base)
+                deltas = []
+                rows_state = state.num_rows
+                rows_live = int(
+                    pc.sum(
+                        pc.not_equal(state.column("op"), pa.scalar("delete"))
+                    ).as_py()
+                    or 0
+                )
+            else:
+                dpath = os.path.join(
+                    _part_dir(self.out_dir, part), f"delta-{epoch:06d}.parquet"
+                )
+                _atomic_write(delta, dpath)
+                deltas.append(dpath)
+
+            metrics["rows_delta"] = delta.num_rows
+            metrics["merge_flush_s"] = round(time.perf_counter() - t0, 4)
             ptr = {
-                "path": path,
+                "base": base,
+                "deltas": deltas,
                 "epoch": epoch,
-                "rows_state": state.num_rows,
-                "rows_live": int(live),
-                "lsn_hi": self.watermark[part],
+                "rows_delta": delta.num_rows,
+                "rows_state": rows_state,
+                "rows_live": rows_live,
+                "lsn_hi": wm,
+                "metrics": metrics,
             }
             out[part] = ptr
-            self.pointers[part] = ptr
-        self.dirty.clear()
-        self.applied.clear()
+            self.pointers[part] = {k: v for k, v in ptr.items() if k != "metrics"}
+        self.buffers.clear()
+        self.events_in.clear()
         return out
 
     def ping(self) -> bool:
