@@ -27,7 +27,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: CDC headline scale: events generated deterministically (cached), sized
 #: independently of sf so the engine stage dominates the measurement.
 CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "8000000"))
-CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "4"))
+CDC_EPOCHS = int(os.environ.get("GRAFT_CDC_EPOCHS", "2"))
 
 #: representative operator pipelines benched over $GRAFT_SF_DIR
 BENCH_QUERIES = [
@@ -110,7 +110,7 @@ def bench_once() -> dict:
     ).count()
 
     out_dir = tempfile.mkdtemp(prefix="bench-cdc-out-")
-    n_actors = max(2, NUM_CPUS // 4)
+    n_actors = max(4, NUM_CPUS // 4)
     engine = CdcEngine(
         out_dir,
         num_partitions=max(32, 4 * n_actors),

@@ -327,15 +327,14 @@ def q1_pricing_summary(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
-        )
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return partial_groupby_sum(
+        pre,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "qty", "sum_base_cents": "base_cents", "sum_disc_cents": "disc_cents"},
+        count_alias="count_order",
     )
 
 
@@ -480,14 +479,14 @@ def join_broadcast_dims(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["r_name", "n_name"])
-        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
-        .map_batches(
-            lambda t: t.select(["r_name", "n_name", "n_customers", "acctbal_cents"]),
-            batch_format="pyarrow",
-        )
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        pre, ["r_name", "n_name"], {"acctbal_cents": "acctbal_cents"}, count_alias="n_customers"
+    ).map_batches(
+        lambda t: t.select(["r_name", "n_name", "n_customers", "acctbal_cents"]),
+        batch_format="pyarrow",
     )
 
 
@@ -514,10 +513,14 @@ def join_cohash(sf_dir: str):
             }
         )
 
-    return (
-        joined.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("price_cents", alias_name="price_cents"))
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    pre = joined.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return partial_groupby_sum(
+        pre, ["o_orderpriority"], {"price_cents": "price_cents"}, count_alias="n_items"
+    ).map_batches(
+        lambda t: t.select(["o_orderpriority", "n_items", "price_cents"]),
+        batch_format="pyarrow",
     )
 
 
@@ -544,9 +547,11 @@ def join_semi(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return ds.groupby("l_partkey").aggregate(
-        Count(alias_name="n"), Sum("qty", alias_name="sum_qty")
-    )
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    return partial_groupby_sum(
+        ds, ["l_partkey"], {"sum_qty": "qty"}, count_alias="n"
+    ).map_batches(lambda t: t.select(["l_partkey", "n", "sum_qty"]), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -626,8 +631,12 @@ def window_tumbling(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return partial_groupby_sum(
+        pre, ["user_id", "hour_bucket"], {"value_cents": "value_cents"}, count_alias="n_events"
+    ).map_batches(
+        lambda t: t.select(["user_id", "hour_bucket", "n_events", "value_cents"]),
+        batch_format="pyarrow",
     )

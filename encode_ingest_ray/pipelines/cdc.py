@@ -2,9 +2,15 @@
 two-phase commit.
 
 Ray-Data-first layout (SURVEY.md §7.4): per epoch there is exactly ONE wide
-operation — the hash exchange ``groupby("part")`` that co-locates each salted
-partition's events — feeding the stateful actor pool.  Everything upstream is
-streaming ``map_batches`` over zero-copy Arrow blocks.
+operation — a *push exchange* expressed as a fused ``read_parquet →
+map_batches(_route_batch)`` stage that LWW-pre-collapses each block
+(combiner) and ships per-partition slices straight into the stateful
+actor pool.  A sort-based ``groupby`` shuffle and Ray's hash-shuffle
+strategy were both measured 4-15x slower at this shape: every row would
+transit the object store twice and the aggregator machinery adds fixed
+cost per partition.  Routing tasks block on the actor acks (releasing
+their CPU while waiting), so the dataset completing implies every push
+has been applied — the flush/commit barrier needs no extra protocol.
 
 Reference analogs, per stage:
 * epoch discovery / skip-if-committed — the idempotent weekly sync

@@ -21,23 +21,30 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+_MERSENNE = np.uint64((1 << 31) - 1)  # Mersenne-31: keeps all uint64 products overflow-free
 _MAXH = np.uint64((1 << 32) - 1)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """uint32 hashes of the k-char shingles (crc-free: blake2b 4-byte)."""
-    t = text or ""
-    if len(t) < k:
-        shingles = [t]
-    else:
-        shingles = [t[i : i + k] for i in range(len(t) - k + 1)]
-    out = np.empty(len(shingles), np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "little"
-        )
-    return np.unique(out)
+    """Hashes of the k-char (byte) shingles — vectorized numpy rolling
+    polynomial hash (Rabin-Karp, mod 2^31-1): k vector ops instead of one
+    Python hash call per shingle."""
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    B = np.uint64(1099511628211)
+    if n < k:
+        h = np.uint64(0)
+        for b in data:
+            h = (h * B + b) % _MERSENNE
+        return np.array([h], np.uint64)
+    pows = np.empty(k, np.uint64)
+    pows[0] = 1
+    for j in range(1, k):
+        pows[j] = (pows[j - 1] * B) % _MERSENNE
+    acc = np.zeros(n - k + 1, np.uint64)
+    for j in range(k):
+        acc = (acc + data[j : n - k + 1 + j] * pows[k - 1 - j]) % _MERSENNE
+    return np.unique(acc)
 
 
 def _word_ngrams(text: str, n: int) -> set:
@@ -54,8 +61,9 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, column: str = "text", seed: int = 13):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # coefficients < 2^31 so a*shingle stays < 2^62 (no uint64 wrap)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
         self.column = column
@@ -64,7 +72,7 @@ class MinHasher:
         sh = _shingle_hashes(text, self.k)
         # (P, S) universal hashing then min over shingles — vectorized
         hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return (hv & _MAXH).min(axis=1).astype(np.uint32)
+        return hv.min(axis=1).astype(np.uint32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()

@@ -112,7 +112,7 @@ def rolling_fingerprint(
     """Rabin-Karp-style rolling-hash document fingerprint: min of the rolling
     polynomial hashes over ``window``-byte windows (robust to concatenation;
     not SQL-expressible → rows-only oracle)."""
-    B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+    B, M = np.uint64(257), np.uint64((1 << 31) - 1)  # Mersenne-31: no uint64 wrap
     out_vals = np.empty(batch.num_rows, np.int64)
     texts = batch.column(column).to_pylist()
     for i, t in enumerate(texts):
