@@ -640,3 +640,83 @@ def window_tumbling(sf_dir: str):
         lambda t: t.select(["user_id", "hour_bucket", "n_events", "value_cents"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 tagged-union grouped join: N streams, one shuffle
+# ---------------------------------------------------------------------------
+@register(
+    "group_join_tagged",
+    """SELECT c.c_custkey,
+              (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              CAST(COALESCE((SELECT SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                             FROM orders o WHERE o.o_custkey = c.c_custkey), 0) AS BIGINT) AS total_cents,
+              (SELECT COUNT(*) FROM customer c2 WHERE c2.c_custkey = c.c_custkey) AS n_customer_rows
+       FROM customer c""",
+)
+def group_join_tagged(sf_dir: str):
+    """Reference J9 pattern (TransformationPipelineBuilder.scala:589-623):
+    customer + orders tagged, unioned, grouped once on custkey."""
+    from encode_ingest_ray.stages.groupjoin import multi_stream_group_join
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def assemble(key, tables: dict) -> pa.Table:
+        cust = tables["cust"]
+        ords = tables["ord"]
+        if cust.num_rows == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()), "n_orders": pa.array([], pa.int64()),
+                 "total_cents": pa.array([], pa.int64()), "n_customer_rows": pa.array([], pa.int64())}
+            )
+        total = (
+            pc.sum(_cents(ords.column("o_totalprice"))).as_py() or 0
+            if ords.num_rows
+            else 0
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array([key], pa.int64()),
+                "n_orders": pa.array([ords.num_rows], pa.int64()),
+                "total_cents": pa.array([int(total)], pa.int64()),
+                "n_customer_rows": pa.array([cust.num_rows], pa.int64()),
+            }
+        )
+
+    return multi_stream_group_join(
+        {"cust": (customers, "c_custkey"), "ord": (orders, "o_custkey")},
+        assemble,
+        key_out="c_custkey_k",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 two-hop join + exact dedup on key (distinctBy)
+# ---------------------------------------------------------------------------
+@register(
+    "two_hop_first_customer",
+    """SELECT l_partkey, o_custkey AS first_custkey
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       QUALIFY row_number() OVER (
+           PARTITION BY l_partkey ORDER BY o_orderdate, o_orderkey, l_linenumber) = 1""",
+)
+def two_hop_first_customer(sf_dir: str):
+    """Reference J6 (getExperimentByLibrary, TransformationPipelineBuilder.
+    scala:427-462): 2-hop join then ``distinctBy`` with a deterministic
+    winner — here: per part, the customer of its earliest order."""
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = cohash_join(items, orders, "l_orderkey", "o_orderkey", num_buckets=32)
+    first = dedup_exact(
+        joined, ["l_partkey"], ["o_orderdate", "o_orderkey", "l_linenumber"]
+    )
+    return first.map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "first_custkey": t.column("o_custkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -144,6 +144,7 @@ class CdcEngine:
         num_actors: int = 8,
         turn_block: int = DEFAULT_TURN_BLOCK,
         actor_num_cpus: float = 0.5,
+        compact_every: int = 8,
     ):
         # NOTE actors reserve actor_num_cpus each; keep num_actors * actor_num_cpus
         # well below the cluster CPU count or the Dataset tasks that feed the
@@ -153,6 +154,7 @@ class CdcEngine:
         self.num_actors = num_actors
         self.turn_block = turn_block
         self.actor_num_cpus = actor_num_cpus
+        self.compact_every = compact_every
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = Manifest(out_dir)
         self._actors: list | None = None
@@ -165,7 +167,7 @@ class CdcEngine:
             mine = {p: ptr for p, ptr in pointers.items() if p % self.num_actors == i}
             actors.append(
                 PartitionMerger.options(num_cpus=self.actor_num_cpus).remote(
-                    self.out_dir, mine
+                    self.out_dir, mine, self.compact_every
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -350,3 +352,51 @@ class CdcEngine:
             t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
         return t.take(idx)
+
+    def write_final(self, final_dir: str, overwrite: bool = False) -> dict:
+        """Materialize the live table as per-partition, per-conv_id-sorted
+        Parquet — the north-rule output layout: one file per partition
+        (resumable: existing files are skipped unless ``overwrite``), rows
+        sorted by (conv_id, turn_idx) so every conversation's turns are
+        contiguous and in stable turn order."""
+        import pyarrow.parquet as pq
+
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+        from encode_ingest_ray.state.lww import live_view
+        from encode_ingest_ray.state.merger import load_partition_state
+
+        parts = self.partition_files()
+        os.makedirs(final_dir, exist_ok=True)
+        unified = None
+        for info in parts.values():
+            for f in ([info["base"]] if info["base"] else []) + info["deltas"]:
+                s = pq.read_schema(f)
+                unified = s if unified is None else unify_schemas(unified, s)
+
+        @ray.remote(num_cpus=1)
+        def write_part(part: int, info: dict, path: str) -> int:
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            state = load_partition_state(info)
+            if state is None or state.num_rows == 0:
+                return 0
+            live = live_view(align_to_schema(state, unified))
+            idx = _pc.sort_indices(
+                live, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            live = live.take(idx)
+            tmp = path + ".tmp"
+            _pq.write_table(live, tmp, compression="zstd", compression_level=3)
+            os.replace(tmp, path)
+            return live.num_rows
+
+        futures, skipped = [], 0
+        for part, info in sorted(parts.items()):
+            path = os.path.join(final_dir, f"final-part-{part:05d}.parquet")
+            if os.path.exists(path) and not overwrite:
+                skipped += 1
+                continue
+            futures.append(write_part.remote(part, info, path))
+        rows = sum(ray.get(futures))
+        return {"files_written": len(futures), "files_skipped": skipped, "rows": rows}

@@ -23,15 +23,18 @@ import pyarrow.compute as pc
 
 
 def _winner_per_key(
-    table: pa.Table, key_columns: list[str], order_column: str, keep_max: bool
+    table: pa.Table, key_columns: list[str], order_column, keep_max: bool
 ) -> pa.Table:
-    """One deterministic winner row per key: the row with min/max
-    ``order_column`` (ties broken by the later sort key being the order col
-    itself — callers should pass a unique ordering column)."""
+    """One deterministic winner row per key: the row with min/max ordering
+    columns (``order_column`` may be one name or a list; pass a combination
+    unique per key so the winner is total-order deterministic)."""
     if table.num_rows <= 1:
         return table
     direction = "descending" if keep_max else "ascending"
-    keys = [(k, "ascending") for k in key_columns] + [(order_column, direction)]
+    order_columns = [order_column] if isinstance(order_column, str) else list(order_column)
+    keys = [(k, "ascending") for k in key_columns] + [
+        (o, direction) for o in order_columns
+    ]
     idx = pc.sort_indices(table, sort_keys=keys)
     t = table.take(idx)
     import numpy as np

@@ -1,0 +1,78 @@
+"""Resilience + lifecycle tests: compaction, actor loss mid-stream,
+ordered final sink."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.functions.oracle import expected_final_state
+from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+
+@pytest.fixture(scope="module")
+def many_epochs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc-many")
+    meta = generate_cdc_events(
+        str(d), n_events=12_000, n_convs=100, epochs=10, seed=3, dup_ratio=0.05
+    )
+    return str(d), meta
+
+
+def test_compaction_folds_deltas_into_base(many_epochs, tmp_path):
+    events_dir, meta = many_epochs
+    engine = CdcEngine(
+        str(tmp_path / "out"), num_partitions=8, num_actors=2, compact_every=4
+    )
+    engine.run(events_dir)
+    parts = engine.partition_files()
+    # with 10 epochs and compact_every=4, every touched partition must have
+    # a base snapshot and fewer than compact_every outstanding deltas
+    assert parts
+    assert all(info["base"] for info in parts.values())
+    assert all(len(info["deltas"]) < 4 for info in parts.values())
+    # merge-on-read over base+deltas still matches the oracle
+    got = engine.final_table()
+    want = expected_final_state(meta["files"])
+    assert got.num_rows == want.num_rows
+    assert got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
+
+
+def test_actor_loss_mid_stream_recovers(many_epochs, tmp_path):
+    """Killing a merger actor fails the epoch; the driver respawns the pool
+    (reloading committed state) and replays it exactly-once."""
+    events_dir, meta = many_epochs
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2)
+    engine._actors = engine._spawn_actors()
+    ray.kill(engine._actors[0])  # simulated node/actor loss
+    summary = engine.run(events_dir)
+    assert summary["epochs_run"] == meta["epochs"]
+    got = engine.final_table()
+    want = expected_final_state(meta["files"])
+    assert got.num_rows == want.num_rows
+    assert got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
+
+
+def test_write_final_sorted_and_resumable(many_epochs, tmp_path):
+    events_dir, meta = many_epochs
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2)
+    engine.run(events_dir)
+    final_dir = str(tmp_path / "final")
+    r1 = engine.write_final(final_dir)
+    assert r1["files_written"] > 0 and r1["rows"] > 0
+    # resumable: second call skips every existing partition file
+    r2 = engine.write_final(final_dir)
+    assert r2["files_written"] == 0 and r2["files_skipped"] == r1["files_written"]
+    # every file is internally sorted by (conv_id, turn_idx); union matches oracle
+    total = 0
+    for name in sorted(os.listdir(final_dir)):
+        t = pq.read_table(os.path.join(final_dir, name))
+        df = t.to_pandas()
+        assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+            df.reset_index(drop=True)
+        )
+        total += t.num_rows
+    want = expected_final_state(meta["files"])
+    assert total == want.num_rows
