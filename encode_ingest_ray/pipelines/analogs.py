@@ -15,14 +15,12 @@ from functools import partial
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from encode_ingest_ray.pipelines.registry import register
 from encode_ingest_ray.stages.dedup import dedup_exact, distinct_values
 from encode_ingest_ray.stages.explode import explode_list
 from encode_ingest_ray.stages.joins import broadcast_join, cohash_join, semi_join_filter
 from encode_ingest_ray.stages.normalize import (
-    case_when,
     dict_lookup,
     extract_id,
     json_int_field,
@@ -699,7 +697,7 @@ def group_join_tagged(sf_dir: str):
     """SELECT l_partkey, o_custkey AS first_custkey
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        QUALIFY row_number() OVER (
-           PARTITION BY l_partkey ORDER BY o_orderdate, o_orderkey, l_linenumber) = 1""",
+           PARTITION BY l_partkey ORDER BY o_orderdate, l_orderkey, l_linenumber) = 1""",
 )
 def two_hop_first_customer(sf_dir: str):
     """Reference J6 (getExperimentByLibrary, TransformationPipelineBuilder.
@@ -709,7 +707,7 @@ def two_hop_first_customer(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     joined = cohash_join(items, orders, "l_orderkey", "o_orderkey", num_buckets=32)
     first = dedup_exact(
-        joined, ["l_partkey"], ["o_orderdate", "o_orderkey", "l_linenumber"]
+        joined, ["l_partkey"], ["o_orderdate", "l_orderkey", "l_linenumber"]
     )
     return first.map_batches(
         lambda t: pa.table(
@@ -720,3 +718,63 @@ def two_hop_first_customer(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 session windows (streaming-shaped: gap-based sessionization)
+# ---------------------------------------------------------------------------
+@register(
+    "session_windows",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       marked AS (
+         SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+                          OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM marked)
+       SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
+              COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+)
+def session_windows(sf_dir: str):
+    """Sessionize per user with a 30-minute inactivity gap: events are an
+    ordered partitioned log; windows materialize inside ``map_groups`` over
+    the per-user sorted group (SURVEY.md §2.8 — the reference is pure batch,
+    this is the streaming-shaped addition the brief requires)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    GAP = 1_800_000_000  # 30 min in us
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        us = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        new_s = np.ones(len(us), dtype=np.int64)
+        new_s[1:] = (np.diff(us) > GAP).astype(np.int64)
+        sid = np.cumsum(new_s)
+        uid = g.column("user_id")[0].as_py()
+        out_uid, out_sid, out_start, out_end, out_n = [], [], [], [], []
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(sid)) + 1, [len(sid)]))
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            out_uid.append(uid)
+            out_sid.append(int(sid[lo]))
+            out_start.append(int(us[lo]))
+            out_end.append(int(us[hi - 1]))
+            out_n.append(hi - lo)
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "session_id": pa.array(out_sid, pa.int64()),
+                "start_us": pa.array(out_start, pa.int64()),
+                "end_us": pa.array(out_end, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")

@@ -41,7 +41,7 @@ import ray.data
 
 from encode_ingest_ray.state.manifest import Manifest
 from encode_ingest_ray.state.merger import PartitionMerger
-from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK, assign_partition_column
+from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK
 
 
 def discover_epoch_files(events_dir: str) -> list[list[str]]:

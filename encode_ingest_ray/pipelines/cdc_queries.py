@@ -149,3 +149,33 @@ def cdc_upsert_engine(sf_dir: str):
     engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
     engine.run(events_dir)
     return engine.final_dataset()
+
+
+CONVERSATION_TEXT_SQL = f"""
+WITH final AS ({CDC_FINAL_SQL})
+SELECT conv_id,
+       string_agg(text, ' | ' ORDER BY turn_idx) AS convo,
+       COUNT(*) AS n_turns
+FROM final GROUP BY conv_id
+"""
+
+
+@register("conversation_text", CONVERSATION_TEXT_SQL)
+def conversation_text(sf_dir: str):
+    """Reconstruct each conversation in stable turn order from the upserted
+    final state — the per-conv_id sort by turn_idx output invariant
+    (SURVEY.md §2.6) exercised as a query: merge → per-conv sorted join."""
+    final = cdc_upsert(sf_dir)
+
+    def reconstruct(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        g = group.take(idx)
+        return pa.table(
+            {
+                "conv_id": [g.column("conv_id")[0].as_py()],
+                "convo": [" | ".join(g.column("text").to_pylist())],
+                "n_turns": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return final.groupby("conv_id").map_groups(reconstruct, batch_format="pyarrow")

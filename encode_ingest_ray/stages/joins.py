@@ -155,13 +155,22 @@ def cohash_join(
         lambda t: _prep(t, 1, right_key), batch_format="pyarrow", zero_copy_batch=True
     )
 
+    _PA_JOIN = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }
+
     def _join_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        l = df[df["__side"] == 0][left_cols]
-        r = df[df["__side"] == 1][[f"__r_{c}" for c in right_cols]]
-        r.columns = right_cols
-        out = l.merge(r, left_on=left_key, right_on=right_key, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        mask = pc.equal(group.column("__side"), 0)
+        l = group.filter(mask).select(left_cols)
+        r = group.filter(pc.invert(mask)).select(
+            [f"__r_{c}" for c in right_cols]
+        ).rename_columns(right_cols)
+        # pyarrow's C++ hash join; NB the right join key column is not
+        # duplicated in the output (its values equal the left key on inner)
+        return l.join(r, keys=[left_key], right_keys=[right_key], join_type=_PA_JOIN[how])
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
