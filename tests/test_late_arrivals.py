@@ -1,0 +1,58 @@
+"""Engine-level out-of-order semantics across epochs: a late event (new LSN,
+older ts) must lose to the stored winner — including tombstones — because
+durable state retains (ts, lsn) merge metadata."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+
+def _write_epoch(d, epoch, rows):
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[4] for r in rows]),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "op": pa.array([r[5] for r in rows]),
+            "lsn": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, f"events-epoch-{epoch:06d}.parquet"))
+
+
+def test_late_older_update_loses_across_epochs(tmp_path):
+    events = tmp_path / "events"
+    events.mkdir()
+    # epoch 0: insert then delete (tombstone wins, ts 200)
+    _write_epoch(
+        str(events),
+        0,
+        [
+            ("a", 0, 100, 1, "v1", "insert"),
+            ("a", 0, 200, 2, "v2-deleted", "delete"),
+            ("b", 7, 100, 3, "keep", "insert"),
+        ],
+    )
+    # epoch 1: LATE arrivals with NEW lsns but OLDER ts:
+    #  - a/0 resurrect attempt (ts 150 < 200) -> must stay deleted
+    #  - b/7 stale update (ts 50 < 100)       -> text must remain "keep"
+    #  - b/8 genuinely new turn               -> appears
+    _write_epoch(
+        str(events),
+        1,
+        [
+            ("a", 0, 150, 10, "resurrect?", "insert"),
+            ("b", 7, 50, 11, "stale", "update"),
+            ("b", 8, 300, 12, "new", "insert"),
+        ],
+    )
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=4, num_actors=2)
+    engine.run(str(events))
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in engine.final_table().to_pylist()}
+    assert got == {("b", 7): "keep", ("b", 8): "new"}
