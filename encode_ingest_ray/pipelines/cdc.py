@@ -140,8 +140,8 @@ class CdcEngine:
         self,
         out_dir: str,
         *,
-        num_partitions: int = 64,
-        num_actors: int = 8,
+        num_partitions: int | None = None,
+        num_actors: int | None = None,
         turn_block: int = DEFAULT_TURN_BLOCK,
         actor_num_cpus: float = 0.5,
         compact_every: int = 8,
@@ -150,6 +150,12 @@ class CdcEngine:
         # well below the cluster CPU count or the Dataset tasks that feed the
         # actors cannot schedule (resource deadlock).
         self.out_dir = out_dir
+        if num_actors is None:
+            # ~1 merger per 4 cores, the density that scales with the cluster
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            num_actors = max(2, cpus // 4)
+        if num_partitions is None:
+            num_partitions = 8 * num_actors
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block

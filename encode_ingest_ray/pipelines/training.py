@@ -187,3 +187,81 @@ def ann_lsh_q(sf_dir: str):
     q = _queries_table(sf_dir)
     dim = len(q.column("embedding")[0])
     return lsh_bucketed_topk(ds, q, dim=dim, k=5)
+
+
+# ---------------------------------------------------------------------------
+# token frequency top-k (explode -> combine -> groupby -> sort/limit)
+# ---------------------------------------------------------------------------
+@register(
+    "token_freq_topk",
+    r"""SELECT w AS word, COUNT(*) AS n
+       FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+             FROM documents)
+       GROUP BY w ORDER BY n DESC, w LIMIT 20""",
+)
+def token_freq_topk(sf_dir: str):
+    """Word-frequency top-k: per-block Counter combiner (one row per word per
+    block through the shuffle), global sum, deterministic (n desc, word asc)
+    top-k."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def count_block(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update((txt or "").lower().split())
+        return pa.table(
+            {"word": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    counts = ds.map_batches(
+        count_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("word").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (LSH-bucketed; rows-only oracle)
+# ---------------------------------------------------------------------------
+@register("embedding_near_dup")
+def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
+    """Near-duplicate vector pairs: hyperplane-LSH bucket (one groupby),
+    exact pairwise cosine inside each bucket, keep pairs ≥ threshold.
+    Output (vec_a, vec_b, cos_milli), deterministic."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.ann import HyperplaneLsh, _matrix, _normalize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    first = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).column("embedding")[0]
+    hasher = HyperplaneLsh(len(first), num_planes=6)
+    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(group, "embedding"))
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                 "cos_milli": pa.array([], pa.int64())}
+            )
+        sims = m @ m.T
+        a, b = np.triu_indices(len(ids), k=1)
+        milli = np.round(sims[a, b] * 1000).astype(np.int64)
+        keep = milli >= threshold_milli
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64()),
+             "cos_milli": pa.array(milli[keep], pa.int64())}
+        )
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
