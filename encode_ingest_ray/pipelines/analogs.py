@@ -594,15 +594,22 @@ def collect_sorted_parts(sf_dir: str):
        FROM lineitem GROUP BY l_orderkey""",
 )
 def cardinality_check(sf_dir: str):
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
 
-    def check(group: pa.Table) -> pa.Table:
-        n = pc.count_distinct(group.column("l_suppkey")).as_py()
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey"]).aggregate([("l_suppkey", "count_distinct")])
+        n = g.column("l_suppkey_count_distinct")
         return pa.table(
-            {"l_orderkey": [group.column("l_orderkey")[0].as_py()], "n_supp": [n], "multi": [n > 1]}
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "n_supp": pc.cast(n, pa.int64()),
+                "multi": pc.greater(n, 1),
+            }
         )
 
-    return ds.groupby("l_orderkey").map_groups(check, batch_format="pyarrow")
+    return bucketed_groupby_apply(ds, ["l_orderkey"], per_bucket, num_buckets=64)
 
 
 # ---------------------------------------------------------------------------
@@ -629,15 +636,26 @@ def window_tumbling(sf_dir: str):
             }
         )
 
-    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
     pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return partial_groupby_sum(
-        pre, ["user_id", "hour_bucket"], {"value_cents": "value_cents"}, count_alias="n_events"
-    ).map_batches(
-        lambda t: t.select(["user_id", "hour_bucket", "n_events", "value_cents"]),
-        batch_format="pyarrow",
-    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "hour_bucket": g.column("hour_bucket"),
+                "n_events": pc.cast(g.column("value_cents_count"), pa.int64()),
+                "value_cents": g.column("value_cents_sum"),
+            }
+        )
+
+    # ~95k (user, hour) groups at sf0.1: bucketed exchange + one vectorized
+    # pa.group_by per bucket beats per-group map_groups calls 10x+
+    return bucketed_groupby_apply(pre, ["user_id", "hour_bucket"], per_bucket, num_buckets=64)
 
 
 # ---------------------------------------------------------------------------

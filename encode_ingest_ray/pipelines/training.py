@@ -151,7 +151,7 @@ def dedup_text_exact(sf_dir: str):
 @register("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16, concurrency=2)
+    pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return verify_pairs_jaccard(pairs, docs, threshold=0.5)
 

@@ -67,14 +67,20 @@ def dedup_exact(
     through the shuffle; the pre-combine inside ``map_batches`` cuts exchange
     volume to ≤ one row per key per block.
     """
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
     local = ds.map_batches(
         lambda t: _winner_per_key(t, key_columns, order_column, keep_max),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
-    return local.groupby(key_columns).map_groups(
+    # final winners per hash bucket — _winner_per_key is vectorized over the
+    # whole bucket (sort + boundary scan), so one call per bucket, not per key
+    return bucketed_groupby_apply(
+        local,
+        key_columns,
         lambda t: _winner_per_key(t, key_columns, order_column, keep_max),
-        batch_format="pyarrow",
     )
 
 

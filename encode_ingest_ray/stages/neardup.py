@@ -76,7 +76,17 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.num_perm), np.uint32)
+        if not texts:
+            sigs = np.empty((0, self.num_perm), np.uint32)
+        else:
+            # batch-vectorized: concat every doc's shingle hashes, one
+            # (P x total_shingles) universal-hash matrix, per-doc min via
+            # np.minimum.reduceat — no per-doc Python matrix work
+            shingle_lists = [_shingle_hashes(t, self.k) for t in texts]
+            offsets = np.cumsum([0] + [len(s) for s in shingle_lists[:-1]])
+            all_sh = np.concatenate(shingle_lists)
+            hv = (self.a[:, None] * all_sh[None, :] + self.b[:, None]) % _MERSENNE
+            sigs = np.minimum.reduceat(hv, offsets, axis=1).T.astype(np.uint32)
         return batch.append_column(
             "minhash", pa.FixedSizeListArray.from_arrays(pa.array(sigs.ravel(), type=pa.uint32()), self.num_perm)
         )
@@ -118,14 +128,45 @@ def candidate_pairs_from_bucket(group: pa.Table, id_column: str) -> pa.Table:
     return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
 
 
+def candidate_pairs_bulk(table: pa.Table, id_column: str) -> pa.Table:
+    """Pair generation over MANY (band_id, band_hash) groups at once: sort by
+    (band, hash) in numpy, scan run boundaries, emit pairs only for the few
+    multi-member buckets — most LSH buckets are singletons, so per-bucket
+    map_groups calls would dominate 100x."""
+    band = table.column("band_id").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = table.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = table.column(id_column).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    n = len(ids)
+    boundaries = np.concatenate(
+        ([0], np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1, [n])
+    )
+    runs = np.diff(boundaries)
+    out_a, out_b = [], []
+    for i in np.flatnonzero(runs >= 2):
+        lo, hi = int(boundaries[i]), int(boundaries[i + 1])
+        uniq = np.unique(ids[lo:hi])
+        if len(uniq) < 2:
+            continue
+        a, b = np.triu_indices(len(uniq), k=1)
+        out_a.append(uniq[a])
+        out_b.append(uniq[b])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    return pa.table(
+        {"doc_a": pa.array(np.concatenate(out_a)), "doc_b": pa.array(np.concatenate(out_b))}
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     id_column: str = "doc_id",
     text_column: str = "text",
     num_perm: int = 64,
     num_bands: int = 16,
-    batch_size: int = 1024,
-    concurrency: int = 4,
+    batch_size: int = 128,
+    concurrency: int | None = None,
 ):
     """Full MinHash-LSH candidate-pair pipeline over a documents Dataset.
 
@@ -135,19 +176,27 @@ def minhash_lsh_pairs(
     """
     from encode_ingest_ray.stages.dedup import dedup_exact
 
+    # stateless tasks, not an actor pool: the hasher's init cost is
+    # microseconds (seeded coefficient vectors), so pool spin-up would cost
+    # more than it amortizes; the pickled instance ships once per task
+    hasher = MinHasher(num_perm=num_perm, column=text_column)
     sigs = ds.map_batches(
-        MinHasher(num_perm=num_perm, column=text_column),
+        hasher,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     bands = sigs.map_batches(
         lambda t: band_explode(t, id_column, num_bands),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: candidate_pairs_from_bucket(g, id_column), batch_format="pyarrow"
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    pairs = bucketed_groupby_apply(
+        bands,
+        ["band_id", "band_hash"],
+        lambda t: candidate_pairs_bulk(t, id_column),
+        num_buckets=32,
     )
     # same pair may surface from several bands → exact dedup on the pair key
     return dedup_exact(pairs, ["doc_a", "doc_b"], "doc_a", keep_max=False)
