@@ -265,3 +265,14 @@ def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
         )
 
     return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+@register("ann_ivf")
+def ann_ivf_q(sf_dir: str):
+    """IVF coarse-quantizer ANN (scale path beside the LSH variant)."""
+    from encode_ingest_ray.stages.ann import ivf_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(ds, _queries_table(sf_dir), k=5)

@@ -162,3 +162,84 @@ def lsh_bucketed_topk(
     return out.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the classic coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 31
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a (driver-side) sample — the coarse
+    quantizer.  At scale: sample ~1e5 vectors via ds.random_sample, train
+    once, broadcast centroids."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(sample.astype(np.float64))
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_table,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    train_sample: int = 2048,
+):
+    """IVF ANN: assign every vector to its nearest centroid (one bucket
+    column, one groupby); each query probes its ``nprobe`` nearest
+    centroids' lists only.  Recall < 1 by construction; same output schema
+    as brute_force_topk."""
+
+    sample = _matrix(query_table, column)  # queries always included in train
+    head = ds.limit(train_sample).to_pandas()
+    if len(head):
+        dim = len(head[column].iloc[0])
+        head_m = np.stack(head[column].to_numpy()).reshape(len(head), dim)
+        sample = np.concatenate([sample, head_m])
+    cent = train_ivf_centroids(sample, n_centroids)
+    cref = ray.put(cent)
+
+    q_ids = query_table.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    qm = _normalize(_matrix(query_table, column))
+    q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    # per centroid: which queries probe it
+    probes_by_cent: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in range(len(cent)):
+        sel = (q_probes == c).any(axis=1)
+        if sel.any():
+            probes_by_cent[c] = (q_ids[sel], qm[sel])
+    pref = ray.put(probes_by_cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, column))
+        cents = ray.get(cref)
+        cid = (m @ cents.T).argmax(axis=1).astype(np.int32) if len(m) else np.array([], np.int32)
+        return batch.append_column("centroid", pa.array(cid))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def probe(group: pa.Table) -> pa.Table:
+        table = ray.get(pref)
+        c = group.column("centroid")[0].as_py()
+        if c not in table:
+            return _EMPTY_TOPK
+        return _local_topk(group, queries=table[c], id_column=id_column, column=column, k=k)
+
+    out = bucketed.groupby("centroid").map_groups(probe, batch_format="pyarrow")
+    return out.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
