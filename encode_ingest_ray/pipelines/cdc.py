@@ -194,45 +194,63 @@ class CdcEngine:
     ) -> dict:
         """Apply all not-yet-committed epochs; resume-safe. Returns summary.
 
-        The actor pool is torn down on exit unless ``keep_actors`` — actors
-        are caches over committed Parquet, and leaked pools would pin CPU
-        reservations that starve subsequent Dataset stages.
+        Epochs are PIPELINED: epoch e's flush+commit overlaps epoch e+1's
+        exchange (actors interleave flush(e) with apply_block(e+1); per-epoch
+        buffers keep them separate).  Commits stay strictly ordered, so a
+        crash mid-pipeline leaves only uncommitted epochs, which simply
+        replay.  On any Ray failure the pool is respawned (actors reload
+        committed state) and the uncommitted suffix re-runs.
+
+        The actor pool is torn down on exit unless ``keep_actors`` — leaked
+        pools pin CPU reservations that starve later Dataset stages.
         """
         if epoch_files is None:
             assert events_dir is not None
             epoch_files = discover_epoch_files(events_dir)
-        committed = set(self.manifest.committed_epochs())
         summary = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
                    "events_applied": 0, "dup_lsn_dropped": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
+        committed = set(self.manifest.committed_epochs())
+        summary["epochs_skipped"] = sum(1 for e in range(len(epoch_files)) if e in committed)
+        attempt = 0
         try:
-            for epoch, files in enumerate(epoch_files):
-                if epoch in committed:
-                    summary["epochs_skipped"] += 1
-                    continue
-                attempt = 0
-                while True:
-                    try:
-                        if self._actors is None:
-                            self._actors = self._spawn_actors()
-                        m = self._run_epoch(epoch, files)
-                        break
-                    except ray.exceptions.RayError:
-                        self._kill_actors()
-                        attempt += 1
-                        if attempt > retries_per_epoch:
-                            raise
-                summary["epochs_run"] += 1
-                summary["events_raw"] += m.get("rows_raw", 0)
-                summary["events_applied"] += m["applied"]
-                summary["dup_lsn_dropped"] += m["dup_lsn_dropped"]
+            while True:
+                committed = set(self.manifest.committed_epochs())
+                pending = [
+                    (e, files)
+                    for e, files in enumerate(epoch_files)
+                    if e not in committed
+                ]
+                if not pending:
+                    break
+                try:
+                    if self._actors is None:
+                        self._actors = self._spawn_actors()
+                    self._run_pipelined(pending, summary)
+                    break
+                except ray.exceptions.RayError:
+                    self._kill_actors()
+                    attempt += 1
+                    if attempt > retries_per_epoch:
+                        raise
         finally:
             if not keep_actors:
                 self._kill_actors()
         summary["wall_s"] = time.perf_counter() - t0
         return summary
 
-    def _run_epoch(self, epoch: int, files: list[str]) -> dict:
+    def _run_pipelined(self, pending: list[tuple[int, list[str]]], summary: dict) -> None:
+        inflight = None  # (epoch, flush_futures, exchange_stats)
+        for epoch, files in pending:
+            stats = self._exchange(epoch, files)
+            if inflight is not None:
+                self._commit(*inflight, summary)
+            flush_futures = [a.flush.remote(epoch) for a in self._actors]
+            inflight = (epoch, flush_futures, stats)
+        if inflight is not None:
+            self._commit(*inflight, summary)
+
+    def _exchange(self, epoch: int, files: list[str]) -> dict:
         t0 = time.perf_counter()
         # routing parallelism == input shard count (epochs are directories of
         # moderate files).  Pin one block per shard: Ray's min-parallelism
@@ -261,12 +279,15 @@ class CdcEngine:
             # thousands of tiny actor pushes
             batch_size=None,
         ).take_all()
-        raw = sum(r["rows_raw"] for r in route_rows)
-        routed = sum(r["rows_routed"] for r in route_rows)
-        exchange_s = time.perf_counter() - t0
+        return {
+            "rows_raw": sum(r["rows_raw"] for r in route_rows),
+            "rows_routed": sum(r["rows_routed"] for r in route_rows),
+            "exchange_s": time.perf_counter() - t0,
+        }
 
+    def _commit(self, epoch: int, flush_futures, stats: dict, summary: dict) -> dict:
         t1 = time.perf_counter()
-        staged_maps = ray.get([a.flush.remote(epoch) for a in self._actors])
+        staged_maps = ray.get(flush_futures)
         pointers = self.manifest.pointers()
         per_part_metrics: dict[str, dict] = {}
         totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0}
@@ -280,14 +301,18 @@ class CdcEngine:
         commit_s = time.perf_counter() - t1
         metrics = {
             **totals,
-            "rows_raw": raw,
-            "rows_routed": routed,
+            "rows_raw": stats["rows_raw"],
+            "rows_routed": stats["rows_routed"],
             "partitions_touched": len(per_part_metrics),
-            "exchange_apply_s": exchange_s,
+            "exchange_apply_s": stats["exchange_s"],
             "commit_latency_s": commit_s,
             "per_partition": per_part_metrics,
         }
         self.manifest.commit(epoch, pointers, metrics)
+        summary["epochs_run"] += 1
+        summary["events_raw"] += stats["rows_raw"]
+        summary["events_applied"] += totals["applied"]
+        summary["dup_lsn_dropped"] += totals["dup_lsn_dropped"]
         return metrics
 
     # -- read side -------------------------------------------------------

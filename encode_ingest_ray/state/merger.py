@@ -94,8 +94,12 @@ class PartitionMerger:
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
-        self.buffers: dict[int, list[pa.Table]] = {}
-        self.events_in: dict[int, int] = {}
+        # buffers are keyed by (epoch, part): the driver overlaps epoch e's
+        # flush with epoch e+1's exchange, so pushes for two epochs can be
+        # in flight at once.  Actor task ordering guarantees flush(e) runs
+        # before flush(e+1), so watermark updates stay epoch-ordered.
+        self.buffers: dict[tuple[int, int], list[pa.Table]] = {}
+        self.events_in: dict[tuple[int, int], int] = {}
 
     def apply_block(
         self, epoch: int, parts: list[int], lens: list[int], table: pa.Table
@@ -108,8 +112,9 @@ class PartitionMerger:
         off = 0
         for part, n in zip(parts, lens):
             if n:
-                self.buffers.setdefault(part, []).append(table.slice(off, n))
-                self.events_in[part] = self.events_in.get(part, 0) + n
+                key = (epoch, part)
+                self.buffers.setdefault(key, []).append(table.slice(off, n))
+                self.events_in[key] = self.events_in.get(key, 0) + n
             off += n
         return table.num_rows
 
@@ -118,15 +123,17 @@ class PartitionMerger:
         stage it as this epoch's delta file; every ``compact_every`` epochs
         fold base+deltas into a new base (amortized O(state))."""
         out: dict[int, dict] = {}
-        for part in sorted(self.buffers):
+        mine = sorted(k for k in self.buffers if k[0] == epoch)
+        for key in mine:
+            part = key[1]
             t0 = time.perf_counter()
-            raw = _concat_unified(self.buffers[part])
+            raw = _concat_unified(self.buffers.pop(key))
             wm = self.watermark.get(part, -1)
             fresh = raw
             if wm >= 0 and raw.num_rows:
                 fresh = raw.filter(pc.greater(raw.column("lsn"), pa.scalar(wm)))
             metrics = {
-                "events_in": self.events_in.get(part, raw.num_rows),
+                "events_in": self.events_in.pop(key, raw.num_rows),
                 "dup_lsn_dropped": raw.num_rows - fresh.num_rows,
                 "applied": fresh.num_rows,
             }
@@ -182,8 +189,6 @@ class PartitionMerger:
             }
             out[part] = ptr
             self.pointers[part] = {k: v for k, v in ptr.items() if k != "metrics"}
-        self.buffers.clear()
-        self.events_in.clear()
         return out
 
     def ping(self) -> bool:
