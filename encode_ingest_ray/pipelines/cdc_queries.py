@@ -179,3 +179,66 @@ def conversation_text(sf_dir: str):
         )
 
     return final.groupby("conv_id").map_groups(reconstruct, batch_format="pyarrow")
+
+
+CDC_EVOLVED_SQL = f"""
+WITH ev AS (
+  SELECT *, CASE WHEN lsn >= 6000 THEN 'm' || CAST(lsn % 3 AS VARCHAR) END AS model
+  FROM ({_DERIVE_SQL})
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, model
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_schema_evolution", CDC_EVOLVED_SQL)
+def cdc_schema_evolution(sf_dir: str):
+    """Additive schema evolution through the FULL engine: a ``model`` column
+    exists only in events with lsn >= 6000, and is physically ABSENT from
+    epoch files that predate it — late epochs carry the new column, early
+    snapshots are null-filled at merge/read (schema.py unify/align; the
+    reference analog is additive *.table.json edits + ignore_unknown_values,
+    SURVEY.md §1.2)."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    EVOLVE_AT = 6000
+    work = tempfile.mkdtemp(prefix=f"cdcevo-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    derived = _derived_events(sf_dir)
+    table = pa.concat_tables(ray.get(derived.to_arrow_refs()))
+    model = pc.if_else(
+        pc.greater_equal(table.column("lsn"), EVOLVE_AT),
+        pc.binary_join_element_wise(
+            pa.scalar("m"),
+            pc.cast(
+                pc.subtract(
+                    table.column("lsn"),
+                    pc.multiply(pc.divide(table.column("lsn"), 3), 3),
+                ),
+                pa.string(),
+            ),
+            "",
+        ),
+        pa.nulls(table.num_rows, pa.string()),
+    )
+    table = table.append_column("model", model)
+    lsn_hi = pc.max(table.column("lsn")).as_py() if table.num_rows else 0
+    epoch_size = max(1, (lsn_hi + 3) // 3)
+    for e in range(3):
+        mask = pc.and_(
+            pc.greater_equal(table.column("lsn"), pa.scalar(e * epoch_size)),
+            pc.less(table.column("lsn"), pa.scalar((e + 1) * epoch_size)),
+        )
+        part = table.filter(mask)
+        if part.num_rows and part.column("model").null_count == part.num_rows:
+            part = part.drop_columns(["model"])  # column did not exist yet
+        pq.write_table(part, os.path.join(events_dir, f"events-epoch-{e:06d}.parquet"))
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    return engine.final_dataset()
