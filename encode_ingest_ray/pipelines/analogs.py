@@ -61,7 +61,7 @@ def normalize_unknowns(sf_dir: str):
         t = remove_unknowns(t)
         return t.rename_columns(["doc_id", "lang_norm", "source_norm"])
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -78,8 +78,7 @@ def extract_id_q(sf_dir: str):
             ["source"]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -96,8 +95,7 @@ def url_prefix_q(sf_dir: str):
             ["source"]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +140,7 @@ def age_bounds_q(sf_dir: str):
         t2 = pa.table({"event_id": eid, "age": age})
         return parse_age_bounds(t2, "age").drop_columns(["age"])
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +175,7 @@ def audit_color_q(sf_dir: str):
             {"event_id": t.column("event_id"), "level": lvl, "audit_color": color}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -209,8 +207,7 @@ def lookup_modality_q(sf_dir: str):
             ["event_type"]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +236,7 @@ def paired_end_q(sf_dir: str):
         t2 = pa.table({"event_id": t.column("event_id"), "paired_end": pe})
         return parse_paired_end(t2, "paired_end", "paired_end_int")
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +280,7 @@ def filter_project(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +353,7 @@ def topk_orders(sf_dir: str):
                 "totalprice_cents": _cents(t.column("o_totalprice")),
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -380,8 +376,7 @@ def dedup_first_event(sf_dir: str):
                 "event_type": t.column("event_type"),
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -407,15 +402,13 @@ def explode_embeddings(sf_dir: str):
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("vec_id"), 100)),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return ds.map_batches(
         lambda t: explode_list(t, "embedding", value_out="val", index_out="pos").select(
             ["vec_id", "pos", "val"]
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -435,16 +428,14 @@ def split_streams(sf_dir: str):
                 "event_id": t.filter(pc.greater_equal(t.column("value"), 10.0)).column("event_id"),
             }
         ).append_column("band", pa.array(["high"] * len(t.filter(pc.greater_equal(t.column("value"), 10.0))))),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     lo = ds.map_batches(
         lambda t: pa.table(
             {
                 "event_id": t.filter(pc.less(t.column("value"), 10.0)).column("event_id"),
             }
         ).append_column("band", pa.array(["low"] * len(t.filter(pc.less(t.column("value"), 10.0))))),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     return hi.union(lo)
 
 
@@ -484,8 +475,7 @@ def join_broadcast_dims(sf_dir: str):
         pre, ["r_name", "n_name"], {"acctbal_cents": "acctbal_cents"}, count_alias="n_customers"
     ).map_batches(
         lambda t: t.select(["r_name", "n_name", "n_customers", "acctbal_cents"]),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -518,8 +508,7 @@ def join_cohash(sf_dir: str):
         pre, ["o_orderpriority"], {"price_cents": "price_cents"}, count_alias="n_items"
     ).map_batches(
         lambda t: t.select(["o_orderpriority", "n_items", "price_cents"]),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -543,13 +532,12 @@ def join_semi(sf_dir: str):
         lambda t: pa.table(
             {"l_partkey": t.column("l_partkey"), "qty": pc.cast(t.column("l_quantity"), pa.int64())}
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     from encode_ingest_ray.stages.aggregate import partial_groupby_sum
 
     return partial_groupby_sum(
         ds, ["l_partkey"], {"sum_qty": "qty"}, count_alias="n"
-    ).map_batches(lambda t: t.select(["l_partkey", "n", "sum_qty"]), batch_format="pyarrow")
+    ).map_batches(lambda t: t.select(["l_partkey", "n", "sum_qty"]), batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -569,8 +557,7 @@ def collect_sorted_parts(sf_dir: str):
             pc.equal(pc.subtract(t.column("l_orderkey"), pc.multiply(pc.divide(t.column("l_orderkey"), 97), 97)), 0)
         ),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
     def collect(group: pa.Table) -> pa.Table:
         parts = sorted(group.column("l_partkey").to_pylist())
@@ -734,8 +721,7 @@ def two_hop_first_customer(sf_dir: str):
                 "first_custkey": t.column("o_custkey"),
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,7 @@ def derive_cdc_batch(batch: pa.Table) -> pa.Table:
 
 def _derived_events(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    return ds.map_batches(derive_cdc_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(derive_cdc_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("cdc_upsert", CDC_FINAL_SQL)
@@ -114,8 +114,7 @@ def cdc_upsert(sf_dir: str):
     ds = ds.map_batches(
         partial(assign_partition_column, num_partitions=16),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
     def merge_partition(group: pa.Table) -> pa.Table:
         return live_view(lww_reduce(group.drop_columns(["part"])))

@@ -126,4 +126,4 @@ def transform_donors(ds, organisms: pa.Table | None = None):
     def fn(batch: pa.Table) -> pa.Table:
         return transform_donor_batch(batch, ray.get(ref))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -62,8 +62,7 @@ def text_stats_q(sf_dir: str):
         lambda t: t.select(
             ["doc_id", "n_chars", "n_words", "n_tokens", "n_punct", "n_stop", "quality_milli"]
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -98,8 +97,7 @@ def langid_heuristic(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
     out = ds.map_batches(LangId(), batch_format="pyarrow", batch_size=512, concurrency=2)
     return out.map_batches(
-        lambda t: t.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow"
-    )
+        lambda t: t.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -111,8 +109,7 @@ def fingerprint_md5_q(sf_dir: str):
     return ds.map_batches(
         lambda t: md5_fingerprint(t).select(["doc_id", "fp_md5"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 @register("fingerprint_rolling")  # rolling-hash sketch — rows-only oracle
@@ -121,8 +118,7 @@ def fingerprint_rolling_q(sf_dir: str):
     return ds.map_batches(
         lambda t: rolling_fingerprint(t).select(["doc_id", "fp_roll"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +134,7 @@ def dedup_text_exact(sf_dir: str):
     hashed = ds.map_batches(
         lambda t: md5_fingerprint(t).select(["fp_md5", "doc_id"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return hashed.groupby("fp_md5").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
     )
@@ -160,7 +155,7 @@ def minhash_lsh_pairs_q(sf_dir: str):
 def simhash_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(SimHasher(), batch_format="pyarrow", batch_size=512, concurrency=2)
-    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +238,7 @@ def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     ).column("embedding")[0]
     hasher = HyperplaneLsh(len(first), num_planes=6)
-    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         m = _normalize(_matrix(group, "embedding"))

@@ -26,8 +26,7 @@ def read_json_entities(paths, *, normalize_unknowns: bool = True, **kwargs):
     ds = ray.data.read_json(paths, **kwargs)
     if normalize_unknowns:
         ds = ds.map_batches(
-            remove_unknowns, batch_format="pyarrow", zero_copy_batch=True
-        )
+            remove_unknowns, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return ds
 
 

@@ -98,8 +98,7 @@ def brute_force_topk(
     local = ds.map_batches(
         partial(_local_topk, qref=qref, id_column=id_column, column=column, k=k),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return local.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pyarrow"
     )
@@ -146,7 +145,7 @@ def lsh_bucketed_topk(
         by_bucket[int(b)] = (q_ids[sel], qm[sel])
     qref = ray.put(by_bucket)
 
-    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def _bucket_topk(group: pa.Table) -> pa.Table:
         buckets = ray.get(qref)
@@ -230,7 +229,7 @@ def ivf_topk(
         cid = (m @ cents.T).argmax(axis=1).astype(np.int32) if len(m) else np.array([], np.int32)
         return batch.append_column("centroid", pa.array(cid))
 
-    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def probe(group: pa.Table) -> pa.Table:
         table = ray.get(pref)

@@ -90,8 +90,7 @@ def distinct_values(ds, column: str):
     local = ds.map_batches(
         lambda t: pa.table({column: pc.unique(t.column(column).combine_chunks())}),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     return local.groupby(column).map_groups(
         lambda t: t.slice(0, 1), batch_format="pyarrow"
     )

@@ -60,9 +60,7 @@ def split_by_predicate(
     Reference: partition() at ExtractionPipelineBuilder.scala:302-306."""
     return (
         ds.map_batches(
-            lambda t: t.filter(predicate_fn(t)), batch_format="pyarrow"
-        ),
+            lambda t: t.filter(predicate_fn(t)), batch_format="pyarrow", batch_size=None),
         ds.map_batches(
-            lambda t: t.filter(pc.invert(predicate_fn(t))), batch_format="pyarrow"
-        ),
+            lambda t: t.filter(pc.invert(predicate_fn(t))), batch_format="pyarrow", batch_size=None),
     )

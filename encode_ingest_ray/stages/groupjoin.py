@@ -62,8 +62,7 @@ def multi_stream_group_join(
     union = None
     for i, (tag, (ds, key_col)) in enumerate(streams.items()):
         prepped = ds.map_batches(
-            make_prep(i, tag, key_col), batch_format="pyarrow", zero_copy_batch=True
-        )
+            make_prep(i, tag, key_col), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         union = prepped if union is None else union.union(prepped)
 
     def group_fn(group: pa.Table) -> pa.Table:

@@ -64,8 +64,7 @@ def broadcast_join(
     return ds.map_batches(
         partial(_join, ref=ref, key=key, dim_key=dim_key, how=how),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
 
 
 def semi_join_filter(ds, keys: pa.Array | list, column: str, anti: bool = False):
@@ -80,7 +79,7 @@ def semi_join_filter(ds, keys: pa.Array | list, column: str, anti: bool = False)
             mask = pc.invert(mask)
         return batch.filter(mask)
 
-    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -149,11 +148,9 @@ def cohash_join(
         return pa.Table.from_arrays(cols, schema=unified)
 
     lt = left.map_batches(
-        lambda t: _prep(t, 0, left_key), batch_format="pyarrow", zero_copy_batch=True
-    )
+        lambda t: _prep(t, 0, left_key), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     rt = right.map_batches(
-        lambda t: _prep(t, 1, right_key), batch_format="pyarrow", zero_copy_batch=True
-    )
+        lambda t: _prep(t, 1, right_key), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     _PA_JOIN = {
         "inner": "inner",

@@ -188,8 +188,7 @@ def minhash_lsh_pairs(
     bands = sigs.map_batches(
         lambda t: band_explode(t, id_column, num_bands),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        zero_copy_batch=True, batch_size=None)
     from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
     pairs = bucketed_groupby_apply(
@@ -277,4 +276,4 @@ def verify_pairs_jaccard(
             }
         )
 
-    return pairs_ds.map_batches(_verify, batch_format="pyarrow")
+    return pairs_ds.map_batches(_verify, batch_format="pyarrow", batch_size=None)
