@@ -782,3 +782,44 @@ def session_windows(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J11 composite-key group then broadcast join (analysisActivity pattern)
+# ---------------------------------------------------------------------------
+@register(
+    "composite_group_join",
+    """SELECT s_name, l_returnflag, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_name, l_returnflag""",
+)
+def composite_group_join(sf_dir: str):
+    """Reference J11 (TransformationPipelineBuilder.scala:549-580): group on
+    a composite key, then resolve a small dimension by broadcast — one
+    exchange on the composite key, zero join shuffles."""
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    items = _read(sf_dir, "lineitem", ["l_suppkey", "l_returnflag", "l_quantity"])
+    joined = broadcast_join(items, supplier, "l_suppkey", "s_suppkey", how="inner")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column("qty", pc.cast(t.column("l_quantity"), pa.int64()))
+        g = t.group_by(["s_name", "l_returnflag"]).aggregate(
+            [("qty", "sum"), ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "s_name": g.column("s_name"),
+                "l_returnflag": g.column("l_returnflag"),
+                "n_items": pc.cast(g.column("qty_count"), pa.int64()),
+                "sum_qty": g.column("qty_sum"),
+            }
+        )
+
+    return bucketed_groupby_apply(joined, ["s_name", "l_returnflag"], per_bucket)

@@ -56,3 +56,26 @@ def test_late_older_update_loses_across_epochs(tmp_path):
     engine.run(str(events))
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in engine.final_table().to_pylist()}
     assert got == {("b", 7): "keep", ("b", 8): "new"}
+
+
+def test_dup_only_epoch_commits_empty(tmp_path):
+    """An epoch that contains ONLY replays of already-applied LSNs commits
+    with zero partitions touched — the reference's 'counts gate the
+    mutations / skip empty commit' behavior (ingest-processed-data.yaml:
+    115-121, SURVEY.md A5)."""
+    events = tmp_path / "events"
+    events.mkdir()
+    rows = [("a", 0, 100, 1, "v1", "insert"), ("b", 1, 120, 2, "v2", "insert")]
+    _write_epoch(str(events), 0, rows)
+    _write_epoch(str(events), 1, rows)  # pure replay: same LSNs re-delivered
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=4, num_actors=2)
+    s = engine.run(str(events))
+    assert s["epochs_run"] == 2
+    rec1 = engine.manifest.read_epoch(1)
+    assert rec1["metrics"]["partitions_touched"] == 0
+    assert rec1["metrics"]["applied"] == 0
+    # replay dropped by the watermark, not merged
+    assert engine.final_table().num_rows == 2
+    # and the epoch is still durably committed (a re-run skips it)
+    s2 = CdcEngine(str(tmp_path / "out"), num_partitions=4, num_actors=2).run(str(events))
+    assert s2["epochs_skipped"] == 2
