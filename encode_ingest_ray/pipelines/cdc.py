@@ -384,50 +384,70 @@ class CdcEngine:
         )
         return t.take(idx)
 
-    def write_final(self, final_dir: str, overwrite: bool = False) -> dict:
-        """Materialize the live table as per-partition, per-conv_id-sorted
-        Parquet — the north-rule output layout: one file per partition
-        (resumable: existing files are skipped unless ``overwrite``), rows
-        sorted by (conv_id, turn_idx) so every conversation's turns are
-        contiguous and in stable turn order."""
+    def write_final(
+        self, final_dir: str, overwrite: bool = False, num_output_partitions: int | None = None
+    ) -> dict:
+        """Materialize the live table as per-conversation Parquet — the
+        north-rule output step: engine partitions are SALTED (one
+        conversation's turn-blocks spread over many partitions for skew),
+        so the sink re-exchanges by bare conv_id and sorts each output
+        partition by (conv_id, turn_idx).  Every conversation lands whole
+        and turn-ordered in exactly one file.  Resumable: existing output
+        files are skipped unless ``overwrite``."""
+        import zlib
+
+        import numpy as np
         import pyarrow.parquet as pq
 
-        from encode_ingest_ray.schema import align_to_schema, unify_schemas
-        from encode_ingest_ray.state.lww import live_view
-        from encode_ingest_ray.state.merger import load_partition_state
-
-        parts = self.partition_files()
         os.makedirs(final_dir, exist_ok=True)
-        unified = None
-        for info in parts.values():
-            for f in ([info["base"]] if info["base"] else []) + info["deltas"]:
-                s = pq.read_schema(f)
-                unified = s if unified is None else unify_schemas(unified, s)
+        P = num_output_partitions or self.num_partitions
+        ds = self.final_dataset()
 
-        @ray.remote(num_cpus=1)
-        def write_part(part: int, info: dict, path: str) -> int:
-            import pyarrow.compute as _pc
-            import pyarrow.parquet as _pq
-
-            state = load_partition_state(info)
-            if state is None or state.num_rows == 0:
-                return 0
-            live = live_view(align_to_schema(state, unified))
-            idx = _pc.sort_indices(
-                live, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        def add_bucket(t: pa.Table) -> pa.Table:
+            conv = t.column("conv_id").combine_chunks().dictionary_encode()
+            uniq = conv.dictionary.to_pylist()
+            uh = np.fromiter(
+                (zlib.crc32(u.encode()) for u in uniq), dtype=np.uint64, count=len(uniq)
             )
-            live = live.take(idx)
-            tmp = path + ".tmp"
-            _pq.write_table(live, tmp, compression="zstd", compression_level=3)
-            os.replace(tmp, path)
-            return live.num_rows
+            b = (uh[conv.indices.to_numpy(zero_copy_only=False)] % np.uint64(P)).astype(
+                np.int32
+            )
+            return t.append_column("__fbucket", pa.array(b))
 
-        futures, skipped = [], 0
-        for part, info in sorted(parts.items()):
+        bucketed = ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+        def write_bucket(group: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            part = group.column("__fbucket")[0].as_py()
             path = os.path.join(final_dir, f"final-part-{part:05d}.parquet")
             if os.path.exists(path) and not overwrite:
-                skipped += 1
-                continue
-            futures.append(write_part.remote(part, info, path))
-        rows = sum(ray.get(futures))
-        return {"files_written": len(futures), "files_skipped": skipped, "rows": rows}
+                return pa.table(
+                    {"part": pa.array([part], pa.int32()),
+                     "rows": pa.array([0], pa.int64()),
+                     "skipped": pa.array([True])}
+                )
+            t = group.drop_columns(["__fbucket"])
+            idx = _pc.sort_indices(
+                t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            t = t.take(idx)
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp, compression="zstd", compression_level=3)
+            os.replace(tmp, path)
+            return pa.table(
+                {"part": pa.array([part], pa.int32()),
+                 "rows": pa.array([t.num_rows], pa.int64()),
+                 "skipped": pa.array([False])}
+            )
+
+        stats = bucketed.groupby("__fbucket").map_groups(
+            write_bucket, batch_format="pyarrow"
+        ).take_all()
+        return {
+            "files_written": sum(1 for r in stats if not r["skipped"]),
+            "files_skipped": sum(1 for r in stats if r["skipped"]),
+            "rows": sum(r["rows"] for r in stats),
+        }

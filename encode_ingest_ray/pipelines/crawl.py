@@ -1,0 +1,77 @@
+"""FK-graph crawl — the extraction pipeline's shape, over Parquet tables.
+
+The reference's extraction stage BFS-crawls the entity graph: start from
+Biosamples, follow FK link fields outward hop by hop, dedup entities
+reachable via multiple links (``ExtractionPipelineBuilder.buildPipeline``,
+/root/reference/extraction/src/main/scala/org/broadinstitute/monster/encode/
+extraction/ExtractionPipelineBuilder.scala:232-353; dedup :90-91).  The HTTP
+client itself is out of scope (our source is already-landed tables); this
+operator reproduces the *graph traversal semantics* natively:
+
+* each hop = a broadcast semi-join (collected frontier ids filter the next
+  table — reference analog: batched link queries, :111-127);
+* link fields may be scalar or list-valued (list FKs are exploded, M11);
+* an entity reachable twice is fetched once (D2 exact dedup — id sets).
+
+Scale note: frontier *id sets* live on the driver (ids are tiny relative to
+rows — the reference holds them as query batches too); each hop's row
+selection is a streaming distributed filter.  For id sets beyond driver RAM,
+swap the set for a Bloom filter broadcast.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from encode_ingest_ray.stages.joins import semi_join_filter
+
+
+def crawl(
+    tables: dict[str, "ray.data.Dataset"],
+    id_columns: dict[str, str],
+    links: list[tuple[str, str, str]],
+    seeds: dict[str, list],
+    max_hops: int = 10,
+) -> dict[str, "ray.data.Dataset"]:
+    """BFS over FK links.
+
+    ``tables``: name -> Dataset; ``id_columns``: name -> its id column;
+    ``links``: (src_table, fk_column, dst_table) — fk_column may hold one id
+    or a list of ids; ``seeds``: table -> initial id list.
+
+    Returns name -> Dataset of only the reachable rows (empty-reach tables
+    map to a 0-row filter of the original).
+    """
+    reached: dict[str, set] = {t: set(ids) for t, ids in seeds.items()}
+    frontier: dict[str, set] = {t: set(ids) for t, ids in seeds.items()}
+
+    for _ in range(max_hops):
+        next_frontier: dict[str, set] = {}
+        for src, fk_col, dst in links:
+            ids = frontier.get(src)
+            if not ids:
+                continue
+            src_ds = tables[src]
+            # fetch the frontier's rows, project the FK column, collect ids
+            rows = semi_join_filter(src_ds, sorted(ids), id_columns[src])
+            fk_values: set = set()
+            for block in ray.get(rows.select_columns([fk_col]).to_arrow_refs()):
+                col = block.column(fk_col)
+                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    col = pc.list_flatten(col.combine_chunks())
+                fk_values.update(v for v in col.to_pylist() if v is not None)
+            new = fk_values - reached.get(dst, set())
+            if new:
+                reached.setdefault(dst, set()).update(new)
+                next_frontier.setdefault(dst, set()).update(new)
+        if not next_frontier:
+            break
+        frontier = next_frontier
+
+    out: dict[str, "ray.data.Dataset"] = {}
+    for name, ds in tables.items():
+        ids = sorted(reached.get(name, set()))
+        out[name] = semi_join_filter(ds, ids if ids else [""], id_columns[name])
+    return out

@@ -65,14 +65,22 @@ def test_write_final_sorted_and_resumable(many_epochs, tmp_path):
     # resumable: second call skips every existing partition file
     r2 = engine.write_final(final_dir)
     assert r2["files_written"] == 0 and r2["files_skipped"] == r1["files_written"]
-    # every file is internally sorted by (conv_id, turn_idx); union matches oracle
+    # every file is sorted by (conv_id, turn_idx); each conversation lands
+    # WHOLE in exactly one file (the salted engine partitions are re-merged
+    # per conv_id at the sink — the north-rule ordering step); union matches
+    # the oracle
     total = 0
+    conv_homes: dict[str, str] = {}
     for name in sorted(os.listdir(final_dir)):
         t = pq.read_table(os.path.join(final_dir, name))
         df = t.to_pandas()
         assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
             df.reset_index(drop=True)
         )
+        for conv in df["conv_id"].unique():
+            assert conv_homes.setdefault(conv, name) == name
         total += t.num_rows
     want = expected_final_state(meta["files"])
     assert total == want.num_rows
+    # the generator's hot conversations span many ENGINE partitions but one file
+    assert "c0" in conv_homes
