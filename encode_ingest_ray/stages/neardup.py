@@ -31,7 +31,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     Python hash call per shingle."""
     data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     n = len(data)
-    B = np.uint64(1099511628211)
+    B = np.uint64(1000003)  # < 2^20: products with 31-bit operands never wrap uint64
     if n < k:
         h = np.uint64(0)
         for b in data:
@@ -108,7 +108,7 @@ def band_explode(batch: pa.Table, id_column: str, num_bands: int) -> pa.Table:
         chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
         h = np.zeros(n, np.uint64)
         for j in range(rows_per_band):
-            h = (h * np.uint64(1099511628211) + chunk[:, j]) % _MERSENNE
+            h = (h * np.uint64(1000003) + chunk[:, j]) % _MERSENNE
         hashes[b * n : (b + 1) * n] = h
     return pa.table(
         {

@@ -1,0 +1,125 @@
+"""Correctness tests for the rows-only (non-SQL-oracle) operators: the
+driver only row-counts these, so their semantics are pinned here instead."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from encode_ingest_ray.stages.ann import brute_force_topk, ivf_topk, lsh_bucketed_topk
+from encode_ingest_ray.stages.neardup import (
+    MinHasher,
+    SimHasher,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    verify_pairs_jaccard,
+)
+
+
+def _embeddings(n=200, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim
+            ),
+        }
+    ), vecs
+
+
+def test_brute_force_topk_matches_duckdb_ranking():
+    t, vecs = _embeddings()
+    q = t.slice(0, 4)
+    got = (
+        brute_force_topk(ray.data.from_arrow(t), q, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "cos_milli", "neighbor_id"], ascending=[True, False, True])
+    )
+    con = duckdb.connect()
+    con.register("emb", t.to_pandas())
+    want = con.execute(
+        """
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS sim
+        FROM emb q CROSS JOIN emb e WHERE q.vec_id < 4
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, e.vec_id) <= 5
+        """
+    ).fetchdf()
+    for qid in range(4):
+        g = set(got[got["query_id"] == qid]["neighbor_id"])
+        w = set(want[want["query_id"] == qid]["neighbor_id"])
+        # identical up to FP ties at the k-boundary
+        assert len(g & w) >= 4, (qid, g, w)
+
+
+def test_approximate_ann_recall_vs_exact():
+    t, vecs = _embeddings(n=400)
+    q = t.slice(0, 8)
+    exact = brute_force_topk(ray.data.from_arrow(t), q, k=5).to_pandas()
+    for approx_ds in (
+        lsh_bucketed_topk(ray.data.from_arrow(t), q, dim=16, k=5, num_planes=4),
+        ivf_topk(ray.data.from_arrow(t), q, k=5, n_centroids=8, nprobe=3),
+    ):
+        approx = approx_ds.to_pandas()
+        hits = total = 0
+        for qid in exact["query_id"].unique():
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(e & a)
+            total += len(e)
+        # every query finds itself, and recall is well above chance (5/400)
+        assert hits / total > 0.3, hits / total
+
+
+def _near_dup_docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and the cat sat on the mat near the door"
+    )
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, base + f" tail {i}"))          # near-dups of base
+        rows.append((2 * i + 1, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(30))))
+    return pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows])}
+    )
+
+
+def test_minhash_lsh_finds_true_near_dups_and_verify_is_exact():
+    docs = _near_dup_docs()
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(docs), num_perm=64, num_bands=16)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.6).to_pandas()
+    assert len(verified) > 100  # the 40 base variants pair up heavily
+    text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    for _, r in verified.head(50).iterrows():
+        j = ngram_jaccard(text[r["doc_a"]], text[r["doc_b"]], 3)
+        assert int(round(j * 1000)) == r["jaccard_milli"]
+        assert j >= 0.6
+        # near-dup pairs are base variants: even ids
+        assert r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0
+
+
+def test_simhash_hamming_separates_similar_from_different():
+    docs = _near_dup_docs()
+    out = SimHasher()(docs)
+    sims = dict(zip(out.column("doc_id").to_pylist(), out.column("simhash").to_pylist()))
+
+    def ham(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    near = ham(sims[0], sims[2])      # two base variants
+    far = ham(sims[0], sims[1])       # base vs unrelated
+    assert near < far
+    assert near <= 8
+
+
+def test_minhash_signature_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = "alpha beta gamma delta epsilon zeta omega psi " * 4
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    true = ngram_jaccard(a, b, 1)  # rough scale check only
+    assert 0.2 < est < 0.95 and abs(est - true) < 0.35
