@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--partitions", type=int, default=None)
     r.add_argument("--actors", type=int, default=None)
+    r.add_argument("--follow", action="store_true",
+                   help="tail mode: keep polling for newly-landed epochs")
+    r.add_argument("--poll-s", type=float, default=2.0)
+    r.add_argument("--max-idle-polls", type=int, default=3)
 
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
@@ -105,7 +109,11 @@ def main(argv=None) -> int:
             eng = CdcEngine(
                 args.out, num_partitions=args.partitions, num_actors=args.actors
             )
-            print(json.dumps(eng.run(args.events)))
+            if args.follow:
+                print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
+                                          max_idle_polls=args.max_idle_polls)))
+            else:
+                print(json.dumps(eng.run(args.events)))
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))

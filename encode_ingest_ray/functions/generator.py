@@ -161,6 +161,9 @@ def generate_cdc_events(
             )
             pq.write_table(part, path, row_group_size=131_072, compression="zstd", compression_level=3)
             files.append(path)
+        # completeness marker (tail protocol): shards first, marker last
+        with open(os.path.join(out_dir, f"events-epoch-{e:06d}.done"), "w") as fdone:
+            fdone.write("")
 
     return {
         "files": files,

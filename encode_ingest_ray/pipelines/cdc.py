@@ -45,13 +45,33 @@ from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK
 
 
 def discover_epoch_files(events_dir: str) -> list[list[str]]:
-    """events-epoch-NNNNNN[-SSSS].parquet files grouped by epoch id, ascending."""
+    """events-epoch-NNNNNN[-SSSS].parquet files grouped by epoch id, ascending.
+
+    Completeness protocol for live tailing: if any ``events-epoch-N.done``
+    marker exists in the directory, only epochs WITH markers are eligible
+    (a producer writes shards first, marker last, so a half-written epoch is
+    never picked up).  With no markers at all, every file is assumed
+    complete (static batch directories).
+    """
     out: dict[int, list[str]] = {}
     for path in glob.glob(os.path.join(events_dir, "events-epoch-*.parquet")):
         m = re.search(r"events-epoch-(\d+)(?:-\d+)?\.parquet$", path)
         if m:
             out.setdefault(int(m.group(1)), []).append(path)
-    return [sorted(out[e]) for e in sorted(out)]
+    markers = {
+        int(m.group(1))
+        for p in glob.glob(os.path.join(events_dir, "events-epoch-*.done"))
+        if (m := re.search(r"events-epoch-(\d+)\.done$", p))
+    }
+    if markers:
+        out = {e: files for e, files in out.items() if e in markers}
+    # epochs must form a dense prefix for positional epoch ids
+    result = []
+    for e in sorted(out):
+        if e != len(result):
+            break
+        result.append(sorted(out[e]))
+    return result
 
 
 def _route_batch(
@@ -314,6 +334,42 @@ class CdcEngine:
         summary["events_applied"] += totals["applied"]
         summary["dup_lsn_dropped"] += totals["dup_lsn_dropped"]
         return metrics
+
+    def tail(
+        self,
+        events_dir: str,
+        poll_s: float = 2.0,
+        max_idle_polls: int = 3,
+        max_epochs: int | None = None,
+    ) -> dict:
+        """Follow mode — the binlog/WAL *tail* of the north rule: poll
+        ``events_dir`` for newly-landed complete epochs and apply them as
+        they appear, reusing one warm actor pool across polls.  Stops after
+        ``max_idle_polls`` consecutive empty polls (or ``max_epochs``).
+        Producers signal epoch completeness with ``events-epoch-N.done``
+        markers (see discover_epoch_files)."""
+        totals = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
+                  "events_applied": 0, "dup_lsn_dropped": 0, "polls": 0,
+                  "wall_s": 0.0}
+        t0 = time.perf_counter()
+        idle = 0
+        try:
+            while idle < max_idle_polls:
+                s = self.run(events_dir, keep_actors=True)
+                totals["polls"] += 1
+                for k in ("epochs_run", "events_raw", "events_applied", "dup_lsn_dropped"):
+                    totals[k] += s[k]
+                if max_epochs is not None and totals["epochs_run"] >= max_epochs:
+                    break
+                if s["epochs_run"] == 0:
+                    idle += 1
+                    time.sleep(poll_s)
+                else:
+                    idle = 0
+        finally:
+            self._kill_actors()
+        totals["wall_s"] = time.perf_counter() - t0
+        return totals
 
     # -- read side -------------------------------------------------------
     def partition_files(self) -> dict[int, dict]:

@@ -84,3 +84,44 @@ def test_write_final_sorted_and_resumable(many_epochs, tmp_path):
     assert total == want.num_rows
     # the generator's hot conversations span many ENGINE partitions but one file
     assert "c0" in conv_homes
+
+
+def test_tail_follow_mode_applies_epochs_as_they_land(tmp_path):
+    """The binlog-tail surface: a producer lands epochs (shards first,
+    .done marker last) while the engine follows; everything is applied
+    exactly-once and matches the oracle."""
+    import threading
+    import time as _time
+
+    from encode_ingest_ray.functions.generator import generate_cdc_events
+
+    events_dir = str(tmp_path / "ev")
+    meta_box = {}
+
+    def produce():
+        # all epochs generated up front into a staging dir, then moved over
+        # one-by-one with marker-last ordering
+        import shutil
+
+        stage = str(tmp_path / "stage")
+        meta_box["meta"] = generate_cdc_events(
+            stage, n_events=9000, n_convs=80, epochs=3, seed=21, dup_ratio=0.05
+        )
+        os.makedirs(events_dir, exist_ok=True)
+        for e in range(3):
+            for f in sorted(os.listdir(stage)):
+                if f.startswith(f"events-epoch-{e:06d}") and f.endswith(".parquet"):
+                    shutil.copy(os.path.join(stage, f), os.path.join(events_dir, f))
+            _time.sleep(0.4)
+            open(os.path.join(events_dir, f"events-epoch-{e:06d}.done"), "w").close()
+
+    t = threading.Thread(target=produce)
+    t.start()
+    engine = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2)
+    summary = engine.tail(events_dir, poll_s=0.3, max_idle_polls=5)
+    t.join()
+    assert summary["epochs_run"] == 3
+    got = engine.final_table()
+    want = expected_final_state(meta_box["meta"]["files"])
+    assert got.num_rows == want.num_rows
+    assert got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
