@@ -111,13 +111,14 @@ def bench_once() -> dict:
 
     out_dir = tempfile.mkdtemp(prefix="bench-cdc-out-")
     # actor density ~1 per 4 cores (the multi-node analog: pool scales with
-    # the cluster); 0.5-cpu reservations keep routing-task slots free
+    # the cluster); zero-cpu reservations keep every scheduler slot for the
+    # routing tasks (mergers burst only at flush)
     n_actors = max(4, NUM_CPUS // 4)
     engine = CdcEngine(
         out_dir,
         num_partitions=max(64, 4 * n_actors),
         num_actors=n_actors,
-        actor_num_cpus=0.5,
+        actor_num_cpus=0,
     )
     t0 = time.perf_counter()
     summary = engine.run(events_dir)
