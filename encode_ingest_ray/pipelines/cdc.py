@@ -232,6 +232,9 @@ class CdcEngine:
         summary = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
                    "events_applied": 0, "dup_lsn_dropped": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
+        # no overlapping runs against one output (reference: cron
+        # concurrencyPolicy: Forbid); a crashed holder's lock self-releases
+        self.manifest.acquire_run_lock()
         committed = set(self.manifest.committed_epochs())
         summary["epochs_skipped"] = sum(1 for e in range(len(epoch_files)) if e in committed)
         attempt = 0
@@ -256,6 +259,7 @@ class CdcEngine:
                     if attempt > retries_per_epoch:
                         raise
         finally:
+            self.manifest.release_run_lock()
             if not keep_actors:
                 self._kill_actors()
         summary["wall_s"] = time.perf_counter() - t0

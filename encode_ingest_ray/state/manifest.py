@@ -23,9 +23,14 @@ JSON) — still a single atomic object.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import tempfile
+
+
+class ConcurrentRunError(RuntimeError):
+    """Another engine holds the run lock for this output directory."""
 
 
 class Manifest:
@@ -33,6 +38,28 @@ class Manifest:
         self.root = root
         self.dir = os.path.join(root, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
+        self._lock_fd: int | None = None
+
+    # -- run lock (reference analog: concurrencyPolicy: Forbid — no
+    # overlapping runs, orchestration/templates/cron-workflow.yaml:7-9) ----
+    def acquire_run_lock(self) -> None:
+        """Advisory exclusive lock; raises ConcurrentRunError if another
+        live process holds it (a crashed holder's lock auto-releases)."""
+        fd = os.open(os.path.join(self.dir, ".run-lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            os.close(fd)
+            raise ConcurrentRunError(
+                f"another engine is running against {self.root!r}"
+            ) from None
+        self._lock_fd = fd
+
+    def release_run_lock(self) -> None:
+        if self._lock_fd is not None:
+            fcntl.flock(self._lock_fd, fcntl.LOCK_UN)
+            os.close(self._lock_fd)
+            self._lock_fd = None
 
     # -- read side -------------------------------------------------------
     def committed_epochs(self) -> list[int]:

@@ -79,3 +79,32 @@ def test_dup_only_epoch_commits_empty(tmp_path):
     # and the epoch is still durably committed (a re-run skips it)
     s2 = CdcEngine(str(tmp_path / "out"), num_partitions=4, num_actors=2).run(str(events))
     assert s2["epochs_skipped"] == 2
+
+
+def test_concurrent_runs_forbidden(tmp_path):
+    """Two engines on one output dir cannot run concurrently (the
+    reference's concurrencyPolicy: Forbid, cron-workflow.yaml:7-9); the
+    lock is process-scoped and auto-releases on crash."""
+    import pytest
+
+    from encode_ingest_ray.state.manifest import ConcurrentRunError, Manifest
+
+    out = str(tmp_path / "out")
+    m1 = Manifest(out)
+    m1.acquire_run_lock()
+    # flock is per-fd/process: simulate the second DRIVER with a subprocess
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from encode_ingest_ray.state.manifest import Manifest, ConcurrentRunError;"
+        f"m = Manifest({out!r});"
+        "\ntry:\n    m.acquire_run_lock()\n    print('ACQUIRED')\n"
+        "except ConcurrentRunError:\n    print('FORBIDDEN')"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.stdout.strip() == "FORBIDDEN", r.stderr
+    m1.release_run_lock()
+    r2 = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r2.stdout.strip() == "ACQUIRED", r2.stderr
