@@ -823,3 +823,38 @@ def composite_group_join(sf_dir: str):
         )
 
     return bucketed_groupby_apply(joined, ["s_name", "l_returnflag"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# anti-join (broadcast NOT-IN filter)
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join",
+    """SELECT l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem
+       WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 40)
+       GROUP BY l_returnflag""",
+)
+def anti_join(sf_dir: str):
+    """Anti-join via broadcast key set (semi_join_filter(anti=True)) —
+    the complement of the reference's in-record intersect semi-join."""
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"])
+    keys = part.filter(pc.greater(part.column("p_size"), 40)).column("p_partkey")
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag", "l_quantity"])
+    ds = semi_join_filter(ds, keys.combine_chunks(), "l_partkey", anti=True)
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"l_returnflag": t.column("l_returnflag"),
+             "qty": pc.cast(t.column("l_quantity"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return partial_groupby_sum(ds, ["l_returnflag"], {"sum_qty": "qty"}, count_alias="n").map_batches(
+        lambda t: t.select(["l_returnflag", "n", "sum_qty"]), batch_format="pyarrow", batch_size=None
+    )

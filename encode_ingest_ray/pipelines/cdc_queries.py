@@ -241,3 +241,44 @@ def cdc_schema_evolution(sf_dir: str):
     engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
     engine.run(events_dir)
     return engine.final_dataset()
+
+
+CDC_TOMBSTONES_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, COUNT(*) AS n_deleted
+FROM ranked WHERE rn = 1 AND op = 'delete'
+GROUP BY conv_id
+"""
+
+
+@register("cdc_tombstone_audit", CDC_TOMBSTONES_SQL)
+def cdc_tombstone_audit(sf_dir: str):
+    """Deleted-key accounting per conversation: durable state retains
+    tombstones (state/lww.py) precisely so they are queryable — the
+    reference's soft-delete bookkeeping (ingest-processed-data.yaml:118-144)
+    as a first-class query."""
+    from ray.data.aggregate import Count
+
+    ds = _derived_events(sf_dir)
+    ds = ds.map_batches(
+        partial(assign_partition_column, num_partitions=16),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def winners_with_tombstones(group: pa.Table) -> pa.Table:
+        t = lww_reduce(group.drop_columns(["part"]))
+        return t.filter(pc.equal(t.column("op"), pa.scalar("delete"))).select(
+            ["conv_id"]
+        )
+
+    deleted = ds.groupby("part").map_groups(
+        winners_with_tombstones, batch_format="pyarrow"
+    )
+    return deleted.groupby("conv_id").aggregate(Count(alias_name="n_deleted"))
