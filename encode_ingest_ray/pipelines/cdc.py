@@ -359,6 +359,9 @@ class CdcEngine:
                   "wall_s": 0.0}
         t0 = time.perf_counter()
         idle = 0
+        # hold the run lock across the whole tail (Forbid semantics for the
+        # full follow session, not just each poll); run() re-enters it
+        self.manifest.acquire_run_lock()
         try:
             while idle < max_idle_polls:
                 s = self.run(events_dir, keep_actors=True)
@@ -373,6 +376,7 @@ class CdcEngine:
                 else:
                     idle = 0
         finally:
+            self.manifest.release_run_lock()
             self._kill_actors()
         totals["wall_s"] = time.perf_counter() - t0
         return totals

@@ -39,12 +39,18 @@ class Manifest:
         self.dir = os.path.join(root, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
         self._lock_fd: int | None = None
+        self._lock_depth = 0
 
     # -- run lock (reference analog: concurrencyPolicy: Forbid — no
     # overlapping runs, orchestration/templates/cron-workflow.yaml:7-9) ----
     def acquire_run_lock(self) -> None:
         """Advisory exclusive lock; raises ConcurrentRunError if another
-        live process holds it (a crashed holder's lock auto-releases)."""
+        live process holds it (a crashed holder's lock auto-releases).
+        Re-entrant within one Manifest (tail() holds it across many runs);
+        releases only when the outermost holder releases."""
+        if self._lock_fd is not None:
+            self._lock_depth += 1
+            return
         fd = os.open(os.path.join(self.dir, ".run-lock"), os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -54,12 +60,17 @@ class Manifest:
                 f"another engine is running against {self.root!r}"
             ) from None
         self._lock_fd = fd
+        self._lock_depth = 1
 
     def release_run_lock(self) -> None:
-        if self._lock_fd is not None:
+        if self._lock_fd is None:
+            return
+        self._lock_depth -= 1
+        if self._lock_depth <= 0:
             fcntl.flock(self._lock_fd, fcntl.LOCK_UN)
             os.close(self._lock_fd)
             self._lock_fd = None
+            self._lock_depth = 0
 
     # -- read side -------------------------------------------------------
     def committed_epochs(self) -> list[int]:

@@ -108,3 +108,17 @@ def test_concurrent_runs_forbidden(tmp_path):
     m1.release_run_lock()
     r2 = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert r2.stdout.strip() == "ACQUIRED", r2.stderr
+
+
+def test_run_lock_reentrant_for_tail():
+    import tempfile
+
+    from encode_ingest_ray.state.manifest import Manifest
+
+    m = Manifest(tempfile.mkdtemp())
+    m.acquire_run_lock()   # tail-level
+    m.acquire_run_lock()   # inner run()
+    m.release_run_lock()   # inner run() releases -> still held
+    assert m._lock_fd is not None
+    m.release_run_lock()
+    assert m._lock_fd is None
