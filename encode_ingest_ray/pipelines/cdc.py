@@ -186,6 +186,22 @@ class CdcEngine:
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = Manifest(out_dir)
         self._actors: list | None = None
+        # partitioning is part of the table's durable identity: state files
+        # are keyed by hash(conv_id, turn_idx//turn_block) % num_partitions,
+        # so resuming with different parameters would re-key live keys into
+        # other partitions and duplicate them at merge-on-read. Refuse.
+        latest = self.manifest.latest()
+        prev = (latest or {}).get("partitioning")
+        if prev and (
+            prev["num_partitions"] != self.num_partitions
+            or prev["turn_block"] != self.turn_block
+        ):
+            raise ValueError(
+                f"output dir {out_dir!r} was committed with partitioning "
+                f"{prev}; this engine was configured with "
+                f"num_partitions={self.num_partitions}, turn_block={self.turn_block}. "
+                "Resume with the original parameters."
+            )
 
     # -- actor pool ------------------------------------------------------
     def _spawn_actors(self) -> list:
@@ -334,7 +350,15 @@ class CdcEngine:
             "commit_latency_s": commit_s,
             "per_partition": per_part_metrics,
         }
-        self.manifest.commit(epoch, pointers, metrics)
+        self.manifest.commit(
+            epoch,
+            pointers,
+            metrics,
+            partitioning={
+                "num_partitions": self.num_partitions,
+                "turn_block": self.turn_block,
+            },
+        )
         summary["epochs_run"] += 1
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]

@@ -97,9 +97,19 @@ class Manifest:
         return dict(rec["partitions"]) if rec else {}
 
     # -- write side ------------------------------------------------------
-    def commit(self, epoch: int, partitions: dict[str, dict], metrics: dict) -> dict:
-        """Atomically publish the cumulative pointer map for ``epoch``."""
-        rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics}
+    def commit(
+        self,
+        epoch: int,
+        partitions: dict[str, dict],
+        metrics: dict,
+        partitioning: dict | None = None,
+    ) -> dict:
+        """Atomically publish the cumulative pointer map for ``epoch``.
+        ``partitioning`` records the key->partition function parameters so a
+        resume with different parameters can be rejected (a silent re-key
+        would duplicate keys across partitions)."""
+        rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
+               "partitioning": partitioning}
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-commit-")
         try:
             with os.fdopen(fd, "w") as f:

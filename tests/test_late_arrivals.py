@@ -122,3 +122,17 @@ def test_run_lock_reentrant_for_tail():
     assert m._lock_fd is not None
     m.release_run_lock()
     assert m._lock_fd is None
+
+
+def test_resume_with_different_partitioning_is_refused(tmp_path):
+    import pytest
+
+    events = tmp_path / "events"
+    events.mkdir()
+    _write_epoch(str(events), 0, [("a", 0, 100, 1, "v1", "insert")])
+    CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2).run(str(events))
+    with pytest.raises(ValueError, match="partitioning"):
+        CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=2)
+    # same parameters resume fine
+    s = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2).run(str(events))
+    assert s["epochs_skipped"] == 1
