@@ -131,3 +131,27 @@ def test_hot_conversation_spreads_over_partitions(gen, tmp_path):
             applied[p] = applied.get(p, 0) + m["applied"]
     counts = np.array(list(applied.values()))
     assert counts.max() < 4 * counts.mean()
+
+
+def test_adversarial_configs_match_oracle(tmp_path):
+    """Pathological generator configs (heavy dup/delete ratios, huge
+    out-of-order windows, evolution from lsn 1, single-conversation streams)
+    must still replay to the oracle under two different partitionings."""
+    configs = [
+        dict(n_events=5000, n_convs=3, epochs=5, seed=101, dup_ratio=0.3,
+             delete_ratio=0.2, update_ratio=0.5, ooo_window_us=10_000_000_000,
+             zipf_a=1.1),
+        dict(n_events=6000, n_convs=40, epochs=6, seed=103, dup_ratio=0.5,
+             delete_ratio=0.4, update_ratio=0.4, evolve_at_lsn=1),
+    ]
+    for i, cfg in enumerate(configs):
+        d = str(tmp_path / f"ev{i}")
+        meta = generate_cdc_events(d, **cfg)
+        for parts, tb, ce in [(4, 8, 2), (32, 64, 3)]:
+            eng = CdcEngine(str(tmp_path / f"out{i}-{parts}"), num_partitions=parts,
+                            num_actors=2, turn_block=tb, compact_every=ce)
+            eng.run(d)
+            got = eng.final_table().to_pandas()
+            want = expected_final_state(meta["files"]).to_pandas()
+            assert len(got) == len(want)
+            assert got["text"].tolist() == want["text"].tolist()
