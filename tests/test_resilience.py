@@ -118,7 +118,7 @@ def test_tail_follow_mode_applies_epochs_as_they_land(tmp_path):
     t = threading.Thread(target=produce)
     t.start()
     engine = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2)
-    summary = engine.tail(events_dir, poll_s=0.3, max_idle_polls=5)
+    summary = engine.tail(events_dir, poll_s=0.3, max_idle_polls=12)
     t.join()
     assert summary["epochs_run"] == 3
     got = engine.final_table()
