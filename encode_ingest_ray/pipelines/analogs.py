@@ -858,3 +858,112 @@ def anti_join(sf_dir: str):
     return partial_groupby_sum(ds, ["l_returnflag"], {"sum_qty": "qty"}, count_alias="n").map_batches(
         lambda t: t.select(["l_returnflag", "n", "sum_qty"]), batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sliding-window aggregate (each event contributes to every window
+# covering it — the replicate-into-windows expansion)
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_counts",
+    """SELECT user_id, wstart,
+              COUNT(*) AS n_events,
+              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       FROM (
+         SELECT user_id, value, epoch_us(ts) // 3600000000 AS wstart FROM events
+         UNION ALL
+         SELECT user_id, value, epoch_us(ts) // 3600000000 - 1 FROM events
+       ) GROUP BY user_id, wstart""",
+)
+def sliding_window_counts(sf_dir: str):
+    """2h-wide windows sliding by 1h, keyed by window-start hour: each event
+    is replicated into the two windows that cover it inside map_batches, then
+    one bucketed grouped aggregation — the standard expansion that keeps
+    sliding windows a single exchange."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = us // 3_600_000_000
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid])),
+                "wstart": pa.array(np.concatenate([bucket, bucket - 1])),
+                "value_cents": pa.array(np.concatenate([cents, cents])),
+            }
+        )
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "wstart"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "wstart": g.column("wstart"),
+                "n_events": pc.cast(g.column("value_cents_count"), pa.int64()),
+                "value_cents": g.column("value_cents_sum"),
+            }
+        )
+
+    return bucketed_groupby_apply(expanded, ["user_id", "wstart"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (window-function shape)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_per_group",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+       FROM orders
+       QUALIFY row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2""",
+)
+def topk_per_group(sf_dir: str):
+    """Top-2 orders per customer: one bucketed exchange, then a vectorized
+    sort + per-key rank (boundary cumcount) per bucket — no per-group Python
+    calls, no global sort."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        keys = s.column("o_custkey").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        starts = np.zeros(n, dtype=np.int64)
+        newgrp = np.flatnonzero(np.diff(keys)) + 1
+        run_id = np.zeros(n, np.int64)
+        run_id[newgrp] = 1
+        run_id = np.cumsum(run_id)
+        run_starts = np.concatenate(([0], newgrp))
+        rank = np.arange(n) - run_starts[run_id]
+        out = s.filter(pa.array(rank < 2))
+        return pa.table(
+            {
+                "o_custkey": out.column("o_custkey"),
+                "o_orderkey": out.column("o_orderkey"),
+                "totalprice_cents": _cents(out.column("o_totalprice")),
+            }
+        )
+
+    return bucketed_groupby_apply(ds, ["o_custkey"], per_bucket)
