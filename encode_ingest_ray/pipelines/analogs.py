@@ -967,3 +967,66 @@ def topk_per_group(sf_dir: str):
         )
 
     return bucketed_groupby_apply(ds, ["o_custkey"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct (HLL sketch; rows-only — accuracy pinned in pytest)
+# ---------------------------------------------------------------------------
+@register("approx_distinct_users")
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): mergeable per-block
+    sketches, no dedup shuffle (stages/sketch.py)."""
+    from encode_ingest_ray.stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# exact grouped median (discrete quantile)
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_median",
+    """SELECT user_id,
+              (list(CAST(ROUND(value * 100) AS BIGINT) ORDER BY CAST(ROUND(value * 100) AS BIGINT)))
+                  [((COUNT(*) - 1) // 2) + 1] AS median_cents
+       FROM events GROUP BY user_id""",
+)
+def grouped_median(sf_dir: str):
+    """Exact per-group discrete median (element at (n-1)//2 of the sorted
+    group) — one bucketed exchange, vectorized sort + boundary indexing."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "cents": _cents(t.column("value"))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("cents", "ascending")]
+        )
+        s = t.take(idx)
+        keys = s.column("user_id").to_numpy(zero_copy_only=False)
+        cents = s.column("cents").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        newgrp = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], newgrp))
+        ends = np.concatenate((newgrp, [n]))
+        med_idx = starts + (ends - starts - 1) // 2
+        return pa.table(
+            {
+                "user_id": pa.array(keys[starts], pa.int64()),
+                "median_cents": pa.array(cents[med_idx], pa.int64()),
+            }
+        )
+
+    return bucketed_groupby_apply(ds, ["user_id"], per_bucket)

@@ -282,3 +282,48 @@ def cdc_tombstone_audit(sf_dir: str):
         winners_with_tombstones, batch_format="pyarrow"
     )
     return deleted.groupby("conv_id").aggregate(Count(alias_name="n_deleted"))
+
+
+CONV_RUNNING_SQL = f"""
+WITH final AS ({CDC_FINAL_SQL})
+SELECT conv_id, turn_idx,
+       CAST(SUM(length(text)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_chars
+FROM final
+"""
+
+
+@register("conversation_running_totals", CONV_RUNNING_SQL)
+def conversation_running_totals(sf_dir: str):
+    """Cumulative window over each conversation in turn order (running
+    character count) — per-bucket vectorized sort + segmented cumsum."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    final = cdc_upsert(sf_dir)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column("nchars", pc.cast(pc.utf8_length(t.column("text")), pa.int64()))
+        idx = pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        s = t.take(idx)
+        conv = s.column("conv_id").combine_chunks().dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        nchars = s.column("nchars").to_numpy(zero_copy_only=False)
+        run = np.cumsum(nchars)
+        newgrp = np.flatnonzero(np.diff(conv)) + 1
+        # segmented cumsum: subtract the cumulative total before each group
+        base = np.zeros(len(conv), np.int64)
+        base[newgrp] = run[newgrp - 1]
+        base = np.maximum.accumulate(base)
+        return pa.table(
+            {
+                "conv_id": s.column("conv_id"),
+                "turn_idx": s.column("turn_idx"),
+                "running_chars": pa.array(run - base, pa.int64()),
+            }
+        )
+
+    return bucketed_groupby_apply(final, ["conv_id"], per_bucket)

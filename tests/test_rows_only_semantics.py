@@ -123,3 +123,34 @@ def test_minhash_signature_estimates_jaccard():
     est = (mh.signature(a) == mh.signature(b)).mean()
     true = ngram_jaccard(a, b, 1)  # rough scale check only
     assert 0.2 < est < 0.95 and abs(est - true) < 0.35
+
+
+def test_hll_sketch_accuracy_and_mergeability():
+    import pyarrow as pa
+
+    from encode_ingest_ray.stages.sketch import (
+        block_sketch,
+        estimate,
+        merge_sketches,
+    )
+
+    rng = np.random.default_rng(7)
+    values = [f"u{v}" for v in rng.integers(0, 50_000, 200_000)]
+    true = len(set(values))
+    arr = pa.array(values)
+    # split into 8 blocks, sketch each, merge — same answer as one sketch
+    blocks = [arr.slice(i * 25_000, 25_000) for i in range(8)]
+    merged = merge_sketches([block_sketch(b) for b in blocks])
+    single = block_sketch(arr)
+    assert (merged == single).all()
+    est = estimate(merged)
+    assert abs(est - true) / true < 0.05  # p=12 -> ~1.6% std error
+
+
+def test_hll_small_range():
+    import pyarrow as pa
+
+    from encode_ingest_ray.stages.sketch import block_sketch, estimate
+
+    est = estimate(block_sketch(pa.array([f"x{i}" for i in range(10)])))
+    assert abs(est - 10) < 2
