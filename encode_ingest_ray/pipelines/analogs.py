@@ -10,7 +10,6 @@ the driver's value-hash.
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import pyarrow as pa
 import pyarrow.compute as pc
