@@ -289,8 +289,8 @@ def filter_project(sf_dir: str):
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-              SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
               COUNT(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -366,7 +366,7 @@ def topk_orders(sf_dir: str):
 )
 def dedup_first_event(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
-    out = dedup_exact(ds, ["user_id"], "ts", keep_max=False)
+    out = dedup_exact(ds, ["user_id"], ["ts", "event_id"], keep_max=False)
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -444,7 +444,7 @@ def split_streams(sf_dir: str):
 @register(
     "join_broadcast_dims",
     """SELECT r_name, n_name, COUNT(*) AS n_customers,
-              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
        FROM customer JOIN nation ON c_nationkey = n_nationkey
                      JOIN region ON n_regionkey = r_regionkey
        GROUP BY r_name, n_name""",
@@ -483,7 +483,7 @@ def join_broadcast_dims(sf_dir: str):
 @register(
     "join_cohash",
     """SELECT o_orderpriority, COUNT(*) AS n_items,
-              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents
+              CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderpriority""",
 )
@@ -605,7 +605,7 @@ def cardinality_check(sf_dir: str):
     "window_tumbling",
     """SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
               COUNT(*) AS n_events,
-              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
        FROM events GROUP BY user_id, hour_bucket""",
 )
 def window_tumbling(sf_dir: str):
@@ -734,8 +734,8 @@ def two_hop_first_customer(sf_dir: str):
                           OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
        sess AS (
-         SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+         SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM marked)
        SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us,
               COUNT(*) AS n_events
@@ -867,7 +867,7 @@ def anti_join(sf_dir: str):
     "sliding_window_counts",
     """SELECT user_id, wstart,
               COUNT(*) AS n_events,
-              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
        FROM (
          SELECT user_id, value, epoch_us(ts) // 3600000000 AS wstart FROM events
          UNION ALL

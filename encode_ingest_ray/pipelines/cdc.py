@@ -162,7 +162,7 @@ class CdcEngine:
         *,
         num_partitions: int | None = None,
         num_actors: int | None = None,
-        turn_block: int = DEFAULT_TURN_BLOCK,
+        turn_block: int | None = None,
         actor_num_cpus: float = 0,
         compact_every: int = 8,
     ):
@@ -176,8 +176,14 @@ class CdcEngine:
             # ~1 merger per 4 cores, the density that scales with the cluster
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
             num_actors = max(2, cpus // 4)
+        # an existing committed table carries its own partitioning identity;
+        # unspecified params ADOPT it (so `final`/`status`/resume need no
+        # flags) — only an explicit conflicting value trips the guard below
+        committed = (Manifest(out_dir).latest() or {}).get("partitioning")
         if num_partitions is None:
-            num_partitions = 8 * num_actors
+            num_partitions = committed["num_partitions"] if committed else 8 * num_actors
+        if turn_block is None:
+            turn_block = committed["turn_block"] if committed else DEFAULT_TURN_BLOCK
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block

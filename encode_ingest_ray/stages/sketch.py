@@ -9,28 +9,45 @@ estimator with small/large-range corrections.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
 
 
 def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hashes of a column (crc32 of the utf8 value,
-    avalanched — stable across processes, good enough spread for HLL)."""
+    """Deterministic 64-bit hashes of a column: blake2b(digest_size=8) over
+    the dictionary-encoded uniques — full 64 bits of entropy (a crc32-based
+    hash caps at 2^32 and biases HLL above ~10^5 distinct), and the Python
+    loop runs once per UNIQUE value, not per row."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = col.cast(pa.string()).dictionary_encode()
     uniq = d.dictionary.to_pylist()
     uh = np.fromiter(
-        (zlib.crc32(str(u).encode()) for u in uniq), dtype=np.uint64, count=len(uniq)
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "little"
+            )
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
     )
-    h = uh[d.indices.to_numpy(zero_copy_only=False)]
-    h = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
-    h ^= h >> np.uint64(27)
-    h *= np.uint64(0x94D049BB133111EB)
-    h ^= h >> np.uint64(31)
-    return h
+    return uh[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over nonzero uint64s — pure integer
+    shifts (float log2 wraps at the 2^64 boundary and is off-by-one near
+    powers of two)."""
+    lz = np.zeros(x.shape, np.uint8)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = y < (np.uint64(1) << np.uint64(64 - s))
+        lz[mask] += np.uint8(s)
+        y[mask] <<= np.uint64(s)
+    return lz
 
 
 def block_sketch(values: pa.ChunkedArray | pa.Array, p: int = 12) -> np.ndarray:
@@ -41,15 +58,9 @@ def block_sketch(values: pa.ChunkedArray | pa.Array, p: int = 12) -> np.ndarray:
     if len(h) == 0:
         return regs
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s, never 0
     # rank = leading zeros of the remaining 64-p bits, +1
-    lz = np.zeros(len(h), np.uint8)
-    probe = np.uint64(1) << np.uint64(63)
-    cur = rest.copy()
-    # vectorized leading-zero count via float log2 (exact for these ranges)
-    nz = cur != 0
-    lz[nz] = (63 - np.floor(np.log2(cur[nz].astype(np.float64))).astype(np.int64)).astype(np.uint8)
-    rank = (lz + 1).astype(np.uint8)
+    rank = (_clz64(rest) + np.uint8(1)).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
 

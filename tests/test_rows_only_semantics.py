@@ -147,6 +147,28 @@ def test_hll_sketch_accuracy_and_mergeability():
     assert abs(est - true) / true < 0.05  # p=12 -> ~1.6% std error
 
 
+def test_hll_million_distinct():
+    # full-entropy 64-bit hash: at p=12 (std err ~1.6%) the estimate must stay
+    # within 2% at 10^6 distinct — the crc32-based hash drifted well past this
+    import pyarrow as pa
+
+    from encode_ingest_ray.stages.sketch import block_sketch, estimate, merge_sketches
+
+    vals = [f"user-{i}" for i in range(1_000_000)]
+    merged = merge_sketches(
+        [block_sketch(pa.array(vals[i::10]), 12) for i in range(10)]
+    )
+    est = estimate(merged)
+    assert abs(est - 1_000_000) / 1_000_000 < 0.02
+
+
+def test_hll_clz_boundaries():
+    from encode_ingest_ray.stages.sketch import _clz64
+
+    x = np.array([1, 2, 3, (1 << 63), (1 << 63) - 1, 1 << 32, (1 << 64) - 1], np.uint64)
+    assert _clz64(x).tolist() == [63, 62, 62, 0, 1, 31, 0]
+
+
 def test_hll_small_range():
     import pyarrow as pa
 

@@ -72,7 +72,9 @@ def main() -> int:
                 if ok_rows and ok_cols:
                     g, w = got.fillna("∅"), want.fillna("∅")
                     try:
-                        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                        # dtype-strict, like the driver's value hash: an int64
+                        # result vs a DECIMAL/HUGEINT oracle must FAIL here too.
+                        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
                         ok_vals = True
                     except AssertionError as ex:
                         ok_vals = False
