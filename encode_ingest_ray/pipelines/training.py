@@ -147,8 +147,9 @@ def dedup_text_exact(sf_dir: str):
 def minhash_lsh_pairs_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16)
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return verify_pairs_jaccard(pairs, docs, threshold=0.5)
+    # verify distributively: texts resolve via a bucketed exchange on doc_id
+    # (no driver-side read, no whole-corpus broadcast)
+    return verify_pairs_jaccard(pairs, _docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
 @register("simhash")
@@ -224,12 +225,12 @@ def token_freq_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register("embedding_near_dup")
 def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
-    """Near-duplicate vector pairs: hyperplane-LSH bucket (one groupby),
-    exact pairwise cosine inside each bucket, keep pairs ≥ threshold.
-    Output (vec_a, vec_b, cos_milli), deterministic."""
-    import numpy as np
-
-    from encode_ingest_ray.stages.ann import HyperplaneLsh, _matrix, _normalize
+    """Near-duplicate vector pairs: multi-band hyperplane LSH (band 0
+    reproduces the classic single projection, extra bands add recall), exact
+    cosine inside each bucket with a hard bucket-size cap (re-split — no
+    quadratic blow-up at scale), pair dedup across bands.  Output
+    (vec_a, vec_b, cos_milli), deterministic."""
+    from encode_ingest_ray.stages.ann import embedding_near_dup_pairs
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -237,29 +238,9 @@ def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
     first = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     ).column("embedding")[0]
-    hasher = HyperplaneLsh(len(first), num_planes=6)
-    bucketed = ds.map_batches(hasher, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        m = _normalize(_matrix(group, "embedding"))
-        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                 "cos_milli": pa.array([], pa.int64())}
-            )
-        sims = m @ m.T
-        a, b = np.triu_indices(len(ids), k=1)
-        milli = np.round(sims[a, b] * 1000).astype(np.int64)
-        keep = milli >= threshold_milli
-        ia, ib = ids[a[keep]], ids[b[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pa.table(
-            {"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64()),
-             "cos_milli": pa.array(milli[keep], pa.int64())}
-        )
-
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return embedding_near_dup_pairs(
+        ds, len(first), threshold_milli=threshold_milli
+    )
 
 
 @register("ann_ivf")

@@ -164,6 +164,158 @@ def lsh_bucketed_topk(
 
 
 # ---------------------------------------------------------------------------
+# embedding near-duplicate pairs: multi-band hyperplane LSH + bucket caps
+# ---------------------------------------------------------------------------
+_EMPTY_PAIRS = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cos_milli": pa.array([], pa.int64()),
+    }
+)
+
+
+def _band_planes(dim: int, num_planes: int, band: int, depth: int = 0) -> np.ndarray:
+    """Seeded hyperplanes per (band, re-split depth) — identical on every
+    worker, no broadcast needed (generation is microseconds)."""
+    rng = np.random.default_rng(100_003 * (band + 1) + 7 * depth + 23)
+    return rng.standard_normal((dim, num_planes))
+
+
+def _pairs_in_run(
+    ids: np.ndarray, m: np.ndarray, band: int, depth: int,
+    threshold_milli: int, max_bucket: int, out: list
+) -> None:
+    """Emit thresholded cosine pairs for one LSH run.  Runs larger than
+    ``max_bucket`` are RE-SPLIT by extra seeded sign bits (recursively) so no
+    all-pairs block ever exceeds max_bucket² — the quadratic blow-up guard.
+    Pairs straddling a sub-split are dropped (standard LSH recall trade,
+    bounded by 1-cos(theta)/pi per extra plane for true near-dups)."""
+    n = len(ids)
+    if n < 2:
+        return
+    if n > max_bucket and depth < 8:
+        planes = _band_planes(m.shape[1], 2, band, depth + 1)
+        bits = (m @ planes) > 0
+        sub = bits[:, 0].astype(np.int64) * 2 + bits[:, 1].astype(np.int64)
+        for s in range(4):
+            sel = sub == s
+            if sel.sum() >= 2:
+                _pairs_in_run(ids[sel], m[sel], band, depth + 1,
+                              threshold_milli, max_bucket, out)
+        return
+    if n > max_bucket:  # depth limit hit: clamp rather than go quadratic
+        ids, m = ids[:max_bucket], m[:max_bucket]
+        n = max_bucket
+    sims = m @ m.T
+    a, b = np.triu_indices(n, k=1)
+    milli = np.round(sims[a, b] * 1000).astype(np.int64)
+    keep = milli >= threshold_milli
+    if keep.any():
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        out.append((np.minimum(ia, ib), np.maximum(ia, ib), milli[keep]))
+
+
+class MultiBandLsh:
+    """Explode each vector into one (band, bucket) row per band.  Band 0 uses
+    ``base_planes`` hyperplanes with the classic seed (bucket ids identical to
+    the single-projection variant → its pairs are a guaranteed subset); extra
+    bands use more selective signatures, so the union recovers near-dups the
+    single projection splits apart."""
+
+    def __init__(self, dim: int, num_bands: int = 4, base_planes: int = 6,
+                 extra_planes: int = 12, column: str = "embedding", seed: int = 23):
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((dim, base_planes))]
+        for b in range(1, num_bands):
+            self.planes.append(_band_planes(dim, extra_planes, b))
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.column)
+        n = m.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    self.column: batch.column(self.column),
+                }
+            )
+        bands, buckets = [], []
+        for b, planes in enumerate(self.planes):
+            bits = (m @ planes) > 0
+            buckets.append((bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64))
+            bands.append(np.full(n, b, np.int32))
+        nb = len(self.planes)
+        emb = batch.column(self.column).combine_chunks()
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "vec_id": pa.chunked_array(
+                    [batch.column("vec_id").combine_chunks()] * nb
+                ).cast(pa.int64()),
+                self.column: pa.chunked_array([emb] * nb),
+            }
+        )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    dim: int,
+    *,
+    column: str = "embedding",
+    threshold_milli: int = 400,
+    num_bands: int = 4,
+    max_bucket: int = 2048,
+):
+    """Near-duplicate vector pairs at scale: multi-band hyperplane LSH (one
+    keyed exchange on (band, bucket)), exact cosine within each bucket with a
+    hard bucket-size cap (re-split by extra planes), pair dedup across bands.
+    Output (vec_a, vec_b, cos_milli), deterministic."""
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+    from encode_ingest_ray.stages.dedup import dedup_exact
+
+    hasher = MultiBandLsh(dim, num_bands=num_bands, column=column)
+    exploded = ds.map_batches(
+        hasher, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def bucket_pairs_bulk(t: pa.Table) -> pa.Table:
+        band = t.column("band").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = t.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(t, column))
+        order = np.lexsort((ids, bucket, band))
+        band, bucket, ids, m = band[order], bucket[order], ids[order], m[order]
+        n = len(ids)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero((np.diff(band) != 0) | (np.diff(bucket) != 0)) + 1, [n])
+        )
+        out: list = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo >= 2:
+                _pairs_in_run(ids[lo:hi], m[lo:hi], int(band[lo]), 0,
+                              threshold_milli, max_bucket, out)
+        if not out:
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                "vec_b": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                "cos_milli": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
+            }
+        )
+
+    pairs = bucketed_groupby_apply(exploded, ["band", "bucket"], bucket_pairs_bulk)
+    # the same pair surfaces from several bands — keep one (cos is identical)
+    return dedup_exact(pairs, ["vec_a", "vec_b"], "cos_milli", keep_max=True)
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) variant — the classic coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 def train_ivf_centroids(

@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = np.uint64((1 << 31) - 1)  # Mersenne-31: keeps all uint64 products overflow-free
 _MAXH = np.uint64((1 << 32) - 1)
@@ -202,37 +203,64 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (Charikar 2002): per-token blake2b
-    hash, ±1 per bit weighted by term frequency, sign → bit."""
+    """64-bit SimHash over word tokens (Charikar 2002), batch-vectorized:
+    blake2b is computed once per UNIQUE token (per-actor sign-row cache),
+    per-doc ±1 accumulation is one ``np.add.reduceat`` over the whole batch's
+    token matrix, bit folding is one matmul — no per-token inner loop."""
 
     def __init__(self, column: str = "text"):
         self.column = column
-        self._cache: dict[str, int] = {}
+        # token -> index into the sign-row matrix (rows of ±1 per bit)
+        self._idx: dict[str, int] = {}
+        self._signs = np.empty((0, 64), np.int8)
+        self._bit_weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
-    def _token_hash(self, w: str) -> int:
-        h = self._cache.get(w)
-        if h is None:
-            h = int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little")
-            if len(self._cache) < 1_000_000:
-                self._cache[w] = h
-        return h
+    def _sign_rows(self, tokens: list) -> np.ndarray:
+        new = [w for w in tokens if w not in self._idx]
+        if new:
+            bit_idx = np.arange(64, dtype=np.uint64)
+            rows = np.empty((len(new), 64), np.int8)
+            for i, w in enumerate(new):
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    )
+                )
+                rows[i] = (((h >> bit_idx) & np.uint64(1)).astype(np.int8) * 2) - 1
+            base = len(self._idx)
+            for i, w in enumerate(new):
+                self._idx[w] = base + i
+            self._signs = np.concatenate([self._signs, rows])
+            if len(self._idx) > 2_000_000:  # bound per-actor memory
+                self._idx.clear()
+                self._signs = np.empty((0, 64), np.int8)
+                return self._sign_rows(tokens)
+        return self._signs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
-        out = np.empty(len(texts), np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            acc = np.zeros(64, np.int64)
-            for w in (t or "").split():
-                h = np.uint64(self._token_hash(w))
-                bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            val = np.uint64(0)
-            for j in range(64):
-                if acc[j] > 0:
-                    val |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(val.astype(np.int64))
-        return batch.append_column("simhash", pa.array(out, type=pa.int64()))
+        token_lists = [(t or "").split() for t in texts]
+        flat = [w for toks in token_lists for w in toks]
+        if not flat:
+            return batch.append_column(
+                "simhash", pa.array(np.zeros(len(texts), np.int64), type=pa.int64())
+            )
+        signs = self._sign_rows(flat)
+        idx = self._idx
+        codes = np.fromiter((idx[w] for w in flat), np.int64, count=len(flat))
+        counts = np.fromiter((len(t) for t in token_lists), np.int64, count=len(texts))
+        offsets = np.concatenate(([0], np.cumsum(counts[:-1])))
+        acc = np.zeros((len(texts), 64), np.int64)
+        nonempty = counts > 0
+        acc[nonempty] = np.add.reduceat(
+            signs[codes].astype(np.int64), offsets[nonempty], axis=0
+        )[: nonempty.sum()]
+        # integer fold (float64 matmul would lose bits past the 53-bit mantissa)
+        vals = ((acc > 0).astype(np.uint64) * self._bit_weights[None, :]).sum(axis=1)
+        return batch.append_column(
+            "simhash", pa.array(vals.astype(np.int64), type=pa.int64())
+        )
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -244,30 +272,136 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def verify_pairs_jaccard(
-    pairs_ds, docs_table: pa.Table, id_column: str = "doc_id",
+    pairs_ds, docs_ds, id_column: str = "doc_id",
     text_column: str = "text", n: int = 3, threshold: float = 0.8
 ):
-    """Verify LSH candidate pairs with exact n-gram Jaccard.  The documents
-    table is broadcast once (ray.put) — pairs are few, docs lookups random."""
+    """Verify LSH candidate pairs with exact n-gram Jaccard, fully
+    distributed — the corpus is NEVER broadcast or read driver-side.
+
+    Shape (scales to any corpus size):
+      1. explode each pair into two sides (doc_id, doc_a, doc_b);
+      2. prune the docs side to candidate ids only — the distinct-candidate
+         id ARRAY is broadcast (ray.put), which is proportional to the LSH
+         candidate set, not the corpus;
+      3. bucketed exchange on doc_id joins text to each pair side;
+      4. bucketed exchange on (doc_a, doc_b) brings both sides of a pair
+         together and scores exact n-gram Jaccard.
+    """
+    import numpy as np
     import ray
+    import ray.data
 
-    ref = ray.put(docs_table.select([id_column, text_column]))
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        docs = ray.get(ref)
-        lookup = dict(
-            zip(
-                docs.column(id_column).to_pylist(),
-                docs.column(text_column).to_pylist(),
+    pairs = pairs_ds.materialize()  # consumed twice (id set + side rows); small
+
+    # -- candidate id set (compact int64 array, not the corpus) ----------
+    id_blocks = [
+        np.concatenate(
+            [
+                t.column("doc_a").combine_chunks().to_numpy(zero_copy_only=False),
+                t.column("doc_b").combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        for t in ray.get(pairs.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not id_blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_milli": pa.array([], pa.int64()),
+                }
             )
         )
+    needed_ref = ray.put(np.unique(np.concatenate(id_blocks)))
+
+    # -- side rows: (doc_id to resolve, pair key, no text yet) -----------
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a")
+        b = t.column("doc_b")
+        return pa.table(
+            {
+                "doc_id": pa.chunked_array([a.combine_chunks(), b.combine_chunks()]),
+                "doc_a": pa.chunked_array([a.combine_chunks(), a.combine_chunks()]),
+                "doc_b": pa.chunked_array([b.combine_chunks(), b.combine_chunks()]),
+                text_column: pa.nulls(2 * t.num_rows, pa.string()),
+            }
+        )
+
+    sides = pairs.map_batches(
+        explode_sides, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # -- docs pruned to candidates, tagged into the same schema ----------
+    def prune_docs(t: pa.Table) -> pa.Table:
+        needed = ray.get(needed_ref)
+        ids = t.column(id_column).combine_chunks().to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(np.isin(ids, needed)))
+        nn = keep.num_rows
+        return pa.table(
+            {
+                "doc_id": keep.column(id_column).cast(pa.int64()),
+                "doc_a": pa.nulls(nn, pa.int64()),
+                "doc_b": pa.nulls(nn, pa.int64()),
+                text_column: keep.column(text_column),
+            }
+        )
+
+    docs_tagged = docs_ds.map_batches(
+        prune_docs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # -- exchange 1: resolve text per side within each doc_id bucket -----
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(t.column("doc_a"))
+        docs = t.filter(is_doc)
+        side = t.filter(pc.invert(is_doc))
+        lookup = dict(
+            zip(docs.column("doc_id").to_pylist(), docs.column(text_column).to_pylist())
+        )
+        texts = [lookup.get(i, "") for i in side.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "doc_a": side.column("doc_a"),
+                "doc_b": side.column("doc_b"),
+                "side_is_a": pc.equal(side.column("doc_id"), side.column("doc_a")),
+                text_column: pa.array(texts, pa.string()),
+            }
+        )
+
+    resolved = bucketed_groupby_apply(
+        docs_tagged.union(sides), ["doc_id"], resolve_bucket
+    )
+
+    # -- exchange 2: both sides of a pair meet; score Jaccard ------------
+    def score_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_a", "ascending"),
+                ("doc_b", "ascending"),
+                ("side_is_a", "descending"),
+            ],
+        )
+        g = t.take(idx)
+        da = g.column("doc_a").to_pylist()
+        db = g.column("doc_b").to_pylist()
+        tx = g.column(text_column).to_pylist()
         keep_a, keep_b, sims = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            j = ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(int(round(j * 1000)))
+        i = 0
+        while i + 1 < len(da):
+            if da[i] == da[i + 1] and db[i] == db[i + 1]:
+                j = ngram_jaccard(tx[i], tx[i + 1], n)
+                if j >= threshold:
+                    keep_a.append(da[i])
+                    keep_b.append(db[i])
+                    sims.append(int(round(j * 1000)))
+                i += 2
+            else:  # unmatched side (doc missing) — skip
+                i += 1
         return pa.table(
             {
                 "doc_a": pa.array(keep_a, pa.int64()),
@@ -276,4 +410,4 @@ def verify_pairs_jaccard(
             }
         )
 
-    return pairs_ds.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+    return bucketed_groupby_apply(resolved, ["doc_a", "doc_b"], score_bucket)

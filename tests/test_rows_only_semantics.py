@@ -91,7 +91,9 @@ def _near_dup_docs():
 def test_minhash_lsh_finds_true_near_dups_and_verify_is_exact():
     docs = _near_dup_docs()
     pairs = minhash_lsh_pairs(ray.data.from_arrow(docs), num_perm=64, num_bands=16)
-    verified = verify_pairs_jaccard(pairs, docs, threshold=0.6).to_pandas()
+    verified = verify_pairs_jaccard(
+        pairs, ray.data.from_arrow(docs), threshold=0.6
+    ).to_pandas()
     assert len(verified) > 100  # the 40 base variants pair up heavily
     text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
     for _, r in verified.head(50).iterrows():
@@ -100,6 +102,45 @@ def test_minhash_lsh_finds_true_near_dups_and_verify_is_exact():
         assert j >= 0.6
         # near-dup pairs are base variants: even ids
         assert r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0
+
+
+def test_embedding_near_dup_multiband_recall_and_bucket_cap():
+    """Planted near-dup vector pairs must all surface; every reported pair's
+    cosine must be exact; a tiny max_bucket (forcing re-splits) must still
+    recover the planted high-cosine pairs and never go quadratic."""
+    from encode_ingest_ray.stages.ann import _normalize, embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    vecs = rng.standard_normal((n, dim))
+    # plant 20 near-dups: vec[i+n] = vec[i] + tiny noise (cos > 0.99)
+    planted = [(i, n + j) for j, i in enumerate(range(0, 200, 10))]
+    dups = np.stack([vecs[i] + 0.01 * rng.standard_normal(dim) for i, _ in planted])
+    allv = np.concatenate([vecs, dups])
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(allv)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allv.ravel().astype(np.float32), pa.float32()), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    out = embedding_near_dup_pairs(ds, dim, threshold_milli=900).to_pandas()
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert set(planted) <= got, set(planted) - got
+    # exact cosine check on every reported pair
+    m = _normalize(allv)
+    for _, r in out.iterrows():
+        true_milli = int(round((m[int(r["vec_a"])] @ m[int(r["vec_b"])]) * 1000))
+        assert true_milli == r["cos_milli"]
+    # force re-splits: every run is over the cap; planted pairs still found
+    capped = embedding_near_dup_pairs(
+        ds, dim, threshold_milli=900, max_bucket=8
+    ).to_pandas()
+    got_capped = set(zip(capped["vec_a"], capped["vec_b"]))
+    found = sum(1 for p in planted if p in got_capped)
+    assert found >= len(planted) * 0.8, f"{found}/{len(planted)} under cap"
 
 
 def test_simhash_hamming_separates_similar_from_different():
