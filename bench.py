@@ -79,7 +79,7 @@ def bench_once() -> dict:
     timings: dict[str, float] = {}
 
     # --- CDC headline: generate (cached, untimed) then apply end-to-end
-    cache_key = f"n{CDC_EVENTS}-e{CDC_EPOCHS}-s42"
+    cache_key = f"n{CDC_EVENTS}-e{CDC_EPOCHS}-s42-sh32"
     events_dir = os.path.join("/tmp/graft_bench_cache", cache_key)
     marker = os.path.join(events_dir, "_complete.json")
     if not os.path.exists(marker):
@@ -92,6 +92,9 @@ def bench_once() -> dict:
             seed=42,
             dup_ratio=0.05,
             evolve_at_lsn=int(CDC_EVENTS * 0.7),
+            # an even shard count (multiple of the worker count at both
+            # parallelism levels) removes the ragged last routing wave
+            shards_per_epoch=32,
         )
         with open(marker, "w") as f:
             json.dump(meta, f)

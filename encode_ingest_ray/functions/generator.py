@@ -50,6 +50,7 @@ def generate_cdc_events(
     evolve_at_lsn: int | None = None,
     text_bytes: int = 400,
     rows_per_file: int = 131_072,
+    shards_per_epoch: int | None = None,
 ) -> dict:
     """Write ``epochs`` Parquet event files under ``out_dir``; return metadata.
 
@@ -153,8 +154,12 @@ def generate_cdc_events(
         # parallelism and let Ray fuse read->route into one task, so no row
         # transits the object store twice.  No '=' in names: hive-partition
         # inference (DuckDB, Arrow datasets) would invent phantom columns.
-        for shard_no, lo in enumerate(range(0, len(idx), rows_per_file)):
-            part = make_table(idx[lo : lo + rows_per_file])
+        # shards_per_epoch overrides rows_per_file: an even shard count
+        # (a multiple of the worker count) removes the ragged last routing
+        # wave at full cluster width
+        rpf = rows_per_file if shards_per_epoch is None else -(-len(idx) // shards_per_epoch)
+        for shard_no, lo in enumerate(range(0, len(idx), rpf)):
+            part = make_table(idx[lo : lo + rpf])
             schema_names = [f.name for f in part.schema]
             path = os.path.join(
                 out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"

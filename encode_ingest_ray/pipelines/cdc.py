@@ -42,6 +42,7 @@ import ray.data
 from encode_ingest_ray.state.manifest import Manifest
 from encode_ingest_ray.state.merger import PartitionMerger
 from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK
+from encode_ingest_ray.state.wire import pack_table
 
 
 def discover_epoch_files(events_dir: str) -> list[list[str]]:
@@ -145,7 +146,10 @@ def _route_batch(
             lens.append(hi - lo)
             i += 1
         seg = routed.slice(seg_start, sum(lens))
-        futures.append(actors[a].apply_block.remote(epoch, parts_list, lens, seg))
+        # zstd-IPC pack: compression is routing-task CPU (scales with the
+        # cluster); the bytes crossing plasma / the network shrink ~3-6x
+        payload = pack_table(seg)
+        futures.append(actors[a].apply_block.remote(epoch, parts_list, lens, payload))
     ray.get(futures)
     return pa.table(
         {
@@ -165,6 +169,7 @@ class CdcEngine:
         turn_block: int | None = None,
         actor_num_cpus: float = 0,
         compact_every: int = 8,
+        flush_fanout: int | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -189,6 +194,7 @@ class CdcEngine:
         self.turn_block = turn_block
         self.actor_num_cpus = actor_num_cpus
         self.compact_every = compact_every
+        self.flush_fanout = flush_fanout
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = Manifest(out_dir)
         self._actors: list | None = None
@@ -212,12 +218,16 @@ class CdcEngine:
     # -- actor pool ------------------------------------------------------
     def _spawn_actors(self) -> list:
         pointers = {int(p): ptr for p, ptr in self.manifest.pointers().items()}
+        # flush fan-out per actor: enough stateless flush tasks to cover the
+        # cluster's cpus (the flush leg scales with the cluster, not the pool)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        fanout = self.flush_fanout or max(1, round(cpus / self.num_actors))
         actors = []
         for i in range(self.num_actors):
             mine = {p: ptr for p, ptr in pointers.items() if p % self.num_actors == i}
             actors.append(
                 PartitionMerger.options(num_cpus=self.actor_num_cpus).remote(
-                    self.out_dir, mine, self.compact_every
+                    self.out_dir, mine, self.compact_every, fanout
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -306,27 +316,32 @@ class CdcEngine:
         # breaks read->route operator fusion and multiplies actor-push count
         # (and its per-message overhead) by the same factor.
         prev_min = ray.data.DataContext.get_current().read_op_min_num_blocks
+        # the override must stay set through EXECUTION (take_all below), not
+        # just dataset creation: Ray applies the SplitBlocks(~7x) min-
+        # parallelism heuristic when the plan runs, which would break
+        # read->route fusion and multiply actor pushes ~7x (measured: 231
+        # blobs/actor instead of 33 at the 8M-event shape)
         ray.data.DataContext.get_current().read_op_min_num_blocks = 1
         try:
             ds = ray.data.read_parquet(files)
+            route_rows = ds.map_batches(
+                partial(
+                    _route_batch,
+                    actors=self._actors,
+                    num_actors=self.num_actors,
+                    num_partitions=self.num_partitions,
+                    turn_block=self.turn_block,
+                    epoch=epoch,
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                # one routing call per input shard: map_batches' DEFAULT batch
+                # size is 1024 rows, which would explode the exchange into
+                # thousands of tiny actor pushes
+                batch_size=None,
+            ).take_all()
         finally:
             ray.data.DataContext.get_current().read_op_min_num_blocks = prev_min
-        route_rows = ds.map_batches(
-            partial(
-                _route_batch,
-                actors=self._actors,
-                num_actors=self.num_actors,
-                num_partitions=self.num_partitions,
-                turn_block=self.turn_block,
-                epoch=epoch,
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            # one routing call per input shard: map_batches' DEFAULT batch
-            # size is 1024 rows, which would explode the exchange into
-            # thousands of tiny actor pushes
-            batch_size=None,
-        ).take_all()
         return {
             "rows_raw": sum(r["rows_raw"] for r in route_rows),
             "rows_routed": sum(r["rows_routed"] for r in route_rows),

@@ -149,3 +149,68 @@ def audit_color(batch: pa.Table, level_col: str, out: str = "audit_color") -> pa
     for level, name in [(40, "yellow"), (50, "orange"), (60, "red")]:
         color = pc.if_else(pc.equal(lvl, level), name, color)
     return batch.append_column(out, color)
+
+
+def summarize_audits(
+    batch: pa.Table,
+    audit_col: str = "audit",
+    color_out: str = "max_audit_flag",
+    labels_out: str = "audit_labels",
+) -> pa.Table:
+    """The FULL audit fold: per record, max audit level → color label AND the
+    distinct audit categories, sorted.  Reference:
+    ``CommonTransformations.summarizeAudits`` (CommonTransformations.scala:
+    79-102) — ENCODE groups audits by severity but each record repeats its
+    level, so the fixture flattens the map-of-arrays to one
+    ``list<struct<category: string, level: int64>>`` column.
+
+    Vectorized: one ``list_flatten`` + parent-index segmented max for levels;
+    labels via one sort over (parent, label) pairs + run-boundary dedup —
+    no per-record Python.
+    """
+    import numpy as np
+
+    col = batch.column(audit_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    levels = pc.struct_field(flat, "level").to_numpy(zero_copy_only=False)
+    labels = pc.struct_field(flat, "category")
+
+    # --- max level per record (records with no audits keep level 0 → None)
+    max_level = np.zeros(n, np.int64)
+    has_audit = np.zeros(n, bool)
+    if len(parents):
+        np.maximum.at(max_level, parents, levels.astype(np.int64))
+        has_audit[np.unique(parents)] = True
+    color_map = {40: "yellow", 50: "orange", 60: "red"}
+    colors = pa.array(
+        [color_map.get(int(l), "white") if h else None for l, h in zip(max_level, has_audit)],
+        pa.string(),
+    )
+
+    # --- distinct sorted categories per record
+    if len(parents):
+        codes = labels.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        uniq = labels.dictionary_encode().dictionary.to_pylist()
+        # sort by (parent, label text) so per-record runs are label-sorted
+        label_rank = np.argsort(np.argsort(np.array(uniq, dtype=object)))
+        order = np.lexsort((label_rank[codes], parents))
+        sp, sc = parents[order], codes[order]
+        keep = np.ones(len(sp), bool)
+        keep[1:] = (sp[1:] != sp[:-1]) | (sc[1:] != sc[:-1])
+        sp, sc = sp[keep], sc[keep]
+        counts = np.zeros(n, np.int64)
+        np.add.at(counts, sp, 1)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        values = pa.DictionaryArray.from_arrays(
+            pa.array(sc.astype(np.int32), pa.int32()), pa.array(uniq, pa.string())
+        ).cast(pa.string())
+        label_lists = pa.ListArray.from_arrays(pa.array(offsets), values)
+    else:
+        label_lists = pa.array([[] for _ in range(n)], pa.list_(pa.string()))
+
+    batch = batch.append_column(color_out, colors)
+    return batch.append_column(labels_out, label_lists)

@@ -82,113 +82,189 @@ def load_partition_state(ptr: dict) -> pa.Table | None:
     return lww_reduce(_concat_unified(tables))
 
 
+# num_cpus=0: flush tasks must not consume scheduler slots — epoch e's
+# flush OVERLAPS epoch e+1's routing tasks by design, and a reservation
+# would serialize the two legs at low cpu counts (same rule as the
+# mergers' own zero reservation).
+@ray.remote(num_cpus=0)
+def _flush_partitions(
+    out_dir: str,
+    epoch: int,
+    parts_group: list[int],
+    blob_refs: list,
+    metas: list[tuple],
+    watermarks: dict[int, int],
+    prev_pointers: dict[int, dict],
+    compact_every: int,
+) -> dict[int, dict]:
+    """Stateless flush worker: decompress the actor's buffered blobs, slice
+    out this group's partitions, and run wm-filter + LWW + stage per
+    partition.  Fanning flush out as tasks makes the flush leg scale with the
+    CLUSTER's cpus instead of the actor count — with 8 actors on 32 cpus an
+    actor-side flush left 3/4 of the machine idle during the epoch tail."""
+    from encode_ingest_ray.state.wire import unpack_table
+
+    want = set(parts_group)
+    buffers: dict[int, list[pa.Table]] = {}
+    for blob, (parts, lens) in zip(ray.get(list(blob_refs)), metas):
+        t = unpack_table(blob)
+        off = 0
+        for part, n in zip(parts, lens):
+            if n and part in want:
+                buffers.setdefault(part, []).append(t.slice(off, n))
+            off += n
+    out: dict[int, dict] = {}
+    for part in sorted(buffers):
+        t0 = time.perf_counter()
+        raw = _concat_unified(buffers[part])
+        wm = watermarks.get(part, -1)
+        fresh = raw
+        if wm >= 0 and raw.num_rows:
+            fresh = raw.filter(pc.greater(raw.column("lsn"), pa.scalar(wm)))
+        metrics = {
+            "events_in": raw.num_rows,
+            "dup_lsn_dropped": raw.num_rows - fresh.num_rows,
+            "applied": fresh.num_rows,
+        }
+        if fresh.num_rows == 0:
+            continue
+        delta = lww_reduce(fresh)
+        wm = max(wm, pc.max(delta.column("lsn")).as_py())
+
+        prev = prev_pointers.get(part, {})
+        deltas = list(prev.get("deltas", []))
+        base = prev.get("base")
+        rows_state = None
+        rows_live = None
+        if len(deltas) + 1 >= compact_every:
+            # amortized compaction: fold base+deltas+this delta into a base
+            state = load_partition_state({"base": base, "deltas": deltas})
+            state = (
+                delta if state is None else lww_reduce(_concat_unified([state, delta]))
+            )
+            base = os.path.join(_part_dir(out_dir, part), f"base-{epoch:06d}.parquet")
+            _atomic_write(state, base)
+            deltas = []
+            rows_state = state.num_rows
+            rows_live = int(
+                pc.sum(pc.not_equal(state.column("op"), pa.scalar("delete"))).as_py()
+                or 0
+            )
+        else:
+            dpath = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
+            _atomic_write(delta, dpath)
+            deltas.append(dpath)
+
+        metrics["rows_delta"] = delta.num_rows
+        metrics["merge_flush_s"] = round(time.perf_counter() - t0, 4)
+        out[part] = {
+            "base": base,
+            "deltas": deltas,
+            "epoch": epoch,
+            "rows_delta": delta.num_rows,
+            "rows_state": rows_state,
+            "rows_live": rows_live,
+            "lsn_hi": wm,
+            "metrics": metrics,
+        }
+    return out
+
+
 @ray.remote(max_restarts=0)
 class PartitionMerger:
     """One merger owns a fixed set of partitions: their LSN watermarks, the
     current epoch's delta buffers, and the staging of delta/base files."""
 
-    def __init__(self, out_dir: str, pointers: dict[int, dict], compact_every: int = 8):
+    def __init__(
+        self,
+        out_dir: str,
+        pointers: dict[int, dict],
+        compact_every: int = 8,
+        flush_fanout: int = 4,
+    ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
         self.compact_every = compact_every
+        self.flush_fanout = max(1, flush_fanout)
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
-        # buffers are keyed by (epoch, part): the driver overlaps epoch e's
+        # payload buffers are keyed by epoch: the driver overlaps epoch e's
         # flush with epoch e+1's exchange, so pushes for two epochs can be
         # in flight at once.  Actor task ordering guarantees flush(e) runs
         # before flush(e+1), so watermark updates stay epoch-ordered.
-        self.buffers: dict[tuple[int, int], list[pa.Table]] = {}
+        # Each entry is a zstd-IPC blob plus its (part, len) run boundaries —
+        # decompression and slicing happen ONCE, batched, at flush (per-push
+        # Arrow work on plasma-backed views costs ~10ms a call).
+        self.payloads: dict[int, list[tuple]] = {}
         self.events_in: dict[tuple[int, int], int] = {}
 
     def apply_block(
-        self, epoch: int, parts: list[int], lens: list[int], table: pa.Table
+        self, epoch: int, parts: list[int], lens: list[int], payload
     ) -> int:
-        """Buffer one routed block: ``table`` is ordered so that the rows of
-        ``parts[i]`` occupy the next ``lens[i]`` rows.  One actor call per
-        (routing task, actor) — slicing here is zero-copy metadata work, no
-        Arrow kernels (per-push compute on plasma-backed views costs ~10ms a
-        call and would dominate the epoch at call volume)."""
-        off = 0
+        """Buffer one routed blob: the decompressed table is ordered so that
+        the rows of ``parts[i]`` occupy the next ``lens[i]`` rows.  One actor
+        call per (routing task, actor); nothing is decoded here."""
+        self.payloads.setdefault(epoch, []).append((payload, parts, lens))
         for part, n in zip(parts, lens):
             if n:
                 key = (epoch, part)
-                self.buffers.setdefault(key, []).append(table.slice(off, n))
                 self.events_in[key] = self.events_in.get(key, 0) + n
-            off += n
-        return table.num_rows
+        return sum(lens)
 
     def flush(self, epoch: int) -> dict[int, dict]:
         """Per dirty partition: wm-filter + LWW-collapse the buffered delta,
         stage it as this epoch's delta file; every ``compact_every`` epochs
-        fold base+deltas into a new base (amortized O(state))."""
+        fold base+deltas into a new base (amortized O(state)).
+
+        The heavy work fans out to ``flush_fanout`` stateless Ray TASKS (one
+        per partition group): the actor re-puts its compressed blobs to the
+        object store once (cheap — blobs are zstd'd, many times smaller than
+        the rows) and remains the single owner of watermarks and pointers, so
+        the exactly-once bookkeeping is unchanged while the decompress + LWW
+        + parquet-write leg uses every free cpu in the cluster instead of one
+        core per actor."""
+        items = self.payloads.pop(epoch, [])
+        if not items:
+            return {}
+        dirty = sorted(
+            {p for _, parts, lens in items for p, n in zip(parts, lens) if n}
+        )
+        blob_refs = [ray.put(p) for p, _, _ in items]
+        metas = [(parts, lens) for _, parts, lens in items]
+        k = min(self.flush_fanout, len(dirty))
+        futs = [
+            _flush_partitions.remote(
+                self.out_dir,
+                epoch,
+                group,
+                blob_refs,
+                metas,
+                {p: self.watermark.get(p, -1) for p in group},
+                {p: self.pointers[p] for p in group if p in self.pointers},
+                self.compact_every,
+            )
+            for group in (dirty[i::k] for i in range(k))
+        ]
         out: dict[int, dict] = {}
-        mine = sorted(k for k in self.buffers if k[0] == epoch)
-        for key in mine:
-            part = key[1]
-            t0 = time.perf_counter()
-            raw = _concat_unified(self.buffers.pop(key))
-            wm = self.watermark.get(part, -1)
-            fresh = raw
-            if wm >= 0 and raw.num_rows:
-                fresh = raw.filter(pc.greater(raw.column("lsn"), pa.scalar(wm)))
-            metrics = {
-                "events_in": self.events_in.pop(key, raw.num_rows),
-                "dup_lsn_dropped": raw.num_rows - fresh.num_rows,
-                "applied": fresh.num_rows,
-            }
-            if fresh.num_rows == 0:
-                continue
-            delta = lww_reduce(fresh)
-            wm = max(wm, pc.max(delta.column("lsn")).as_py())
-            self.watermark[part] = wm
-
-            prev = self.pointers.get(part, {})
-            deltas = list(prev.get("deltas", []))
-            base = prev.get("base")
-            rows_state = None
-            rows_live = None
-            if len(deltas) + 1 >= self.compact_every:
-                # amortized compaction: fold base+deltas+this delta into a base
-                state = load_partition_state({"base": base, "deltas": deltas})
-                state = (
-                    delta
-                    if state is None
-                    else lww_reduce(_concat_unified([state, delta]))
-                )
-                base = os.path.join(
-                    _part_dir(self.out_dir, part), f"base-{epoch:06d}.parquet"
-                )
-                _atomic_write(state, base)
-                deltas = []
-                rows_state = state.num_rows
-                rows_live = int(
-                    pc.sum(
-                        pc.not_equal(state.column("op"), pa.scalar("delete"))
-                    ).as_py()
-                    or 0
-                )
-            else:
-                dpath = os.path.join(
-                    _part_dir(self.out_dir, part), f"delta-{epoch:06d}.parquet"
-                )
-                _atomic_write(delta, dpath)
-                deltas.append(dpath)
-
-            metrics["rows_delta"] = delta.num_rows
-            metrics["merge_flush_s"] = round(time.perf_counter() - t0, 4)
-            ptr = {
-                "base": base,
-                "deltas": deltas,
-                "epoch": epoch,
-                "rows_delta": delta.num_rows,
-                "rows_state": rows_state,
-                "rows_live": rows_live,
-                "lsn_hi": wm,
-                "metrics": metrics,
-            }
-            out[part] = ptr
-            self.pointers[part] = {k: v for k, v in ptr.items() if k != "metrics"}
+        for res in ray.get(futs):
+            for part, ptr in res.items():
+                # events_in counted at push time (includes rows the wm filter
+                # later drops as cross-epoch replays)
+                pushed = self.events_in.pop((epoch, part), None)
+                if pushed is not None:
+                    ptr["metrics"]["events_in"] = pushed
+                    ptr["metrics"]["dup_lsn_dropped"] = (
+                        pushed - ptr["metrics"]["applied"]
+                    )
+                self.watermark[part] = ptr["lsn_hi"]
+                self.pointers[part] = {
+                    k2: v for k2, v in ptr.items() if k2 != "metrics"
+                }
+                out[part] = ptr
+        # clean partitions whose rows were all wm-dropped (no pointer update)
+        for key in [key for key in self.events_in if key[0] == epoch]:
+            del self.events_in[key]
         return out
 
     def ping(self) -> bool:
