@@ -201,6 +201,7 @@ def transform_file_batch(batch: pa.Table, lib_idx: dict[str, list[str]]) -> pa.T
             "donor_id": _ids(_get_list(batch, "donors")),
             "derived_from_file_id": _ids(_get_list(batch, "derived_from")),
             "reference_assembly": pa.array(_get_list(batch, "assembly"), pa.list_(pa.string())),
+            "file_ref": pa.nulls(n, pa.string()),  # fileRef = None in the reference
             "library_layout": library_layout,
             "paired_end_identifier": pa.array(paired_end_id, pa.int64()),
             "paired_with_file_id": pa.array(

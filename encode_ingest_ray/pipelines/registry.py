@@ -27,4 +27,9 @@ def register(name: str, sql: str | None = None):
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from encode_ingest_ray.pipelines import analogs, cdc_queries, training  # noqa: F401
+    from encode_ingest_ray.pipelines import (  # noqa: F401
+        analogs,
+        cdc_queries,
+        entity_queries,
+        training,
+    )

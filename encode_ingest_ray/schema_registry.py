@@ -40,18 +40,35 @@ _DATATYPES = {
 
 
 class TableSpec:
+    """Accepts BOTH spec dialects:
+
+    * the engine's own shape (``primaryKey`` list + per-column ``required`` /
+      ``array_of`` booleans), and
+    * the reference's jade-tables shape, where each column carries
+      ``type: primary_key | required | repeated``
+      (/root/reference/schema/src/main/jade-tables/file.table.json:2-7).
+    """
+
     def __init__(self, spec: dict):
         self.name: str = spec["name"]
         self.primary_key: list[str] = list(spec.get("primaryKey", []))
-        self.required: set[str] = {
-            c["name"] for c in spec["columns"] if c.get("required")
-        }
+        self.required: set[str] = set()
         fields = []
         for col in spec["columns"]:
             dt = _DATATYPES[col["datatype"]]
-            if col.get("array_of"):
+            jade_type = col.get("type")
+            repeated = bool(col.get("array_of")) or jade_type == "repeated"
+            required = bool(col.get("required")) or jade_type in (
+                "required",
+                "primary_key",
+            )
+            if jade_type == "primary_key" and col["name"] not in self.primary_key:
+                self.primary_key.append(col["name"])
+            if repeated:
                 dt = pa.list_(dt)
-            fields.append(pa.field(col["name"], dt, nullable=not col.get("required")))
+            if required:
+                self.required.add(col["name"])
+            fields.append(pa.field(col["name"], dt, nullable=not required))
         self.schema = pa.schema(fields)
         for pk in self.primary_key:
             if pk not in self.schema.names:

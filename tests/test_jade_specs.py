@@ -1,0 +1,160 @@
+"""Validate entity-transform outputs against the REAL jade table specs
+(SURVEY.md §2.10): the reference's *.table.json files load through
+SchemaRegistry (jade `type:` dialect) and each transform's output must pass
+spec validation — required non-null, repeated → list<...>, unknown columns
+absent, primary key unique.  Skipped when the reference checkout is absent
+(the repo is standalone; the specs are validation fixtures only)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from encode_ingest_ray.pipelines import entities as E
+from encode_ingest_ray.schema_registry import SchemaRegistry
+
+JADE_DIR = "/root/reference/schema/src/main/jade-tables"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(JADE_DIR), reason="reference jade-tables not available"
+)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return SchemaRegistry(JADE_DIR)
+
+
+def _check(spec, table: pa.Table):
+    out = spec.validate(table, ignore_unknown_values=False)
+    assert out.schema == spec.schema
+    # primary key unique + non-null
+    for pk in spec.primary_key:
+        col = out.column(pk)
+        assert col.null_count == 0
+        assert len(set(col.to_pylist())) == out.num_rows
+    return out
+
+
+def test_file_output_matches_jade_spec(registry):
+    from tests.test_entities import _files_table, _libraries_table
+
+    out_tables = ray.get(
+        E.transform_files(
+            ray.data.from_arrow(_files_table()), _libraries_table()
+        ).to_arrow_refs()
+    )
+    table = pa.concat_tables([t for t in out_tables if t.num_rows])
+    validated = _check(registry["file"], table)
+    assert validated.num_rows == 4
+
+
+def test_antibody_output_matches_jade_spec(registry):
+    import tests.test_entities as TE
+
+    antibodies = pa.table(
+        {
+            "at_id": pa.array(["/antibodies/AB1/"]),
+            "targets": pa.array([["/targets/T1/"]], pa.list_(pa.string())),
+            "dbxrefs": pa.array([[]], pa.list_(pa.string())),
+            "date_created": pa.array([TE.TS.as_py()], pa.timestamp("us", "UTC")),
+            "source": pa.array(["/sources/S1/"]),
+            "clonality": pa.array(["monoclonal"]),
+            "host_organism": pa.array(["/organisms/rabbit/"]),
+            "award": pa.array(["/awards/A1/"]),
+            "isotype": pa.array(["IgG"]),
+            "lab": pa.array(["/labs/L1/"]),
+            "lot_id": pa.array(["lot1"]),
+            "product_id": pa.array(["p1"]),
+            "purifications": pa.array([["affinity"]], pa.list_(pa.string())),
+        }
+    )
+    targets = pa.table(
+        {
+            "at_id": pa.array(["/targets/T1/"]),
+            "organism": pa.array(["/organisms/human/"]),
+            "label": pa.array(["CTCF"]),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                E.transform_antibodies(
+                    ray.data.from_arrow(antibodies), ray.data.from_arrow(targets)
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    _check(registry["antibody"], out)
+
+
+def test_library_output_matches_jade_spec(registry):
+    # the reference's transformLibrary reads `biosample` as REQUIRED
+    # (LibraryTransformations.scala:48 uses read, not tryRead) — the
+    # mixed_biosamples arm exists only for FILE library resolution, so the
+    # spec-conformance fixture always sets biosample
+    from tests.test_entities import TS
+
+    libraries = pa.table(
+        {
+            "at_id": pa.array(["/libraries/L1/", "/libraries/L2/"]),
+            "biosample": pa.array(["/biosamples/B1/", "/biosamples/B2/"]),
+            "date_created": pa.array([TS.as_py()] * 2, pa.timestamp("us", "UTC")),
+            "award": pa.array(["/awards/A1/"] * 2),
+            "lab": pa.array(["/labs/L1/"] * 2),
+            "submitted_by": pa.array(["/users/U1/"] * 2),
+            "strand_specificity": pa.array(["forward", None]),
+            "treatments": pa.array([[], []], pa.list_(pa.string())),
+            "spikeins_used": pa.array([[], []], pa.list_(pa.string())),
+            "dbxrefs": pa.array([[], []], pa.list_(pa.string())),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                E.transform_libraries(ray.data.from_arrow(libraries)).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    _check(registry["library"], out)
+
+
+def test_donor_output_matches_jade_spec(registry):
+    from encode_ingest_ray.pipelines.donor import transform_donor_batch
+
+    donors = pa.table(
+        {
+            "at_id": pa.array(["/human-donors/D1/"]),
+            "dbxrefs": pa.array([[]], pa.list_(pa.string())),
+            "date_created": pa.array(
+                [1608832800111222], pa.timestamp("us", "UTC")
+            ),
+            "organism": pa.array(["/organisms/human"]),
+            "award": pa.array(["/awards/A1/"]),
+            "lab": pa.array(["/labs/L1/"]),
+            "submitted_by": pa.array(["/users/U1/"]),
+            "age": pa.array(["30-33"]),
+            "ethnicity": pa.array([["ethn1"]], pa.list_(pa.string())),
+            "parents": pa.array([[]], pa.list_(pa.string())),
+            "twin": pa.array([None], pa.string()),
+            "siblings": pa.array([[]], pa.list_(pa.string())),
+        }
+    )
+    out = transform_donor_batch(donors, {"/organisms/human": "Homo sapiens"})
+    # donor.py predates the jade loader; it emits a subset of the 20 columns —
+    # validation null-fills the optional rest and fails if required ones miss
+    _check(registry["donor"], out)
+
+
+def test_all_jade_specs_compile(registry):
+    # every spec in the reference dir compiles to an Arrow schema, including
+    # the 67-column biosample stress case
+    assert len(registry.specs) >= 19
+    bios = registry["biosample"]
+    assert len(bios.schema) == 67
+    assert bios.primary_key == ["biosample_id"]
