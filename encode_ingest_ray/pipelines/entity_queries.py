@@ -400,3 +400,155 @@ def ri_sweep_orphan_refs(sf_dir: str):
         )
 
     return bucketed_groupby_apply(rows, ["conv_id"], sweep_bucket)
+
+
+# ---------------------------------------------------------------------------
+# J7 getLibrariesByExperiment (TransformationPipelineBuilder.scala:464-486)
+# ---------------------------------------------------------------------------
+LIBRARIES_BY_EXPERIMENT_SQL = """
+WITH replicates AS (
+  SELECT '/experiments/E' || CAST(l_orderkey % 500 AS VARCHAR) || '/' AS experiment,
+         '/libraries/L' || CAST(l_partkey % 200 AS VARCHAR) || '/' AS library
+  FROM lineitem
+),
+libraries AS (
+  SELECT '/libraries/L' || CAST(p_partkey AS VARCHAR) || '/' AS at_id
+  FROM part WHERE p_partkey < 150
+)
+SELECT regexp_extract(r.experiment, '/[^/]+/([^/]+)/?$', 1) AS experiment_id,
+       COUNT(*) AS n_libraries,
+       string_agg(regexp_extract(l.at_id, '/[^/]+/([^/]+)/?$', 1), ','
+                  ORDER BY regexp_extract(l.at_id, '/[^/]+/([^/]+)/?$', 1)) AS library_ids
+FROM replicates r JOIN libraries l ON r.library = l.at_id
+GROUP BY experiment_id
+"""
+
+
+@register("libraries_by_experiment", LIBRARIES_BY_EXPERIMENT_SQL)
+def libraries_by_experiment(sf_dir: str):
+    """J7 as a first-class distributed query: replicates keyed by library →
+    join libraries (exchange 1 on the library key, inner — missing libraries
+    drop, the reference's flatMap-over-Option) → group by experiment
+    (exchange 2), keeping multiplicity.  Raw tables derived from
+    lineitem/part so DuckDB runs the identical plan."""
+    import numpy as np
+
+    from encode_ingest_ray.pipelines.entities import transform_id
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    replicates = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    parts = _read(sf_dir, "part", ["p_partkey"])
+
+    def derive_replicates(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array([f"/libraries/L{v % 200}/" for v in pk], pa.string()),
+                "experiment": pa.array(
+                    [f"/experiments/E{v % 500}/" for v in ok], pa.string()
+                ),
+                "is_lib": pa.array(np.zeros(len(ok), bool)),
+            }
+        )
+
+    def derive_libraries(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t.column("p_partkey"), 150))
+        pk = keep.column("p_partkey").to_pylist()
+        return pa.table(
+            {
+                "key": pa.array([f"/libraries/L{v}/" for v in pk], pa.string()),
+                "experiment": pa.nulls(len(pk), pa.string()),
+                "is_lib": pa.array(np.ones(len(pk), bool)),
+            }
+        )
+
+    reps = replicates.map_batches(
+        derive_replicates, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    libs = parts.map_batches(
+        derive_libraries, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        is_lib = t.column("is_lib")
+        present = set(t.filter(is_lib).column("key").to_pylist())
+        reps_rows = t.filter(pc.invert(is_lib))
+        keys = reps_rows.column("key").to_pylist()
+        exps = reps_rows.column("experiment").to_pylist()
+        keep_exp, keep_lib = [], []
+        for k, e in zip(keys, exps):
+            if k in present:  # inner join: replicate rows without a library drop
+                keep_exp.append(e)
+                keep_lib.append(transform_id(k))
+        return pa.table(
+            {
+                "experiment": pa.array(keep_exp, pa.string()),
+                "lib_id": pa.array(keep_lib, pa.string()),
+            }
+        )
+
+    joined = bucketed_groupby_apply(libs.union(reps), ["key"], join_bucket)
+
+    def group_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("experiment", "ascending"), ("lib_id", "ascending")]
+        )
+        g = t.take(idx)
+        exp = g.column("experiment").combine_chunks()
+        codes = exp.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        offsets = pa.array(np.r_[starts, g.num_rows].astype(np.int32))
+        lib_lists = pa.ListArray.from_arrays(offsets, g.column("lib_id").combine_chunks())
+        return pa.table(
+            {
+                "experiment_id": pa.array(
+                    [transform_id(v) for v in exp.take(pa.array(starts)).to_pylist()],
+                    pa.string(),
+                ),
+                "n_libraries": pa.array(
+                    np.diff(np.r_[starts, g.num_rows]), pa.int64()
+                ),
+                "library_ids": pc.binary_join(lib_lists, ","),
+            }
+        )
+
+    return bucketed_groupby_apply(joined, ["experiment"], group_bucket)
+
+
+# ---------------------------------------------------------------------------
+# S4 partitioned SQL source (FileBackfillGenerator.scala:16-74 analog)
+# ---------------------------------------------------------------------------
+DBAPI_SCAN_SQL = """
+SELECT event_id, user_id, event_type
+FROM events WHERE value >= 50 ORDER BY event_id
+"""
+
+
+def _duck_events_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+@register("dbapi_source_scan", DBAPI_SCAN_SQL)
+def dbapi_source_scan(sf_dir: str):
+    """S4: the partitioned DB-API source — key-range planning on the driver,
+    per-partition range-scan tasks each with their own connection, column
+    pruning + predicate pushdown (sources/dbapi.py; DuckDB backend)."""
+    from functools import partial
+
+    from encode_ingest_ray.sources.dbapi import read_dbapi
+
+    return read_dbapi(
+        partial(_duck_events_connection, sf_dir),
+        "events",
+        key="event_id",
+        columns=["event_id", "user_id", "event_type"],
+        predicate="value >= 50",
+        num_partitions=8,
+    )

@@ -273,19 +273,24 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 def verify_pairs_jaccard(
     pairs_ds, docs_ds, id_column: str = "doc_id",
-    text_column: str = "text", n: int = 3, threshold: float = 0.8
+    text_column: str = "text", n: int = 3, threshold: float = 0.8,
+    broadcast_max_docs: int = 100_000,
 ):
-    """Verify LSH candidate pairs with exact n-gram Jaccard, fully
-    distributed — the corpus is NEVER broadcast or read driver-side.
+    """Verify LSH candidate pairs with exact n-gram Jaccard — the CORPUS is
+    never broadcast or read driver-side; only candidate-bounded state is.
 
-    Shape (scales to any corpus size):
+    Two paths, switched on the distinct-candidate count:
+
+    * ≤ ``broadcast_max_docs`` candidates — prune the docs stream to the
+      candidate ids (distributed filter), collect ONLY those texts, and
+      verify pairs against the broadcast candidate dict.  Zero exchanges;
+      memory bounded by the candidate set, not the corpus.
+    * larger — fully exchange-based:
       1. explode each pair into two sides (doc_id, doc_a, doc_b);
-      2. prune the docs side to candidate ids only — the distinct-candidate
-         id ARRAY is broadcast (ray.put), which is proportional to the LSH
-         candidate set, not the corpus;
+      2. prune the docs side to candidate ids (broadcast id ARRAY only);
       3. bucketed exchange on doc_id joins text to each pair side;
-      4. bucketed exchange on (doc_a, doc_b) brings both sides of a pair
-         together and scores exact n-gram Jaccard.
+      4. bucketed exchange on (doc_a, doc_b) brings both sides together
+         and scores exact n-gram Jaccard.
     """
     import numpy as np
     import ray
@@ -316,7 +321,50 @@ def verify_pairs_jaccard(
                 }
             )
         )
-    needed_ref = ray.put(np.unique(np.concatenate(id_blocks)))
+    needed = np.unique(np.concatenate(id_blocks))
+    needed_ref = ray.put(needed)
+
+    if len(needed) <= broadcast_max_docs:
+        # ---- small-candidate path: zero exchanges -----------------------
+        def prune(t: pa.Table) -> pa.Table:
+            ids = t.column(id_column).combine_chunks().to_numpy(zero_copy_only=False)
+            return t.select([id_column, text_column]).filter(
+                pa.array(np.isin(ids, ray.get(needed_ref)))
+            )
+
+        pruned = docs_ds.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        cand_tables = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+        lookup_ref = ray.put(
+            pa.concat_tables(cand_tables)
+            if cand_tables
+            else pa.table({id_column: pa.array([], pa.int64()), text_column: pa.array([], pa.string())})
+        )
+
+        def verify(batch: pa.Table) -> pa.Table:
+            docs = ray.get(lookup_ref)
+            lookup = dict(
+                zip(docs.column(id_column).to_pylist(), docs.column(text_column).to_pylist())
+            )
+            keep_a, keep_b, sims = [], [], []
+            for a, b in zip(
+                batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+            ):
+                j = ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
+                if j >= threshold:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    sims.append(int(round(j * 1000)))
+            return pa.table(
+                {
+                    "doc_a": pa.array(keep_a, pa.int64()),
+                    "doc_b": pa.array(keep_b, pa.int64()),
+                    "jaccard_milli": pa.array(sims, pa.int64()),
+                }
+            )
+
+        return pairs.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
     # -- side rows: (doc_id to resolve, pair key, no text yet) -----------
     def explode_sides(t: pa.Table) -> pa.Table:

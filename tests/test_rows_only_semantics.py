@@ -94,6 +94,19 @@ def test_minhash_lsh_finds_true_near_dups_and_verify_is_exact():
     verified = verify_pairs_jaccard(
         pairs, ray.data.from_arrow(docs), threshold=0.6
     ).to_pandas()
+    # the exchange-based large-candidate path must agree exactly with the
+    # broadcast small-candidate path
+    verified_ex = (
+        verify_pairs_jaccard(
+            pairs, ray.data.from_arrow(docs), threshold=0.6, broadcast_max_docs=0
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert verified_ex.equals(
+        verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
     assert len(verified) > 100  # the 40 base variants pair up heavily
     text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
     for _, r in verified.head(50).iterrows():
