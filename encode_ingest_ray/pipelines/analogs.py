@@ -490,21 +490,30 @@ def join_broadcast_dims(sf_dir: str):
 def join_cohash(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-    joined = cohash_join(orders, items, "o_orderkey", "l_orderkey", num_buckets=32)
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-bucket partial INSIDE the join task: only (priority, count,
+        # cents) partials leave the bucket, not the full join result
+        t = pa.table(
             {
                 "o_orderpriority": t.column("o_orderpriority"),
                 "price_cents": _cents(t.column("l_extendedprice")),
             }
         )
+        return t.group_by("o_orderpriority").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        ).rename_columns(["o_orderpriority", "price_cents", "n_items"])
+
+    joined = cohash_join(
+        orders, items, "o_orderkey", "l_orderkey", num_buckets=32, map_joined=prep
+    )
 
     from encode_ingest_ray.stages.aggregate import partial_groupby_sum
 
-    pre = joined.map_batches(prep, batch_format="pyarrow", batch_size=None)
     return partial_groupby_sum(
-        pre, ["o_orderpriority"], {"price_cents": "price_cents"}, count_alias="n_items"
+        joined,
+        ["o_orderpriority"],
+        {"price_cents": "price_cents", "n_items": "n_items"},
     ).map_batches(
         lambda t: t.select(["o_orderpriority", "n_items", "price_cents"]),
         batch_format="pyarrow", batch_size=None)

@@ -113,9 +113,14 @@ def cohash_join(
     right_key: str,
     num_buckets: int = 64,
     how: str = "inner",
+    map_joined=None,
 ):
     """Partitioned hash join of two Datasets: tag → union → one
     ``groupby(bucket)`` exchange → pandas merge per bucket.
+
+    ``map_joined(table)``, when given, runs on each bucket's joined table
+    INSIDE the join task — push per-bucket aggregation here so partials
+    (not the full-width join result) are what leaves the task.
 
     Skew note: a hot join key lands in one bucket; raise ``num_buckets`` or
     pre-salt the hot keys (split the left side's hot key into k sub-keys and
@@ -167,7 +172,8 @@ def cohash_join(
         ).rename_columns(right_cols)
         # pyarrow's C++ hash join; NB the right join key column is not
         # duplicated in the output (its values equal the left key on inner)
-        return l.join(r, keys=[left_key], right_keys=[right_key], join_type=_PA_JOIN[how])
+        out = l.join(r, keys=[left_key], right_keys=[right_key], join_type=_PA_JOIN[how])
+        return map_joined(out) if map_joined is not None else out
 
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pyarrow")
