@@ -15,8 +15,10 @@ operator reproduces the *graph traversal semantics* natively:
 
 Scale note: frontier *id sets* live on the driver (ids are tiny relative to
 rows — the reference holds them as query batches too); each hop's row
-selection is a streaming distributed filter.  For id sets beyond driver RAM,
-swap the set for a Bloom filter broadcast.
+selection is a streaming distributed filter.  Beyond driver RAM,
+``frontier_mode="bloom"`` swaps the exact reached-sets for Bloom filters
+(state/bloom.py): O(bits) memory, zero duplicate fetches, bounded
+under-crawl at the configured false-positive rate.
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ def crawl(
     links: list[tuple[str, str, str]],
     seeds: dict[str, list],
     max_hops: int = 10,
+    frontier_mode: str = "exact",
+    bloom_capacity: int = 1_000_000,
+    bloom_fp_rate: float = 0.001,
 ) -> dict[str, "ray.data.Dataset"]:
     """BFS over FK links.
 
@@ -41,11 +46,46 @@ def crawl(
     ``links``: (src_table, fk_column, dst_table) — fk_column may hold one id
     or a list of ids; ``seeds``: table -> initial id list.
 
+    ``frontier_mode="exact"`` keeps per-table reached-sets (small graphs);
+    ``"bloom"`` keeps a BloomFilter per table instead — the per-HOP frontier
+    still materializes (bounded by hop fan-out), but the cumulative
+    reached-set never does.  Final row selection then filters each table by
+    Bloom membership (broadcast once), instead of an id list.
+
     Returns name -> Dataset of only the reachable rows (empty-reach tables
     map to a 0-row filter of the original).
     """
-    reached: dict[str, set] = {t: set(ids) for t, ids in seeds.items()}
-    frontier: dict[str, set] = {t: set(ids) for t, ids in seeds.items()}
+    import numpy as np
+
+    from encode_ingest_ray.state.bloom import BloomFilter
+
+    use_bloom = frontier_mode == "bloom"
+    if use_bloom:
+        reached_bloom: dict[str, BloomFilter] = {}
+        touched: set[str] = set()
+
+        def mark_new(dst: str, ids: list) -> list:
+            bf = reached_bloom.get(dst)
+            if bf is None:
+                bf = reached_bloom[dst] = BloomFilter(bloom_capacity, bloom_fp_rate)
+            ids = list(ids)
+            fresh = [i for i, seen in zip(ids, bf.contains_many(ids)) if not seen]
+            bf.add_many(fresh)
+            touched.add(dst)
+            return fresh
+
+    else:
+        reached: dict[str, set] = {}
+
+        def mark_new(dst: str, ids: list) -> list:
+            seen = reached.setdefault(dst, set())
+            fresh = [i for i in ids if i not in seen]
+            seen.update(fresh)
+            return fresh
+
+    frontier: dict[str, set] = {}
+    for t, ids in seeds.items():
+        frontier[t] = set(mark_new(t, list(dict.fromkeys(ids))))
 
     for _ in range(max_hops):
         next_frontier: dict[str, set] = {}
@@ -62,9 +102,8 @@ def crawl(
                 if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
                     col = pc.list_flatten(col.combine_chunks())
                 fk_values.update(v for v in col.to_pylist() if v is not None)
-            new = fk_values - reached.get(dst, set())
+            new = mark_new(dst, sorted(fk_values))
             if new:
-                reached.setdefault(dst, set()).update(new)
                 next_frontier.setdefault(dst, set()).update(new)
         if not next_frontier:
             break
@@ -72,6 +111,22 @@ def crawl(
 
     out: dict[str, "ray.data.Dataset"] = {}
     for name, ds in tables.items():
-        ids = sorted(reached.get(name, set()))
-        out[name] = semi_join_filter(ds, ids if ids else [""], id_columns[name])
+        if use_bloom:
+            if name not in reached_bloom:
+                out[name] = semi_join_filter(ds, [""], id_columns[name])
+                continue
+            state_ref = ray.put(reached_bloom[name].state())
+            id_col = id_columns[name]
+
+            def bloom_filter_rows(t: pa.Table, _ref=state_ref, _col=id_col) -> pa.Table:
+                bf = BloomFilter.from_state(ray.get(_ref))
+                vals = t.column(_col).to_pylist()
+                return t.filter(pa.array(np.asarray(bf.contains_many(vals))))
+
+            out[name] = ds.map_batches(
+                bloom_filter_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        else:
+            ids = sorted(reached.get(name, set()))
+            out[name] = semi_join_filter(ds, ids if ids else [""], id_columns[name])
     return out

@@ -552,3 +552,57 @@ def dbapi_source_scan(sf_dir: str):
         predicate="value >= 50",
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# explorer file-backfill (FileBackfillGenerator.scala:16-74)
+# ---------------------------------------------------------------------------
+FILE_BACKFILL_SQL = """
+WITH files AS (
+  SELECT doc_id AS file_id,
+         CASE doc_id % 3 WHEN 0 THEN 'fastq' WHEN 1 THEN 'bam' ELSE 'bed' END AS file_format,
+         CASE doc_id % 2 WHEN 0 THEN 'Raw Data' ELSE 'peak calls' END AS data_type,
+         md5(text) AS md5sum,
+         'gs://bucket/run' || CAST(doc_id % 10 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) || '.dat' AS file_gs_path,
+         doc_id % 4 <> 0 AS file_available_in_gcs
+  FROM documents
+)
+SELECT file_gs_path AS "sourcePath",
+       '/' || lower(regexp_replace(data_type, '\\s+', '-', 'g')) || '/' || file_format
+           || '/' || md5sum || '/' || regexp_extract(file_gs_path, '([^/]*)$', 1) AS "targetPath"
+FROM files WHERE file_available_in_gcs
+"""
+
+
+def _duck_files_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW files AS
+            SELECT doc_id AS file_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'fastq' WHEN 1 THEN 'bam' ELSE 'bed' END AS file_format,
+                   CASE doc_id % 2 WHEN 0 THEN 'Raw Data' ELSE 'peak calls' END AS data_type,
+                   md5(text) AS md5sum,
+                   'gs://bucket/run' || CAST(doc_id % 10 AS VARCHAR) || '/f' || CAST(doc_id AS VARCHAR) || '.dat' AS file_gs_path,
+                   doc_id % 4 <> 0 AS file_available_in_gcs
+            FROM read_parquet('{sf_dir}/documents.parquet')"""
+    )
+    return con
+
+
+@register("file_backfill_requests", FILE_BACKFILL_SQL)
+def file_backfill_requests(sf_dir: str):
+    """The explorer backfill end to end: partitioned DB scan (predicate
+    pushdown on availability) → vectorized ingest-request mapper."""
+    from functools import partial
+
+    from encode_ingest_ray.pipelines.backfill import file_backfill
+
+    return file_backfill(
+        partial(_duck_files_connection, sf_dir),
+        table="files",
+        key="file_id",
+        predicate="file_available_in_gcs",
+        num_partitions=8,
+    )

@@ -160,3 +160,31 @@ def test_text_stats_and_langid():
     assert stats.column("n_stop").to_pylist() == [3, 0]  # the, and, the
     lang = LangId()(t)
     assert lang.column("pred_lang").to_pylist() == ["en", "de"]
+
+
+def test_wire_pack_roundtrip_property():
+    """zstd-IPC wire format: pack/unpack is identity for arbitrary tables,
+    including slices (non-zero offset buffers) and nulls."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from encode_ingest_ray.state.wire import pack_table, unpack_table
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(0, 50),
+        off=st.integers(0, 10),
+        data=st.data(),
+    )
+    def check(n, off, data):
+        texts = data.draw(
+            st.lists(st.one_of(st.none(), st.text(max_size=20)), min_size=n + off, max_size=n + off)
+        )
+        nums = data.draw(
+            st.lists(st.one_of(st.none(), st.integers(-2**60, 2**60)), min_size=n + off, max_size=n + off)
+        )
+        t = pa.table({"s": pa.array(texts, pa.string()), "i": pa.array(nums, pa.int64())})
+        sl = t.slice(off, n)
+        assert unpack_table(pack_table(sl)) == sl
+
+    check()
