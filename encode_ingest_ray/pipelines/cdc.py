@@ -442,12 +442,10 @@ class CdcEngine:
 
         Schema evolution: partitions last written before an additive column
         appeared lack it; every partition is aligned to the union schema
-        (null-filled), computed driver-side from parquet footers (one footer
-        read per committed file — cache/prune this at very large partition
-        counts).
+        (null-filled).  Footer reads run as one Ray task PER PARTITION (the
+        driver unifies only tiny serialized schemas — no per-file driver IO
+        at large partition counts).
         """
-        import pyarrow.parquet as pq
-
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
         from encode_ingest_ray.state.lww import live_view
         from encode_ingest_ray.state.merger import load_partition_state
@@ -455,11 +453,27 @@ class CdcEngine:
         parts = self.partition_files()
         if not parts:
             return ray.data.from_items([])
-        unified = None
-        for info in parts.values():
-            for f in ([info["base"]] if info["base"] else []) + info["deltas"]:
+
+        @ray.remote(num_cpus=0)
+        def _partition_schema(files: list[str]) -> bytes:
+            import pyarrow.parquet as pq
+
+            u = None
+            for f in files:
                 s = pq.read_schema(f)
-                unified = s if unified is None else unify_schemas(unified, s)
+                u = s if u is None else unify_schemas(u, s)
+            return u.serialize().to_pybytes()
+
+        schema_futures = [
+            _partition_schema.remote(
+                ([info["base"]] if info["base"] else []) + info["deltas"]
+            )
+            for info in parts.values()
+        ]
+        unified = None
+        for blob in ray.get(schema_futures):
+            s = pa.ipc.read_schema(pa.BufferReader(blob))
+            unified = s if unified is None else unify_schemas(unified, s)
 
         items = [
             {"base": info["base"] or "", "deltas": info["deltas"]}

@@ -356,7 +356,22 @@ def ivf_topk(
     as brute_force_topk."""
 
     sample = _matrix(query_table, column)  # queries always included in train
-    head = ds.limit(train_sample).to_pandas()
+    # deterministic distributed sample: EVERY block contributes a strided
+    # subset (a head `limit` would train the quantizer on the first file
+    # only and skew centroids at scale), then cap at train_sample
+    per_block = max(8, train_sample // 32)
+
+    def strided(t: pa.Table) -> pa.Table:
+        if t.num_rows <= per_block:
+            return t.select([column])
+        step = t.num_rows // per_block
+        return t.select([column]).take(pa.array(range(0, step * per_block, step)))
+
+    head = (
+        ds.map_batches(strided, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .limit(train_sample)
+        .to_pandas()
+    )
     if len(head):
         dim = len(head[column].iloc[0])
         head_m = np.stack(head[column].to_numpy()).reshape(len(head), dim)
