@@ -252,3 +252,20 @@ def ann_ivf_q(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return ivf_topk(ds, _queries_table(sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate quantiles (mergeable summary sketch; rows-only — the
+# estimate is partition-dependent, accuracy pinned in pytest)
+# ---------------------------------------------------------------------------
+@register("grouped_quantiles")
+def grouped_quantiles(sf_dir: str):
+    """p50/p95/p99 of event value per event type via the mergeable quantile
+    summary (stages/sketch.py): per-block compressed CDF partials cross the
+    one exchange, never raw values."""
+    from encode_ingest_ray.stages.sketch import grouped_approx_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_approx_quantiles(ds, "event_type", "value", [0.5, 0.95, 0.99])

@@ -95,3 +95,115 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     ).take_all()
     sketches = [np.frombuffer(r["sketch"], np.uint8) for r in rows]
     return estimate(merge_sketches(sketches))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (Greenwald-Khanna-lite: weighted compressed
+# CDF points — the distributed-percentile shape; deterministic)
+# ---------------------------------------------------------------------------
+def quantile_summary(values: np.ndarray, q: int = 256) -> np.ndarray:
+    """Compress a value array to ≤``q`` (value, weight) CDF points: sort,
+    then take q evenly-spaced rank slices, each point carrying its slice's
+    row count.  Rank error ≤ n/q by construction."""
+    n = len(values)
+    out = np.empty((min(q, n), 2), np.float64)
+    if n == 0:
+        return out
+    s = np.sort(values.astype(np.float64))
+    if n <= q:
+        out[:, 0] = s
+        out[:, 1] = 1.0
+        return out
+    edges = np.linspace(0, n, q + 1).astype(np.int64)
+    for i in range(q):
+        lo, hi = edges[i], edges[i + 1]
+        out[i, 0] = s[hi - 1]  # slice max → never under-reports a quantile
+        out[i, 1] = hi - lo
+    return out
+
+
+def merge_quantile_summaries(summaries: list[np.ndarray], q: int = 256) -> np.ndarray:
+    """Associative merge: concatenate points, sort by value, re-compress to
+    q points by cumulative weight."""
+    pts = np.concatenate([s for s in summaries if len(s)])
+    if len(pts) == 0:
+        return pts.reshape(0, 2)
+    order = np.argsort(pts[:, 0], kind="mergesort")
+    pts = pts[order]
+    if len(pts) <= q:
+        return pts
+    cw = np.cumsum(pts[:, 1])
+    total = cw[-1]
+    targets = np.linspace(total / q, total, q)
+    idx = np.searchsorted(cw, targets, side="left").clip(0, len(pts) - 1)
+    out = np.empty((q, 2), np.float64)
+    out[:, 0] = pts[idx, 0]
+    prev = np.concatenate(([0.0], cw[idx][:-1]))
+    out[:, 1] = cw[idx] - prev
+    keep = out[:, 1] > 0
+    return out[keep]
+
+
+def summary_quantile(summary: np.ndarray, phi: float) -> float:
+    """Value at quantile ``phi`` from a (value, weight) summary."""
+    if len(summary) == 0:
+        return float("nan")
+    cw = np.cumsum(summary[:, 1])
+    target = phi * cw[-1]
+    i = int(np.searchsorted(cw, target, side="left").clip(0, len(summary) - 1))
+    return float(summary[i, 0])
+
+
+def grouped_approx_quantiles(
+    ds, key: str, value: str, phis: list[float], q: int = 256
+):
+    """Distributed grouped quantiles: per-block per-key summaries (the
+    combiner — at most q points per key per block cross the exchange), one
+    bucketed exchange on the key, weighted merge per key.  Output one row
+    per key with a column per phi (``p50``-style names, values as
+    milli-units int64 for stable comparison)."""
+    import pyarrow.compute as pc
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    def per_block(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        g = t.take(idx)
+        keys = g.column(key).combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        vals = g.column(value).combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.r_[starts, len(codes)]
+        out_k, out_s = [], []
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            out_k.append(keys[int(lo)].as_py())
+            out_s.append(quantile_summary(vals[lo:hi], q).tobytes())
+        return pa.table(
+            {key: pa.array(out_k), "summary": pa.array(out_s, pa.binary())}
+        )
+
+    partials = ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        blobs = t.column("summary").to_pylist()
+        by_key: dict = {}
+        for k, b in zip(keys, blobs):
+            by_key.setdefault(k, []).append(np.frombuffer(b, np.float64).reshape(-1, 2))
+        out = {key: [], **{f"p{int(p * 100)}_milli": [] for p in phis}}
+        for k in sorted(by_key):
+            merged = merge_quantile_summaries(by_key[k], q)
+            out[key].append(k)
+            for p in phis:
+                out[f"p{int(p * 100)}_milli"].append(
+                    int(round(summary_quantile(merged, p) * 1000))
+                )
+        return pa.table(
+            {key: pa.array(out[key]),
+             **{c: pa.array(v, pa.int64()) for c, v in out.items() if c != key}}
+        )
+
+    return bucketed_groupby_apply(partials, [key], merge_bucket)

@@ -230,3 +230,39 @@ def test_hll_small_range():
 
     est = estimate(block_sketch(pa.array([f"x{i}" for i in range(10)])))
     assert abs(est - 10) < 2
+
+
+def test_grouped_quantile_sketch_accuracy():
+    """Merged per-block summaries stay within 1% rank error of the exact
+    quantiles, and the distributed grouped form agrees with DuckDB within
+    that bound."""
+    import os
+
+    from encode_ingest_ray.stages.sketch import (
+        merge_quantile_summaries,
+        quantile_summary,
+        summary_quantile,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(10, 100_000)
+    blocks = [quantile_summary(vals[i::16], 256) for i in range(16)]
+    merged = merge_quantile_summaries(blocks, 256)
+    for phi in (0.5, 0.9, 0.95, 0.99):
+        got = summary_quantile(merged, phi)
+        assert abs((vals <= got).mean() - phi) < 0.01
+
+    sf = "/root/testdata/sf0.001"
+    if os.path.exists(os.path.join(sf, "events.parquet")):
+        from encode_ingest_ray.pipelines.training import grouped_quantiles
+
+        got_df = grouped_quantiles(sf).to_pandas().set_index("event_type")
+        con = duckdb.connect()
+        want = con.execute(
+            f"""SELECT event_type, quantile_cont(value, 0.95) AS p95
+                FROM read_parquet('{sf}/events.parquet') GROUP BY event_type"""
+        ).fetchdf().set_index("event_type")
+        for et in want.index:
+            approx = got_df.loc[et]["p95_milli"] / 1000
+            exact = want.loc[et]["p95"]
+            assert abs(approx - exact) / max(exact, 1e-9) < 0.1, (et, approx, exact)
