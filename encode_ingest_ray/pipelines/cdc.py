@@ -323,7 +323,10 @@ class CdcEngine:
         # blobs/actor instead of 33 at the 8M-event shape)
         ray.data.DataContext.get_current().read_op_min_num_blocks = 1
         try:
-            ds = ray.data.read_parquet(files)
+            # one block per shard file: full read->route fusion (no raw row
+            # ever crosses the object store; SplitBlocks would split reads
+            # into separate blocks and break the fusion)
+            ds = ray.data.read_parquet(files, override_num_blocks=len(files))
             route_rows = ds.map_batches(
                 partial(
                     _route_batch,
@@ -335,10 +338,12 @@ class CdcEngine:
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                # one routing call per input shard: map_batches' DEFAULT batch
-                # size is 1024 rows, which would explode the exchange into
-                # thousands of tiny actor pushes
-                batch_size=None,
+                # under full fusion the parquet reader feeds ~10k-row record
+                # batches; batch_size=None would route each one (7000 tiny
+                # actor pushes at the 8M shape).  An explicit shard-sized
+                # batch coalesces back to ~one push set per shard while
+                # keeping the read->route fusion.
+                batch_size=131_072,
             ).take_all()
         finally:
             ray.data.DataContext.get_current().read_op_min_num_blocks = prev_min
@@ -350,7 +355,10 @@ class CdcEngine:
 
     def _commit(self, epoch: int, flush_futures, stats: dict, summary: dict) -> dict:
         t1 = time.perf_counter()
-        staged_maps = ray.get(flush_futures)
+        # phase 1 acks (launch confirmations), then phase 2 collects — the
+        # flush tasks ran in the background during the overlapped exchange
+        ray.get(flush_futures)
+        staged_maps = ray.get([a.flush_result.remote(epoch) for a in self._actors])
         pointers = self.manifest.pointers()
         per_part_metrics: dict[str, dict] = {}
         totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0}

@@ -198,6 +198,7 @@ class PartitionMerger:
         # Arrow work on plasma-backed views costs ~10ms a call).
         self.payloads: dict[int, list[tuple]] = {}
         self.events_in: dict[tuple[int, int], int] = {}
+        self._inflight: dict[int, list] = {}
 
     def apply_block(
         self, epoch: int, parts: list[int], lens: list[int], payload
@@ -223,17 +224,22 @@ class PartitionMerger:
         the rows) and remains the single owner of watermarks and pointers, so
         the exactly-once bookkeeping is unchanged while the decompress + LWW
         + parquet-write leg uses every free cpu in the cluster instead of one
-        core per actor."""
+        core per actor.
+
+        TWO-PHASE: this method only LAUNCHES the tasks (returns immediately,
+        keeping the actor responsive to the overlapped next epoch's pushes);
+        ``flush_result`` collects them."""
         items = self.payloads.pop(epoch, [])
         if not items:
-            return {}
+            self._inflight[epoch] = []
+            return True
         dirty = sorted(
             {p for _, parts, lens in items for p, n in zip(parts, lens) if n}
         )
         blob_refs = [ray.put(p) for p, _, _ in items]
         metas = [(parts, lens) for _, parts, lens in items]
         k = min(self.flush_fanout, len(dirty))
-        futs = [
+        self._inflight[epoch] = [
             _flush_partitions.remote(
                 self.out_dir,
                 epoch,
@@ -246,6 +252,15 @@ class PartitionMerger:
             )
             for group in (dirty[i::k] for i in range(k))
         ]
+        return True
+
+    def flush_result(self, epoch: int) -> dict[int, dict]:
+        """Second phase: collect the flush tasks' pointers and fold them into
+        the actor's durable bookkeeping.  Called at COMMIT time — by then the
+        tasks have had the whole next exchange to finish, so the ray.get here
+        does not hold the actor hostage while pushes stream in (a blocking
+        flush stalled every apply_block of the overlapped epoch)."""
+        futs = self._inflight.pop(epoch, [])
         out: dict[int, dict] = {}
         for res in ray.get(futs):
             for part, ptr in res.items():
