@@ -248,12 +248,13 @@ class CdcEngine:
     ) -> dict:
         """Apply all not-yet-committed epochs; resume-safe. Returns summary.
 
-        Epochs are PIPELINED: epoch e's flush+commit overlaps epoch e+1's
-        exchange (actors interleave flush(e) with apply_block(e+1); per-epoch
-        buffers keep them separate).  Commits stay strictly ordered, so a
-        crash mid-pipeline leaves only uncommitted epochs, which simply
-        replay.  On any Ray failure the pool is respawned (actors reload
-        committed state) and the uncommitted suffix re-runs.
+        Epochs run to completion IN ORDER (exchange -> fan-out flush ->
+        commit); the flush's cluster-wide task fan-out supplies the
+        parallelism, and per-epoch payload buffers keep concurrent pushes
+        separable if a caller ever interleaves epochs.  Commits stay
+        strictly ordered, so a crash leaves only uncommitted epochs, which
+        simply replay.  On any Ray failure the pool is respawned (actors
+        reload committed state) and the uncommitted suffix re-runs.
 
         The actor pool is torn down on exit unless ``keep_actors`` — leaked
         pools pin CPU reservations that starve later Dataset stages.
@@ -298,15 +299,17 @@ class CdcEngine:
         return summary
 
     def _run_pipelined(self, pending: list[tuple[int, list[str]]], summary: dict) -> None:
-        inflight = None  # (epoch, flush_futures, exchange_stats)
+        """Epoch loop.  Since the flush became a cluster-wide task fan-out
+        (merger.flush launches, flush_result collects), flushing an 8M-row
+        epoch costs well under a second of wall — so overlapping it with the
+        NEXT epoch's exchange no longer pays: measured at the 16M shape the
+        overlap contention inflated the exchange 2x (4.3s vs 2.07s) to hide
+        ~0.5s of flush, a net loss.  Epochs therefore run to completion in
+        order; the fan-out itself is the parallelism."""
         for epoch, files in pending:
             stats = self._exchange(epoch, files)
-            if inflight is not None:
-                self._commit(*inflight, summary)
             flush_futures = [a.flush.remote(epoch) for a in self._actors]
-            inflight = (epoch, flush_futures, stats)
-        if inflight is not None:
-            self._commit(*inflight, summary)
+            self._commit(epoch, flush_futures, stats, summary)
 
     def _exchange(self, epoch: int, files: list[str]) -> dict:
         t0 = time.perf_counter()
@@ -355,8 +358,8 @@ class CdcEngine:
 
     def _commit(self, epoch: int, flush_futures, stats: dict, summary: dict) -> dict:
         t1 = time.perf_counter()
-        # phase 1 acks (launch confirmations), then phase 2 collects — the
-        # flush tasks ran in the background during the overlapped exchange
+        # phase 1 acks (launch confirmations), then phase 2 collects the
+        # fan-out tasks' results
         ray.get(flush_futures)
         staged_maps = ray.get([a.flush_result.remote(epoch) for a in self._actors])
         pointers = self.manifest.pointers()

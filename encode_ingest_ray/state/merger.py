@@ -189,10 +189,10 @@ class PartitionMerger:
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
-        # payload buffers are keyed by epoch: the driver overlaps epoch e's
-        # flush with epoch e+1's exchange, so pushes for two epochs can be
-        # in flight at once.  Actor task ordering guarantees flush(e) runs
-        # before flush(e+1), so watermark updates stay epoch-ordered.
+        # payload buffers are keyed by epoch so concurrent pushes for
+        # different epochs stay separable.  Actor task ordering guarantees
+        # flush(e) runs before flush(e+1), keeping watermark updates
+        # epoch-ordered.
         # Each entry is a zstd-IPC blob plus its (part, len) run boundaries —
         # decompression and slicing happen ONCE, batched, at flush (per-push
         # Arrow work on plasma-backed views costs ~10ms a call).
@@ -227,8 +227,8 @@ class PartitionMerger:
         core per actor.
 
         TWO-PHASE: this method only LAUNCHES the tasks (returns immediately,
-        keeping the actor responsive to the overlapped next epoch's pushes);
-        ``flush_result`` collects them."""
+        keeping the actor responsive — a blocking flush would queue every
+        later apply_block behind its ray.get); ``flush_result`` collects."""
         items = self.payloads.pop(epoch, [])
         if not items:
             self._inflight[epoch] = []
