@@ -269,3 +269,86 @@ def grouped_quantiles(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
     return grouped_approx_quantiles(ds, "event_type", "value", [0.5, 0.95, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing as first-class queries (stages/multimodal.py): media
+# payloads derived deterministically from document text bytes
+# ---------------------------------------------------------------------------
+FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS nbytes FROM documents
+),
+frames AS (
+  SELECT media_id, nbytes,
+         CAST(unnest(range(0, CAST(GREATEST(1, nbytes // 256) AS BIGINT), 4)) AS INTEGER) AS frame_no
+  FROM media
+)
+SELECT media_id, frame_no,
+       CAST(LEAST(256, nbytes - frame_no * 256) AS BIGINT) AS frame_len
+FROM frames
+"""
+
+
+@register("media_frame_sample", FRAME_SAMPLE_SQL)
+def media_frame_sample(sf_dir: str):
+    """Video-style frame sampling over binary payloads (actor-pool
+    flat_map shape): every 4th 256-byte window becomes a frame row.
+    Payloads are the documents' utf8 bytes, so DuckDB derives the identical
+    frame layout (count + lengths) — an exact oracle for the plumbing."""
+    from encode_ingest_ray.stages.multimodal import FrameSampler
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    frames = media.map_batches(
+        FrameSampler(frame_bytes=256, every_k=4),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return frames.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_no": t.column("frame_no"),
+                "frame_len": pc.cast(pc.binary_length(t.column("frame")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+@register("media_decode_features")
+def media_decode_features(sf_dir: str):
+    """The decode actor-pool stage end to end with the deterministic fake
+    decoder (codecs are stubbed in this container — schema/batching/actor
+    plumbing is the real part): byte-histogram features + content hash per
+    media row.  Rows-only; kernel semantics pinned in tests/test_multimodal."""
+    from encode_ingest_ray.stages.multimodal import decode_pipeline
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = decode_pipeline(media, concurrency=2, batch_size=64)
+    return out.map_batches(
+        lambda t: t.select(["media_id", "content_hash"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
