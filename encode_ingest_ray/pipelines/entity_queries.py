@@ -606,3 +606,76 @@ def file_backfill_requests(sf_dir: str):
         predicate="file_available_in_gcs",
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 crawl reachability as a query (BFS semantics == SQL join closure)
+# ---------------------------------------------------------------------------
+CRAWL_REACH_SQL = """
+WITH seed_orders AS (
+  SELECT * FROM orders WHERE o_orderkey % 97 = 0
+),
+reached_customers AS (
+  SELECT DISTINCT c.* FROM customer c JOIN seed_orders o ON c.c_custkey = o.o_custkey
+),
+reached_nations AS (
+  SELECT DISTINCT n.* FROM nation n JOIN reached_customers c ON n.n_nationkey = c.c_nationkey
+)
+SELECT 'orders' AS tbl, COUNT(*) AS n_reached FROM seed_orders
+UNION ALL SELECT 'customer', COUNT(*) FROM reached_customers
+UNION ALL SELECT 'nation', COUNT(*) FROM reached_nations
+"""
+
+
+@register("crawl_reachability", CRAWL_REACH_SQL)
+def crawl_reachability(sf_dir: str):
+    """The extraction BFS crawl (pipelines/crawl.py) over the TPC-H FK graph
+    — orders seeds follow o_custkey to customers, then c_nationkey to
+    nations; reached-row counts carry an exact join-closure oracle."""
+    from encode_ingest_ray.pipelines.crawl import crawl
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    seeds = [
+        r["o_orderkey"]
+        for t in ray.get(
+            orders.map_batches(
+                lambda t: t.filter(
+                    pc.equal(
+                        pc.subtract(
+                            t.column("o_orderkey"),
+                            pc.multiply(pc.divide(t.column("o_orderkey"), 97), 97),
+                        ),
+                        0,
+                    )
+                ).select(["o_orderkey"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).to_arrow_refs()
+        )
+        for r in t.to_pylist()
+    ]
+    tables = {
+        "orders": orders,
+        "customer": _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "nation": _read(sf_dir, "nation", ["n_nationkey"]),
+    }
+    out = crawl(
+        tables,
+        id_columns={"orders": "o_orderkey", "customer": "c_custkey", "nation": "n_nationkey"},
+        links=[
+            ("orders", "o_custkey", "customer"),
+            ("customer", "c_nationkey", "nation"),
+        ],
+        seeds={"orders": seeds},
+    )
+    rows = [(name, out[name].count()) for name in ("orders", "customer", "nation")]
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tbl": pa.array([r[0] for r in rows], pa.string()),
+                "n_reached": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
