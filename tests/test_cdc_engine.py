@@ -155,3 +155,33 @@ def test_adversarial_configs_match_oracle(tmp_path):
             want = expected_final_state(meta["files"]).to_pandas()
             assert len(got) == len(want)
             assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_crash_between_flush_and_commit_replays_exactly_once(gen, tmp_path):
+    """Die AFTER the flush fan-out staged delta files but BEFORE the
+    manifest commit: the staged paths are deterministic per (partition,
+    epoch), so the replay re-stages identical bytes and the final state
+    still matches the oracle (no duplicates, no loss)."""
+    import ray
+
+    events_dir, meta = gen
+    out = str(tmp_path / "out")
+    epoch_files = discover_epoch_files(events_dir)
+
+    e1 = CdcEngine(out, num_partitions=16, num_actors=4)
+    e1.run(epoch_files=epoch_files[:1])  # epoch 0 committed
+    # epoch 1: exchange + flush launch + flush_result, then CRASH before commit
+    e1._actors = e1._spawn_actors()
+    stats = e1._exchange(1, epoch_files[1])
+    ray.get([a.flush.remote(1) for a in e1._actors])
+    ray.get([a.flush_result.remote(1) for a in e1._actors])  # deltas staged
+    e1._kill_actors()  # simulated death: staged files exist, no manifest entry
+    assert set(e1.manifest.committed_epochs()) == {0}
+    import glob as g
+
+    assert g.glob(str(tmp_path / "out" / "part=*" / "delta-000001.parquet"))
+
+    e2 = CdcEngine(out, num_partitions=16, num_actors=4)
+    s = e2.run(events_dir)
+    assert s["epochs_skipped"] == 1 and s["epochs_run"] == len(epoch_files) - 1
+    assert_matches_oracle(e2, meta["files"])
