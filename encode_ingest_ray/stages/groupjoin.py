@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def multi_stream_group_join(
@@ -65,17 +66,35 @@ def multi_stream_group_join(
             make_prep(i, tag, key_col), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         union = prepped if union is None else union.union(prepped)
 
-    def group_fn(group: pa.Table) -> pa.Table:
-        key = group.column(key_out)[0].as_py()
-        tag_np = group.column("__tag").to_numpy(zero_copy_only=False)
-        per_tag = {}
-        for i, tag in enumerate(tags):
-            rows = group.filter(pa.array(tag_np == i))
-            cols = {
-                f.name[len(tag) + 2 :]: rows.column(f.name)
-                for f in payload_fields[tag]
-            }
-            per_tag[tag] = pa.table(cols) if cols else rows.select([])
-        return assemble(key, per_tag)
+    def bucket_fn(bucket: pa.Table) -> pa.Table:
+        # ONE task per hash bucket, not per key (at >10k keys the per-group
+        # map_groups call overhead dominates ~10x — CLAUDE.md measured rule):
+        # sort the bucket by key, walk key runs, call assemble per key
+        import numpy as np
 
-    return union.groupby(key_out).map_groups(group_fn, batch_format="pyarrow")
+        idx = pc.sort_indices(bucket, sort_keys=[(key_out, "ascending")])
+        b = bucket.take(idx)
+        keys_col = b.column(key_out).combine_chunks()
+        codes = keys_col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.r_[starts, b.num_rows]
+        tag_np = b.column("__tag").to_numpy(zero_copy_only=False)
+        outs = []
+        for i in range(len(starts)):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            group = b.slice(lo, hi - lo)
+            gtags = tag_np[lo:hi]
+            per_tag = {}
+            for ti, tag in enumerate(tags):
+                rows = group.filter(pa.array(gtags == ti))
+                cols = {
+                    f.name[len(tag) + 2 :]: rows.column(f.name)
+                    for f in payload_fields[tag]
+                }
+                per_tag[tag] = pa.table(cols) if cols else rows.select([])
+            outs.append(assemble(keys_col[lo].as_py(), per_tag))
+        return pa.concat_tables(outs, promote_options="default")
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(union, [key_out], bucket_fn)
