@@ -567,16 +567,32 @@ def collect_sorted_parts(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
 
-    def collect(group: pa.Table) -> pa.Table:
-        parts = sorted(group.column("l_partkey").to_pylist())
+    def collect_bucket(t: pa.Table) -> pa.Table:
+        # vectorized per bucket: sort (order, part), run boundaries, one
+        # ListArray + binary_join — no per-key tasks or Python loops
+        import numpy as np
+
+        from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply  # noqa: F401
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        g = t.take(idx)
+        ok = g.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        offsets = pa.array(np.r_[starts, g.num_rows].astype(np.int32))
+        parts_str = pc.cast(g.column("l_partkey").combine_chunks(), pa.string())
+        lists = pa.ListArray.from_arrays(offsets, parts_str)
         return pa.table(
             {
-                "l_orderkey": [group.column("l_orderkey")[0].as_py()],
-                "parts_csv": [",".join(str(p) for p in parts)],
+                "l_orderkey": pa.array(ok[starts], pa.int64()),
+                "parts_csv": pc.binary_join(lists, ","),
             }
         )
 
-    return ds.groupby("l_orderkey").map_groups(collect, batch_format="pyarrow")
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(ds, ["l_orderkey"], collect_bucket)
 
 
 # ---------------------------------------------------------------------------

@@ -71,16 +71,26 @@ def bucketed_groupby_apply(
         for k in key_columns:
             col = t.column(k).combine_chunks()
             if pa.types.is_integer(col.type):
+                if col.null_count:
+                    col = col.fill_null(0)  # nulls co-bucket deterministically
                 v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             else:
                 d = col.dictionary_encode()
                 uniq = d.dictionary.to_pylist()
+                # one extra slot hashes the NULL code (null indices would
+                # otherwise surface as NaN and break the fancy index)
                 uh = np.fromiter(
                     (zlib.crc32(str(u).encode()) for u in uniq),
                     dtype=np.uint64,
                     count=len(uniq),
                 )
-                v = uh[d.indices.to_numpy(zero_copy_only=False)]
+                uh = np.append(uh, np.uint64(zlib.crc32(b"\x00__null__")))
+                import pyarrow.compute as _pc
+
+                codes = _pc.fill_null(d.indices, len(uniq)).to_numpy(
+                    zero_copy_only=False
+                )
+                v = uh[codes.astype(np.int64)]
             h = (h * np.uint64(0x9E3779B97F4A7C15)) ^ v
         h ^= h >> np.uint64(29)
         return t.append_column(

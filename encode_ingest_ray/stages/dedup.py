@@ -86,11 +86,17 @@ def dedup_exact(
 
 def distinct_values(ds, column: str):
     """Distinct values of one column (reference: keyed distinct streams).
-    Local per-block distinct first, then the global shuffle distinct."""
+    Local per-block distinct first, then ONE bucketed exchange with a
+    per-bucket unique — per-VALUE map_groups tasks would dominate ~10x past
+    ~10k distinct values (CLAUDE.md measured rule)."""
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
     local = ds.map_batches(
         lambda t: pa.table({column: pc.unique(t.column(column).combine_chunks())}),
         batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
-    return local.groupby(column).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    return bucketed_groupby_apply(
+        local,
+        [column],
+        lambda t: pa.table({column: pc.unique(t.column(column).combine_chunks())}),
     )
