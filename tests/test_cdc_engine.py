@@ -185,3 +185,29 @@ def test_crash_between_flush_and_commit_replays_exactly_once(gen, tmp_path):
     s = e2.run(events_dir)
     assert s["epochs_skipped"] == 1 and s["epochs_run"] == len(epoch_files) - 1
     assert_matches_oracle(e2, meta["files"])
+
+
+def test_empty_epoch_commits_and_resumes(gen, tmp_path):
+    """A tail can land an epoch with zero rows (e.g. all rows filtered
+    upstream): the engine must commit it (so it is skipped on resume) and
+    the final state must be unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    events_dir, meta = gen
+    epoch_files = discover_epoch_files(events_dir)
+    # splice an empty epoch in as the LAST epoch
+    empty_path = str(tmp_path / "empty.parquet")
+    pq.write_table(pq.read_table(epoch_files[0][0]).slice(0, 0), empty_path)
+    spliced = epoch_files + [[empty_path]]
+
+    out = str(tmp_path / "out")
+    e1 = CdcEngine(out, num_partitions=16, num_actors=4)
+    s = e1.run(epoch_files=spliced)
+    assert s["epochs_run"] == len(spliced)
+    assert set(e1.manifest.committed_epochs()) == set(range(len(spliced)))
+    assert_matches_oracle(e1, meta["files"])
+    # rerun: everything (including the empty epoch) skips
+    e2 = CdcEngine(out, num_partitions=16, num_actors=4)
+    s2 = e2.run(epoch_files=spliced)
+    assert s2["epochs_run"] == 0 and s2["epochs_skipped"] == len(spliced)
