@@ -40,6 +40,12 @@ BENCH_QUERIES = [
     "text_stats",
     "minhash_lsh_pairs",
     "ann_brute_force",
+    # round-2 additions: entity M:N, full audit fold, quantile sketch,
+    # multimodal frame plumbing
+    "antibody_m2n",
+    "summarize_audits_full",
+    "grouped_quantiles",
+    "media_frame_sample",
 ]
 
 

@@ -102,7 +102,9 @@ def derive_cdc_batch(batch: pa.Table) -> pa.Table:
 
 
 def _derived_events(sf_dir: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    blocks = max(1, min(64, os.path.getsize(path) // (8 << 20)))
+    ds = ray.data.read_parquet(path, override_num_blocks=blocks)
     return ds.map_batches(derive_cdc_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 

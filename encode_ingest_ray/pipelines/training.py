@@ -32,8 +32,18 @@ from encode_ingest_ray.stages.text import (
 )
 
 
-def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+def _sized_read(path: str, columns=None, min_blocks: int = 1):
+    """~8MB per block, bounded [min_blocks, 64] — Ray's 2-per-cpu heuristic
+    shreds small single-file tables into 64+ blocks and taxes every later
+    exchange (see analogs._read).  CPU-heavy per-row stages (shingling,
+    hashing) pass ``min_blocks`` to keep task parallelism independent of
+    file size."""
+    blocks = max(min_blocks, min(64, os.path.getsize(path) // (8 << 20)))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def _docs(sf_dir: str, columns=None, min_blocks: int = 1):
+    return _sized_read(os.path.join(sf_dir, "documents.parquet"), columns, min_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +155,9 @@ def dedup_text_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    # shingle+minhash is CPU-bound per doc: keep >=32 tasks regardless of
+    # the (small) file size
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=32)
     pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16)
     # verify distributively: texts resolve via a bucketed exchange on doc_id
     # (no driver-side read, no whole-corpus broadcast)
@@ -169,16 +181,16 @@ def _queries_table(sf_dir: str, n: int = 8) -> pa.Table:
 
 @register("ann_brute_force")  # float cosine — rows-only (FP order-sensitivity)
 def ann_brute_force_q(sf_dir: str):
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
     return brute_force_topk(ds, _queries_table(sf_dir), k=5)
 
 
 @register("ann_lsh")
 def ann_lsh_q(sf_dir: str):
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
     q = _queries_table(sf_dir)
     dim = len(q.column("embedding")[0])
@@ -232,8 +244,8 @@ def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
     (vec_a, vec_b, cos_milli), deterministic."""
     from encode_ingest_ray.stages.ann import embedding_near_dup_pairs
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
     first = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
@@ -248,8 +260,8 @@ def ann_ivf_q(sf_dir: str):
     """IVF coarse-quantizer ANN (scale path beside the LSH variant)."""
     from encode_ingest_ray.stages.ann import ivf_topk
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
     return ivf_topk(ds, _queries_table(sf_dir), k=5)
 
@@ -265,9 +277,7 @@ def grouped_quantiles(sf_dir: str):
     one exchange, never raw values."""
     from encode_ingest_ray.stages.sketch import grouped_approx_quantiles
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
-    )
+    ds = _sized_read(os.path.join(sf_dir, "events.parquet"), ["event_type", "value"])
     return grouped_approx_quantiles(ds, "event_type", "value", [0.5, 0.95, 0.99])
 
 
