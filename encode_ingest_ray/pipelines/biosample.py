@@ -117,14 +117,24 @@ def transform_biosamples(biosamples, libraries, types_table: pa.Table):
                     [next(iter(part_numbers)) if len(part_numbers) == 1 else None],
                     pa.string(),
                 ),
-                "lot_id": pa.array(
+                # jade column names: lot / library_prep_id
+                # (biosample.table.json; BiosampleTransformations.scala:104-117)
+                "lot": pa.array(
                     [next(iter(lot_ids)) if len(lot_ids) == 1 else None], pa.string()
                 ),
-                "library_prep_ids": pa.array(
+                "library_prep_id": pa.array(
                     [sorted(_strip_id(l["at_id"]) for l in lib_rows)],
                     pa.list_(pa.string()),
                 ),
                 "award": pa.array([_url(row.get("award"))], pa.string()),
+                "date_created": pa.array(
+                    [row.get("date_created")], pa.timestamp("us", "UTC")
+                ),
+                "lab": pa.array([_url(row.get("lab"))], pa.string()),
+                "submitted_by": pa.array([_url(row.get("submitted_by"))], pa.string()),
+                "was_perturbed": pa.array(
+                    [row.get("perturbed")], pa.bool_()
+                ),
             }
         )
 

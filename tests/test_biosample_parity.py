@@ -51,8 +51,8 @@ def test_biosample_join_tree_reference_semantics():
     assert b1["anatomical_site"] == "UBERON:1"  # tissue -> term_id
     assert list(b1["apriori_cell_type"]) == ["epithelial"]
     assert b1["part_number"] is None  # multiplicity -> null
-    assert b1["lot_id"] == "lot1"  # single distinct -> kept
-    assert list(b1["library_prep_ids"]) == ["L1", "L2"]
+    assert b1["lot"] == "lot1"  # single distinct -> kept
+    assert list(b1["library_prep_id"]) == ["L1", "L2"]
     assert list(b1["xref"]) == ["https://www.encodeproject.org/biosamples/B1/", "x1"]
     assert list(b1["donor_id"]) == ["D1"]
 
@@ -65,4 +65,4 @@ def test_biosample_join_tree_reference_semantics():
     b3 = out.loc["B3"]  # left-outer: no type, no libraries
     assert b3["biosample_type"] is None
     assert b3["anatomical_site"] is None
-    assert list(b3["library_prep_ids"]) == []
+    assert list(b3["library_prep_id"]) == []

@@ -158,3 +158,56 @@ def test_all_jade_specs_compile(registry):
     bios = registry["biosample"]
     assert len(bios.schema) == 67
     assert bios.primary_key == ["biosample_id"]
+
+
+def test_biosample_output_matches_jade_spec(registry):
+    """The 67-column list-heavy stress case: a spec-complete raw fixture
+    through transform_biosamples must validate (required non-null incl.
+    was_perturbed; 41 optional columns null-filled; unknowns absent)."""
+    from tests.test_entities import TS
+
+    from encode_ingest_ray.pipelines.biosample import transform_biosamples
+
+    biosamples = pa.table(
+        {
+            "at_id": ["/biosamples/B1/", "/biosamples/B2/"],
+            "biosample_ontology": ["/types/T1/", None],
+            "donor": ["/human-donors/D1/", None],
+            "dbxrefs": [["x1"], None],
+            "award": ["/awards/a1", "/awards/a2"],
+            "date_created": pa.array([TS.as_py()] * 2, pa.timestamp("us", "UTC")),
+            "lab": ["/labs/L1/", "/labs/L1/"],
+            "submitted_by": ["/users/U1/", "/users/U1/"],
+            "perturbed": [False, True],
+        }
+    )
+    types = pa.table(
+        {
+            "at_id": ["/types/T1/"],
+            "classification": ["tissue"],
+            "term_id": ["UBERON:1"],
+            "organ_slims": [["lung"]],
+            "cell_slims": [["epithelial"]],
+        }
+    )
+    libraries = pa.table(
+        {
+            "at_id": ["/libraries/L1/"],
+            "biosample": ["/biosamples/B1/"],
+            "product_id": ["p1"],
+            "lot_id": ["lot1"],
+        }
+    )
+    out_tables = [
+        t
+        for t in ray.get(
+            transform_biosamples(
+                ray.data.from_arrow(biosamples), ray.data.from_arrow(libraries), types
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out = pa.concat_tables(out_tables, promote_options="default")
+    validated = _check(registry["biosample"], out)
+    assert validated.num_rows == 2
+    assert len(validated.schema) == 67
