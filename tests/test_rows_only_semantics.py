@@ -266,3 +266,44 @@ def test_grouped_quantile_sketch_accuracy():
             approx = got_df.loc[et]["p95_milli"] / 1000
             exact = want.loc[et]["p95"]
             assert abs(approx - exact) / max(exact, 1e-9) < 0.1, (et, approx, exact)
+
+
+def test_quantile_summary_merge_properties():
+    """Property: any block split of the same values yields summaries whose
+    merge stays within the q-bounded rank error, and quantiles are monotone
+    in phi."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from encode_ingest_ray.stages.sketch import (
+        merge_quantile_summaries,
+        quantile_summary,
+        summary_quantile,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(10, 3000),
+        splits=st.integers(1, 7),
+        seed=st.integers(0, 10_000),
+    )
+    def check(n, splits, seed):
+        rng = np.random.default_rng(seed)
+        vals = rng.normal(0, 100, n)
+        merged = merge_quantile_summaries(
+            [quantile_summary(vals[i::splits], 128) for i in range(splits)], 128
+        )
+        # total weight is preserved exactly
+        assert int(merged[:, 1].sum()) == n
+        last = -np.inf
+        for phi in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            q = summary_quantile(merged, phi)
+            assert q >= last  # monotone
+            last = q
+            rank_err = abs((vals <= q).mean() - phi)
+            assert rank_err <= max(2 * splits * 1.0 / 128, 2.0 / n) + 1e-9, (
+                phi,
+                rank_err,
+            )
+
+    check()
