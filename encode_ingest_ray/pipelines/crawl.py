@@ -50,7 +50,12 @@ def crawl(
     ``"bloom"`` keeps a BloomFilter per table instead — the per-HOP frontier
     still materializes (bounded by hop fan-out), but the cumulative
     reached-set never does.  Final row selection then filters each table by
-    Bloom membership (broadcast once), instead of an id list.
+    Bloom membership (broadcast once), instead of an id list.  Bloom false
+    positives cut BOTH ways: during traversal an FP makes a genuinely-new id
+    look already-seen (bounded under-crawl at the configured fp rate), and in
+    the final membership filter an FP ADMITS a never-reached row (bounded
+    over-report at the same rate).  Use ``"exact"`` when the output must be
+    exactly the reachable set.
 
     Returns name -> Dataset of only the reachable rows (empty-reach tables
     map to a 0-row filter of the original).

@@ -513,7 +513,10 @@ def transform_experiment_batch(batch: pa.Table, side: dict) -> pa.Table:
             "used_file_id": _ids(_get_list(batch, "contributing_files")),
             "generated_file_id": _ids(_get_list(batch, "files")),
             "uses_sample_biosample_id": pa.array(
-                [sorted({b for _, b in l}) for l in libs], pa.list_(pa.string())
+                # a library with no biosample (mixed_biosamples case) yields
+                # None — drop it, as transform_library_batch does
+                [sorted({b for _, b in l if b is not None}) for l in libs],
+                pa.list_(pa.string()),
             ),
             "antibody_id": pa.array(
                 [side.get(a, {}).get("antibodies", []) for a in ats],
@@ -572,7 +575,8 @@ def transform_assay_activity_batch(
             "activity_type": pa.array(["Assay"] * batch.num_rows),
             "generated_file_id": pa.array(gen_files, pa.list_(pa.string())),
             "used_biosample_id": pa.array(
-                [sorted({b for _, b in l}) for l in libs], pa.list_(pa.string())
+                [sorted({b for _, b in l if b is not None}) for l in libs],
+                pa.list_(pa.string()),
             ),
             "library_id": pa.array(
                 [[i for i, _ in l] for l in libs], pa.list_(pa.string())

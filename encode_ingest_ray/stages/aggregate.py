@@ -47,11 +47,44 @@ def partial_groupby_sum(
     return local.groupby(keys).aggregate(*final_aggs)
 
 
+def dynamic_num_buckets(
+    ds,
+    bytes_per_bucket: int = 32 << 20,
+    lo: int = 16,
+    hi: int = 1024,
+    default: int = 64,
+) -> int:
+    """Derive a bucket count from the dataset's source-file footprint so no
+    bucket materializes more than ~``bytes_per_bucket`` of (decoded) data.
+
+    Uses ``input_files()`` sizes — available from read metadata without
+    executing the plan; Parquet→Arrow decode expands ~3x, folded in.  Falls
+    back to ``default`` for in-memory datasets with no file lineage.  The
+    bucket count never changes RESULTS (buckets are unioned), only the
+    per-task memory bound and skew headroom.
+    """
+    import os
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        files = []
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    if total <= 0:
+        return default
+    return int(min(hi, max(lo, (total * 3) // bytes_per_bucket + 1)))
+
+
 def bucketed_groupby_apply(
     ds,
     key_columns: list[str],
     bucket_fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """High-cardinality grouped aggregation: exchange once on
     ``hash(keys) % num_buckets``, then run ONE *vectorized* function per
@@ -60,11 +93,16 @@ def bucketed_groupby_apply(
     overhead dominates the actual aggregation by 10x+.
 
     ``bucket_fn(table)`` sees all rows of its bucket (every key fully
-    contained) and returns an aggregated table.
+    contained) and returns an aggregated table.  ``num_buckets=None`` (the
+    default) sizes the bucket count from the input's file footprint via
+    ``dynamic_num_buckets`` — pass an int only when the caller knows better.
     """
     import zlib
 
     import numpy as np
+
+    if num_buckets is None:
+        num_buckets = dynamic_num_buckets(ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, np.uint64)

@@ -111,7 +111,7 @@ def cohash_join(
     right,
     left_key: str,
     right_key: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     how: str = "inner",
     map_joined=None,
 ):
@@ -125,7 +125,13 @@ def cohash_join(
     Skew note: a hot join key lands in one bucket; raise ``num_buckets`` or
     pre-salt the hot keys (split the left side's hot key into k sub-keys and
     replicate the matching right rows k×) when a bucket exceeds worker RAM.
+    ``num_buckets=None`` (default) sizes the count from both inputs' file
+    footprints so a bucket stays under ~32 MB decoded.
     """
+    if num_buckets is None:
+        from encode_ingest_ray.stages.aggregate import dynamic_num_buckets
+
+        num_buckets = max(dynamic_num_buckets(left), dynamic_num_buckets(right))
     left_schema = left.schema().base_schema
     right_schema = right.schema().base_schema
     left_cols = list(left_schema.names)

@@ -125,9 +125,10 @@ def quantile_summary(values: np.ndarray, q: int = 256) -> np.ndarray:
 def merge_quantile_summaries(summaries: list[np.ndarray], q: int = 256) -> np.ndarray:
     """Associative merge: concatenate points, sort by value, re-compress to
     q points by cumulative weight."""
-    pts = np.concatenate([s for s in summaries if len(s)])
-    if len(pts) == 0:
-        return pts.reshape(0, 2)
+    non_empty = [s for s in summaries if len(s)]
+    if not non_empty:
+        return np.empty((0, 2), np.float64)
+    pts = np.concatenate(non_empty)
     order = np.argsort(pts[:, 0], kind="mergesort")
     pts = pts[order]
     if len(pts) <= q:
@@ -166,6 +167,15 @@ def grouped_approx_quantiles(
 
     from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
+    # Percent-truncated names collide for phis within the same percent
+    # (0.99 vs 0.995); fall back to per-mille names for the whole set then.
+    names = [f"p{int(p * 100)}_milli" for p in phis]
+    if len(set(names)) != len(names):
+        names = [f"p{int(round(p * 1000))}pm_milli" for p in phis]
+    if len(set(names)) != len(names):
+        raise ValueError(f"phis too close to name distinctly: {phis}")
+    col_of = dict(zip(phis, names))
+
     def per_block(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(t, sort_keys=[(key, "ascending")])
         g = t.take(idx)
@@ -193,12 +203,12 @@ def grouped_approx_quantiles(
         by_key: dict = {}
         for k, b in zip(keys, blobs):
             by_key.setdefault(k, []).append(np.frombuffer(b, np.float64).reshape(-1, 2))
-        out = {key: [], **{f"p{int(p * 100)}_milli": [] for p in phis}}
+        out = {key: [], **{col_of[p]: [] for p in phis}}
         for k in sorted(by_key):
             merged = merge_quantile_summaries(by_key[k], q)
             out[key].append(k)
             for p in phis:
-                out[f"p{int(p * 100)}_milli"].append(
+                out[col_of[p]].append(
                     int(round(summary_quantile(merged, p) * 1000))
                 )
         return pa.table(
