@@ -18,13 +18,17 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None, object_store_gb: float | None = None):
     import ray
 
     if not ray.is_initialized():
         kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
+        if object_store_gb:
+            # sharded "nodes" co-resident on one box must not each claim the
+            # default 30%-of-RAM plasma store
+            kwargs["object_store_memory"] = int(object_store_gb * (1 << 30))
         ray.init(**kwargs)
     from ray.data import DataContext
 
@@ -43,6 +47,9 @@ def main(argv=None) -> int:
     g.add_argument("--convs", type=int, default=None)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--evolve-at", type=int, default=None)
+    g.add_argument("--key-shards", type=int, default=None,
+                   help="key-partitioned source: one file per salted key "
+                        "range per epoch (enables sharded runs)")
 
     r = sub.add_parser("run", help="apply uncommitted epochs (resume-safe)")
     r.add_argument("--events", required=True)
@@ -53,6 +60,27 @@ def main(argv=None) -> int:
                    help="tail mode: keep polling for newly-landed epochs")
     r.add_argument("--poll-s", type=float, default=2.0)
     r.add_argument("--max-idle-polls", type=int, default=3)
+    r.add_argument("--shard-index", type=int, default=None,
+                   help="this process owns source shards SSSS %% shard-count "
+                        "== shard-index (key-sharded events required)")
+    r.add_argument("--shard-count", type=int, default=None)
+    r.add_argument("--object-store-gb", type=float, default=None)
+    r.add_argument("--warmup", action="store_true",
+                   help="spin up the worker pool with an untimed tiny read "
+                        "before running (bench parity)")
+
+    rs = sub.add_parser(
+        "run-sharded",
+        help="spawn K independent engine processes (own Ray cluster each = "
+             "the multi-node analog) over disjoint key ranges of one table",
+    )
+    rs.add_argument("--events", required=True)
+    rs.add_argument("--out", required=True, help="table root; shards commit "
+                    "to shard-KK-of-NN/ subdirs")
+    rs.add_argument("--shards", type=int, required=True)
+    rs.add_argument("--cpus-per-shard", type=int, default=4)
+    rs.add_argument("--partitions", type=int, default=None)
+    rs.add_argument("--object-store-gb", type=float, default=4.0)
 
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
@@ -74,8 +102,27 @@ def main(argv=None) -> int:
             epochs=args.epochs,
             seed=args.seed,
             evolve_at_lsn=args.evolve_at,
+            key_shards=args.key_shards,
         )
         print(json.dumps({k: v for k, v in meta.items() if k != "files"}))
+        return 0
+
+    if args.cmd == "run-sharded":
+        # the parent owns NO Ray session; each shard child starts its own
+        from encode_ingest_ray.pipelines.sharded import spawn_shards
+
+        print(
+            json.dumps(
+                spawn_shards(
+                    args.events,
+                    args.out,
+                    args.shards,
+                    cpus_per_shard=args.cpus_per_shard,
+                    num_partitions=args.partitions,
+                    object_store_gb=args.object_store_gb,
+                )
+            )
+        )
         return 0
 
     if args.cmd == "status":
@@ -99,20 +146,44 @@ def main(argv=None) -> int:
         )
         return 0
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "object_store_gb", None))
     import ray
 
     from encode_ingest_ray.pipelines.cdc import CdcEngine
 
     try:
         if args.cmd == "run":
-            eng = CdcEngine(
-                args.out, num_partitions=args.partitions, num_actors=args.actors
-            )
-            if args.follow:
+            if args.shard_index is not None:
+                from encode_ingest_ray.pipelines.sharded import shard_epoch_files
+
+                if not args.shard_count:
+                    raise SystemExit("--shard-index requires --shard-count")
+                eng = CdcEngine(
+                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                )
+                files = shard_epoch_files(
+                    args.events, args.shard_index, args.shard_count
+                )
+                if args.warmup and files and files[0]:
+                    import ray.data
+
+                    ray.data.read_parquet(files[0]).map_batches(
+                        lambda t: t.slice(0, 1), batch_format="pyarrow"
+                    ).count()
+                s = eng.run(epoch_files=files)
+                s["shard_index"] = args.shard_index
+                s["shard_count"] = args.shard_count
+                print(json.dumps(s))
+            elif args.follow:
+                eng = CdcEngine(
+                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
             else:
+                eng = CdcEngine(
+                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "final":
             eng = CdcEngine(args.out)

@@ -51,6 +51,8 @@ def generate_cdc_events(
     text_bytes: int = 400,
     rows_per_file: int = 131_072,
     shards_per_epoch: int | None = None,
+    key_shards: int | None = None,
+    turn_block: int | None = None,
 ) -> dict:
     """Write ``epochs`` Parquet event files under ``out_dir``; return metadata.
 
@@ -58,7 +60,20 @@ def generate_cdc_events(
     is re-emitted verbatim (same LSN, same payload) to model at-least-once
     delivery. Epoch *e* holds (original) LSNs in ``[e*B, (e+1)*B)`` plus any
     replayed duplicates of earlier LSNs.
+
+    ``key_shards=K`` makes the source KEY-PARTITIONED, the shape a real
+    binlog/Kafka source has: epoch file ``-SSSS`` holds exactly the events
+    whose salted key ``mix(conv_id, turn_idx // turn_block)`` lands in source
+    shard SSSS (all K files are written, empty ones included).  Disjoint
+    engine shards can then each tail ``SSSS % shard_count == shard_index``
+    with zero overlap and no wasted decode.  The salt spreads a zipf-hot
+    conversation (which alone carries ~30% of events at the default
+    ``zipf_a``) over many source shards — bare conv_id sharding would pin it
+    to one "node" and cap cluster scaling at ~2x.  Mutually exclusive with
+    ``shards_per_epoch`` (which splits positionally).
     """
+    if key_shards is not None and shards_per_epoch is not None:
+        raise ValueError("key_shards and shards_per_epoch are mutually exclusive")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -128,6 +143,27 @@ def generate_cdc_events(
             )
         return pa.table(cols)
 
+    # --- key-sharded source: salted shard id per event, same mix as the
+    # engine partitioner (state/partition.py mix_partition)
+    shard_of = None
+    if key_shards is not None:
+        import zlib
+
+        from encode_ingest_ray.state.partition import (
+            DEFAULT_TURN_BLOCK,
+            mix_partition,
+        )
+
+        tb = turn_block or DEFAULT_TURN_BLOCK
+        conv_hash_by_num = np.fromiter(
+            (zlib.crc32(f"c{i}".encode()) for i in range(n_convs)),
+            dtype=np.uint64,
+            count=n_convs,
+        )
+        shard_of = mix_partition(
+            conv_hash_by_num[conv_nums], turn_idx, key_shards, tb
+        )
+
     # --- duplicated-LSN replays: verbatim re-emissions of random earlier rows
     n_dup = int(n_events * dup_ratio)
     dup_idx = rng.integers(0, n_events, size=n_dup) if n_dup else np.empty(0, np.int64)
@@ -157,15 +193,30 @@ def generate_cdc_events(
         # shards_per_epoch overrides rows_per_file: an even shard count
         # (a multiple of the worker count) removes the ragged last routing
         # wave at full cluster width
-        rpf = rows_per_file if shards_per_epoch is None else -(-len(idx) // shards_per_epoch)
-        for shard_no, lo in enumerate(range(0, len(idx), rpf)):
-            part = make_table(idx[lo : lo + rpf])
-            schema_names = [f.name for f in part.schema]
-            path = os.path.join(
-                out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
-            )
-            pq.write_table(part, path, row_group_size=131_072, compression="zstd", compression_level=3)
-            files.append(path)
+        if shard_of is not None:
+            # key-partitioned: file SSSS = the epoch's events in source shard
+            # SSSS; ALL key_shards files exist (0-row included) so a shard
+            # tailer always sees its file and empty shard-epochs still commit
+            ep_shards = shard_of[idx]
+            for shard_no in range(key_shards):
+                part = make_table(idx[ep_shards == shard_no])
+                schema_names = [f.name for f in part.schema]
+                path = os.path.join(
+                    out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
+                )
+                pq.write_table(part, path, row_group_size=131_072,
+                               compression="zstd", compression_level=3)
+                files.append(path)
+        else:
+            rpf = rows_per_file if shards_per_epoch is None else -(-len(idx) // shards_per_epoch)
+            for shard_no, lo in enumerate(range(0, len(idx), rpf)):
+                part = make_table(idx[lo : lo + rpf])
+                schema_names = [f.name for f in part.schema]
+                path = os.path.join(
+                    out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
+                )
+                pq.write_table(part, path, row_group_size=131_072, compression="zstd", compression_level=3)
+                files.append(path)
         # completeness marker (tail protocol): shards first, marker last
         with open(os.path.join(out_dir, f"events-epoch-{e:06d}.done"), "w") as fdone:
             fdone.write("")
@@ -179,4 +230,5 @@ def generate_cdc_events(
         "seed": seed,
         "evolve_at_lsn": evolve_at_lsn,
         "schema": schema_names,
+        "key_shards": key_shards,
     }

@@ -54,6 +54,22 @@ def conv_hashes(conv_ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return uhash[codes]
 
 
+def mix_partition(
+    conv_hash: np.ndarray,
+    turns: np.ndarray,
+    num_partitions: int,
+    turn_block: int = DEFAULT_TURN_BLOCK,
+) -> np.ndarray:
+    """The salted mix on raw numpy inputs: uint64 conv hashes + turn indices
+    → int32 partition ids.  Shared by the engine partitioner and the
+    key-sharded generator/source splitter so 'which shard owns key K' is ONE
+    function everywhere."""
+    salt = turns.astype(np.uint64) // np.uint64(turn_block)
+    mixed = (conv_hash + np.uint64(1) + salt) * _GOLDEN
+    mixed ^= mixed >> np.uint64(29)
+    return (mixed % np.uint64(num_partitions)).astype(np.int32)
+
+
 def partition_ids(
     conv_ids: pa.ChunkedArray | pa.Array,
     turn_idx: pa.ChunkedArray | pa.Array,
@@ -64,11 +80,8 @@ def partition_ids(
     h = conv_hashes(conv_ids)
     if isinstance(turn_idx, pa.ChunkedArray):
         turn_idx = turn_idx.combine_chunks()
-    turns = turn_idx.to_numpy(zero_copy_only=False).astype(np.uint64)
-    salt = turns // np.uint64(turn_block)
-    mixed = (h + np.uint64(1) + salt) * _GOLDEN
-    mixed ^= mixed >> np.uint64(29)
-    return (mixed % np.uint64(num_partitions)).astype(np.int32)
+    turns = turn_idx.to_numpy(zero_copy_only=False)
+    return mix_partition(h, turns, num_partitions, turn_block)
 
 
 def assign_partition_column(
