@@ -82,6 +82,16 @@ def main(argv=None) -> int:
     rs.add_argument("--partitions", type=int, default=None)
     rs.add_argument("--object-store-gb", type=float, default=4.0)
 
+    t = sub.add_parser(
+        "transform",
+        help="unified transformation driver: raw entity JSON dumps -> all 15 "
+             "processing trees -> manifest-committed per-table Parquet "
+             "(resume-safe: committed tables skip)",
+    )
+    t.add_argument("--input", required=True, help="dir of <EntityName>/*.json dumps")
+    t.add_argument("--out", required=True)
+    t.add_argument("--overwrite", action="store_true")
+
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
     f.add_argument("--dest", required=True)
@@ -185,6 +195,18 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions, num_actors=args.actors
                 )
                 print(json.dumps(eng.run(args.events)))
+        elif args.cmd == "transform":
+            from encode_ingest_ray.pipelines.transform_driver import (
+                run_transformation_pipeline,
+            )
+
+            print(
+                json.dumps(
+                    run_transformation_pipeline(
+                        args.input, args.out, overwrite=args.overwrite
+                    )
+                )
+            )
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))

@@ -243,6 +243,85 @@ def entity_file_transform(sf_dir: str):
     )
 
 
+@register("unified_transform_files", FILE_ENTITY_SQL)
+def unified_transform_files(sf_dir: str):
+    """The UNIFIED transformation driver end-to-end
+    (TransformationPipelineBuilder.scala:40-174): file records derived from
+    orders are written as raw JSON-lines dumps (the reference's extraction
+    layout), ``run_transformation_pipeline`` runs ALL 15 trees from those
+    dumps to manifest-committed Parquet, and the committed ``file`` table is
+    read back — same oracle as entity_file_transform, but the path under
+    test is dumps → DAG → two-phase sink → read."""
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from encode_ingest_ray.pipelines.transform_driver import (
+        read_output_table,
+        run_transformation_pipeline,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "graft_unified_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    files_dir = os.path.join(base, "raw", "Files")
+    os.makedirs(files_dir, exist_ok=True)
+
+    cat = np.array(["raw data", "alignment", "reference", "analysis"], object)
+    pe = np.array(["1", "2", "1,2", None, "x"], object)
+    rt = np.array(["paired-ended", "single-ended", None], object)
+
+    def write_dump(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        pri = t.column("o_orderpriority").to_pylist()
+        st = t.column("o_orderstatus").to_pylist()
+        path = os.path.join(files_dir, f"part-{int(k.min()):010d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for kk, p, s in zip(k, pri, st):
+                f.write(
+                    _json.dumps(
+                        {
+                            "at_id": f"/files/F{kk}/",
+                            "output_category": cat[kk % 4],
+                            "paired_end": pe[kk % 5],
+                            "run_type": rt[kk % 3],
+                            "award": f"/awards/{p}/",
+                            "lab": f"/labs/{s}/",
+                            "submitted_by": "/users/U/",
+                            "date_created": "2020-01-01T00:00:00Z",
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    ds.map_batches(
+        write_dump, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+
+    run_transformation_pipeline(
+        os.path.join(base, "raw"), os.path.join(base, "tables"), overwrite=True
+    )
+    out = read_output_table(os.path.join(base, "tables"), "file")
+    return out.map_batches(
+        lambda t: t.select(
+            ["file_id", "file_type", "paired_end_identifier", "library_layout",
+             "award", "lab"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # M:N antibody-target resolution — AntibodyTransformations.scala:11-40,
 # TransformationPipelineBuilder.scala:271-319

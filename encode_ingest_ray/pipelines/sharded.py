@@ -109,15 +109,26 @@ def spawn_shards(
     num_partitions: int | None = None,
     object_store_gb: float | None = 4.0,
     env_extra: dict | None = None,
+    pin_cores: bool = True,
 ) -> dict:
     """Launch ``shard_count`` INDEPENDENT engine processes (each its own Ray
     cluster — the multi-node analog) over disjoint key ranges of one table;
     wait; aggregate.  The parent holds no Ray session.
 
+    ``pin_cores`` (default) binds shard k to physical cores
+    ``[k*cpus_per_shard, (k+1)*cpus_per_shard)`` via CPU affinity.  This
+    makes a "node" a REAL core budget: the engine's ``num_cpus=0`` merger
+    actors and flush tasks otherwise burst past Ray's logical cpu limit
+    into whatever cores are idle — which inflates a lone small cluster
+    (free silicon) and contends when several run, distorting any N-vs-4N
+    comparison in both directions.  A real node cannot borrow a neighbor's
+    cores; neither should a simulated one.
+
     Aggregate throughput = total events / max(per-shard engine wall): the
     cluster is done when its slowest node is, but each node's wall excludes
     its process/Ray startup (same accounting as the single-cluster bench,
     which also times only the engine)."""
+    n_host_cores = os.cpu_count() or 1
     procs = []
     for k in range(shard_count):
         cmd = [
@@ -138,9 +149,19 @@ def spawn_shards(
         env.pop("RAY_ADDRESS", None)  # each child starts its own local cluster
         if env_extra:
             env.update(env_extra)
+        preexec = None
+        lo, hi = k * cpus_per_shard, (k + 1) * cpus_per_shard
+        if pin_cores and hi <= n_host_cores and hasattr(os, "sched_setaffinity"):
+            cores = set(range(lo, hi))
+            preexec = lambda c=cores: os.sched_setaffinity(0, c)  # noqa: E731
         procs.append(
             subprocess.Popen(
-                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env
+                cmd,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+                preexec_fn=preexec,
             )
         )
     t0 = time.perf_counter()

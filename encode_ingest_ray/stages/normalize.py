@@ -170,10 +170,22 @@ def summarize_audits(
     """
     import numpy as np
 
-    col = batch.column(audit_col)
+    col = batch.column(audit_col) if audit_col in batch.column_names else None
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    n = len(col)
+    n = batch.num_rows
+    # JSON-read inputs where every audit list is empty/absent infer a
+    # null-typed column — no struct kernels apply; no audits anywhere
+    if (
+        col is None
+        or pa.types.is_null(col.type)
+        or pa.types.is_null(col.type.value_type)
+    ):
+        return batch.append_column(
+            color_out, pa.nulls(n, pa.string())
+        ).append_column(
+            labels_out, pa.array([[] for _ in range(n)], pa.list_(pa.string()))
+        )
     flat = pc.list_flatten(col)
     parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
     levels = pc.struct_field(flat, "level").to_numpy(zero_copy_only=False)
