@@ -170,6 +170,7 @@ class CdcEngine:
         actor_num_cpus: float = 0,
         compact_every: int = 8,
         flush_fanout: int | None = None,
+        vacuum_retain: int | None = 2,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -195,6 +196,9 @@ class CdcEngine:
         self.actor_num_cpus = actor_num_cpus
         self.compact_every = compact_every
         self.flush_fanout = flush_fanout
+        # GC superseded base/delta files this many commits after they drop
+        # out of the pointer map (None disables); see Manifest.vacuum
+        self.vacuum_retain = vacuum_retain
         os.makedirs(out_dir, exist_ok=True)
         self.manifest = Manifest(out_dir)
         self._actors: list | None = None
@@ -391,6 +395,10 @@ class CdcEngine:
                 "turn_block": self.turn_block,
             },
         )
+        if self.vacuum_retain is not None:
+            # after the commit: anything the newest vacuum_retain manifests
+            # don't reference is unreachable (resume reads only the latest)
+            self.manifest.vacuum(self.vacuum_retain)
         summary["epochs_run"] += 1
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]

@@ -24,8 +24,10 @@ JSON) — still a single atomic object.
 from __future__ import annotations
 
 import fcntl
+import glob
 import json
 import os
+import re
 import tempfile
 
 
@@ -121,3 +123,50 @@ class Manifest:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         return rec
+
+    # -- vacuum ----------------------------------------------------------
+    def vacuum(self, retain_epochs: int = 2) -> dict:
+        """Delete partition state files (base/delta parquet) superseded for
+        ≥ ``retain_epochs`` commits.  Compaction rewrites a partition's base
+        and drops its deltas from the pointer map but never unlinked the dead
+        files, so disk grew without bound at 10^10 events (reference analog:
+        the auto-expiring staging dataset, ingest-processed-data.yaml:22-41).
+
+        Safety rules:
+        * resume reads only the LATEST manifest, so keeping every file the
+          newest ``retain_epochs`` manifests reference strictly over-retains;
+        * files stamped with an epoch NEWER than the latest commit are
+          in-flight staging for the next epoch — never touched;
+        * manifest JSONs are all kept: ``committed_epochs()`` is the dense
+          prefix that makes replayed epochs skip (deleting old manifests
+          would re-run them).  They are O(partitions) JSON, not data.
+
+        Returns {files_deleted, bytes_freed}.
+        """
+        epochs = self.committed_epochs()
+        if not epochs:
+            return {"files_deleted": 0, "bytes_freed": 0}
+        latest_epoch = epochs[-1]
+        referenced: set[str] = set()
+        for e in epochs[-max(1, retain_epochs):]:
+            rec = self.read_epoch(e)
+            for ptr in rec["partitions"].values():
+                if ptr.get("base"):
+                    referenced.add(os.path.abspath(ptr["base"]))
+                for d in ptr.get("deltas", []):
+                    referenced.add(os.path.abspath(d))
+        deleted = 0
+        freed = 0
+        for f in glob.glob(os.path.join(self.root, "part=*", "*.parquet")):
+            m = re.search(r"(?:base|delta)-(\d+)\.parquet$", f)
+            if m is None or int(m.group(1)) > latest_epoch:
+                continue
+            if os.path.abspath(f) in referenced:
+                continue
+            try:
+                freed += os.path.getsize(f)
+                os.unlink(f)
+                deleted += 1
+            except OSError:
+                pass
+        return {"files_deleted": deleted, "bytes_freed": freed}

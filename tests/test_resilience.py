@@ -125,3 +125,61 @@ def test_tail_follow_mode_applies_epochs_as_they_land(tmp_path):
     want = expected_final_state(meta_box["meta"]["files"])
     assert got.num_rows == want.num_rows
     assert got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
+
+
+def test_vacuum_gc_and_resume(many_epochs, tmp_path):
+    """Superseded base/delta files are unlinked after commits (bounded disk
+    at 10^10 events); everything the latest manifests reference survives,
+    and a crash/resume over the vacuumed table is still exactly-once."""
+    import glob
+
+    events_dir, meta = many_epochs
+    out = str(tmp_path / "o-vac")
+    engine = CdcEngine(
+        out, num_partitions=8, num_actors=2, compact_every=3, vacuum_retain=2
+    )
+    # simulated crash: apply only the first 6 epochs, drop the engine
+    from encode_ingest_ray.pipelines.cdc import discover_epoch_files
+
+    files = discover_epoch_files(events_dir)
+    engine.run(epoch_files=files[:6])
+    del engine
+
+    # resume with a fresh engine over the vacuumed table; full stream
+    resumed = CdcEngine(out, num_partitions=8, num_actors=2, compact_every=3)
+    s = resumed.run(events_dir)
+    assert s["epochs_skipped"] == 6
+    assert s["epochs_run"] == meta["epochs"] - 6
+
+    # invariant: every file on disk is referenced by the newest 2 manifests
+    man = resumed.manifest
+    referenced = set()
+    for e in man.committed_epochs()[-2:]:
+        for ptr in man.read_epoch(e)["partitions"].values():
+            if ptr.get("base"):
+                referenced.add(os.path.abspath(ptr["base"]))
+            referenced.update(os.path.abspath(d) for d in ptr.get("deltas", []))
+    on_disk = {
+        os.path.abspath(f) for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    }
+    assert on_disk <= referenced
+    assert on_disk  # vacuum never deletes live state
+
+    # the control without vacuum accumulates strictly more files
+    out2 = str(tmp_path / "o-novac")
+    control = CdcEngine(
+        out2, num_partitions=8, num_actors=2, compact_every=3, vacuum_retain=None
+    )
+    control.run(events_dir)
+    control_files = glob.glob(os.path.join(out2, "part=*", "*.parquet"))
+    assert len(control_files) > len(on_disk)
+
+    # replayed state row-for-row equals the single-process oracle
+    got = resumed.final_table()
+    want = expected_final_state(meta["files"])
+    assert got.num_rows == want.num_rows
+    assert got.to_pandas()["text"].tolist() == want.to_pandas()["text"].tolist()
+
+    # idempotent re-run over the vacuumed table: everything skips
+    again = CdcEngine(out).run(events_dir)
+    assert again["epochs_run"] == 0
