@@ -243,7 +243,12 @@ def entity_file_transform(sf_dir: str):
     )
 
 
-@register("unified_transform_files", FILE_ENTITY_SQL)
+UNIFIED_FILE_SQL = FILE_ENTITY_SQL.replace(
+    "FROM orders", "FROM orders WHERE o_orderkey % 7 = 0"
+)
+
+
+@register("unified_transform_files", UNIFIED_FILE_SQL)
 def unified_transform_files(sf_dir: str):
     """The UNIFIED transformation driver end-to-end
     (TransformationPipelineBuilder.scala:40-174): file records derived from
@@ -277,6 +282,8 @@ def unified_transform_files(sf_dir: str):
     rt = np.array(["paired-ended", "single-ended", None], object)
 
     def write_dump(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
         k = t.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
         pri = t.column("o_orderpriority").to_pylist()
         st = t.column("o_orderstatus").to_pylist()
@@ -303,6 +310,15 @@ def unified_transform_files(sf_dir: str):
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+    # a 1-in-7 systematic subset: the query tests the dumps→DAG→sink PATH,
+    # not bulk JSON throughput (entity_file_transform covers the full table)
+    def subset(t: pa.Table) -> pa.Table:
+        kk = t.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(kk % 7 == 0))
+
+    ds = ds.map_batches(
+        subset, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     ds.map_batches(
         write_dump, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).take_all()

@@ -179,8 +179,32 @@ def _queries_table(sf_dir: str, n: int = 8) -> pa.Table:
     return t.filter(pc.less(t.column("vec_id"), n))
 
 
-@register("ann_brute_force")  # float cosine — rows-only (FP order-sensitivity)
+ANN_BRUTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(1000 * list_cosine_similarity(e.embedding, q.embedding))
+              AS BIGINT) AS cos_milli
+  FROM embeddings e, q
+)
+SELECT query_id, neighbor_id, cos_milli
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_milli DESC, neighbor_id) AS rn
+  FROM sims
+)
+WHERE rn <= 5
+"""
+
+
+@register("ann_brute_force", ANN_BRUTE_SQL)
 def ann_brute_force_q(sf_dir: str):
+    """EXACT-oracle brute-force cosine top-k: per-block candidates are
+    selected by (cos_milli desc, neighbor_id asc) — the same key as the
+    per-query reduce — so the distributed result is byte-identical to the
+    single-process SQL ranking."""
     ds = _sized_read(
         os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )

@@ -47,6 +47,11 @@ _EMPTY_TOPK = pa.table(
 def _local_topk(
     batch: pa.Table, *, qref=None, queries=None, id_column: str, column: str, k: int
 ) -> pa.Table:
+    """Per-block top-k, selected by the SAME key the final reduce uses —
+    (cos_milli desc, neighbor_id asc) — so block-local selection composes
+    associatively into an exactly deterministic global top-k (a float-order
+    argpartition could keep the wrong one of two candidates that round to
+    the same milli, diverging from the DuckDB oracle at block boundaries)."""
     if queries is None:
         queries = ray.get(qref)  # (q_ids, normalized query matrix) — zero-copy
     q_ids, qm = queries
@@ -54,17 +59,20 @@ def _local_topk(
     if m.shape[0] == 0 or len(q_ids) == 0:
         return _EMPTY_TOPK
     sims = qm @ _normalize(m).T  # (Q, B)
+    milli = np.round(sims * 1000).astype(np.int64)
     ids = batch.column(id_column).to_numpy(zero_copy_only=False)
     kk = min(k, sims.shape[1])
-    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    top = np.empty((len(q_ids), kk), np.int64)
+    for qi in range(len(q_ids)):  # Q is small (the broadcast query set)
+        top[qi] = np.lexsort((ids, -milli[qi]))[:kk]
     rows_q = np.repeat(q_ids, kk)
     rows_n = ids[top.ravel()]
-    rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+    rows_s = np.take_along_axis(milli, top, axis=1).ravel()
     return pa.table(
         {
             "query_id": pa.array(rows_q, pa.int64()),
             "neighbor_id": pa.array(rows_n, pa.int64()),
-            "cos_milli": pa.array(np.round(rows_s * 1000).astype(np.int64)),
+            "cos_milli": pa.array(rows_s),
         }
     )
 
