@@ -177,6 +177,9 @@ def main(argv=None) -> int:
                 if args.warmup and files and files[0]:
                     import ray.data
 
+                    # spawn the merger pool while the warmup read spins the
+                    # worker pool — both are cold-start costs, paid once
+                    eng._actors = eng._spawn_actors()
                     ray.data.read_parquet(files[0]).map_batches(
                         lambda t: t.slice(0, 1), batch_format="pyarrow"
                     ).count()

@@ -160,8 +160,11 @@ def generate_cdc_events(
             dtype=np.uint64,
             count=n_convs,
         )
+        # seed=1: the SOURCE sharding must be independent of the engine's
+        # partition mix (seed=0) — a correlated mix collapses each tailer's
+        # keys onto num_partitions/shard_count engine partitions
         shard_of = mix_partition(
-            conv_hash_by_num[conv_nums], turn_idx, key_shards, tb
+            conv_hash_by_num[conv_nums], turn_idx, key_shards, tb, seed=1
         )
 
     # --- duplicated-LSN replays: verbatim re-emissions of random earlier rows

@@ -59,13 +59,24 @@ def mix_partition(
     turns: np.ndarray,
     num_partitions: int,
     turn_block: int = DEFAULT_TURN_BLOCK,
+    seed: int = 0,
 ) -> np.ndarray:
     """The salted mix on raw numpy inputs: uint64 conv hashes + turn indices
     → int32 partition ids.  Shared by the engine partitioner and the
     key-sharded generator/source splitter so 'which shard owns key K' is ONE
-    function everywhere."""
+    function everywhere.
+
+    ``seed`` decorrelates INDEPENDENT partitionings of the same keys: the
+    source key-sharding (generator) uses seed=1 while the engine partitioner
+    keeps seed=0 — with one mix, a tailer owning source shards ``s ≡ k (mod
+    K)`` would see its keys collapse onto ``num_partitions / K`` engine
+    partitions (measured: 4 of 16 touched), strangling flush parallelism."""
     salt = turns.astype(np.uint64) // np.uint64(turn_block)
-    mixed = (conv_hash + np.uint64(1) + salt) * _GOLDEN
+    h = conv_hash
+    if seed:
+        h = (h ^ (np.uint64(seed) * np.uint64(0xC2B2AE3D27D4EB4F))) * _GOLDEN
+        h ^= h >> np.uint64(31)
+    mixed = (h + np.uint64(1) + salt) * _GOLDEN
     mixed ^= mixed >> np.uint64(29)
     return (mixed % np.uint64(num_partitions)).astype(np.int32)
 

@@ -433,3 +433,32 @@ def test_sample_treatment_and_library_prep_and_refset_and_dataset():
 
     d = E.dataset_singleton()
     assert d.num_rows == 1 and d.column("dataset_id")[0].as_py() == "ENCODE"
+
+
+def test_file_transform_distributed_large_side_parity():
+    """The size-guarded fallback (no driver dict, exchange-based library
+    linkage) must match the broadcast path row-for-row, including the
+    first-seen library ordering."""
+    files = _files_table()
+    libs = _libraries_table()
+    broadcast = (
+        E.transform_files(ray.data.from_arrow(files), libs)
+        .to_pandas().set_index("file_id").sort_index()
+    )
+    distributed = (
+        E.transform_files(ray.data.from_arrow(files), libs, broadcast_max_rows=0)
+        .to_pandas().set_index("file_id").sort_index()
+    )
+    assert list(broadcast.index) == list(distributed.index)
+    for fid in broadcast.index:
+        assert list(broadcast.loc[fid]["library_id"]) == list(
+            distributed.loc[fid]["library_id"]
+        ), fid
+    # full-row parity on the shared column set
+    for col in broadcast.columns:
+        for fid in broadcast.index:
+            a, b = broadcast.loc[fid][col], distributed.loc[fid][col]
+            if isinstance(a, (list,)) or hasattr(a, "__len__") and not isinstance(a, str):
+                assert list(a) == list(b), (col, fid)
+            else:
+                assert (a == b) or (a != a and b != b), (col, fid)

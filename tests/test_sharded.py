@@ -38,11 +38,11 @@ def sharded_events(tmp_path_factory):
 def test_key_sharded_files_partition_events(sharded_events):
     import pyarrow.parquet as pq
 
-    from encode_ingest_ray.state.partition import partition_ids
+    from encode_ingest_ray.state.partition import conv_hashes, mix_partition
 
     d, meta = sharded_events
     # all 8 files exist per epoch, and each file holds exactly its salted
-    # key range
+    # key range (source mix = seed 1, decorrelated from the engine's seed 0)
     assert len(meta["files"]) == 2 * 8
     total = 0
     for f in meta["files"]:
@@ -50,7 +50,12 @@ def test_key_sharded_files_partition_events(sharded_events):
         t = pq.read_table(f, columns=["conv_id", "turn_idx"])
         total += t.num_rows
         if t.num_rows:
-            ids = partition_ids(t.column("conv_id"), t.column("turn_idx"), 8)
+            ids = mix_partition(
+                conv_hashes(t.column("conv_id")),
+                t.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False),
+                8,
+                seed=1,
+            )
             assert set(ids.tolist()) == {shard_no}
     assert total >= meta["n_events"]  # originals + replayed dups
 
