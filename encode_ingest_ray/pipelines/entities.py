@@ -748,12 +748,30 @@ def experiment_side_index(replicates: pa.Table, libraries: pa.Table) -> dict:
     return out
 
 
+def _pop_exp_side(batch: pa.Table):
+    """Injected per-row side info (the distributed large-side path): returns
+    (batch-without-column, libraries-per-row, antibodies-per-row) or
+    (batch, None, None) when absent."""
+    if "__exp_side" not in batch.column_names:
+        return batch, None, None
+    rows = [r or {} for r in batch.column("__exp_side").to_pylist()]
+    libs = [
+        [(p["lib_id"], p["bio_id"]) for p in (r.get("library_pairs") or [])]
+        for r in rows
+    ]
+    antibodies = [list(r.get("antibody_id") or []) for r in rows]
+    return batch.drop_columns(["__exp_side"]), libs, antibodies
+
+
 def transform_experiment_batch(batch: pa.Table, side: dict) -> pa.Table:
+    batch, libs, antibodies = _pop_exp_side(batch)
     batch = summarize_audits(batch)
     ats = batch.column("at_id").to_pylist()
     ids = [transform_id(v) for v in ats]
     assay = _get_str(batch, "assay_term_name")
-    libs = [side.get(a, {}).get("libraries", []) for a in ats]
+    if libs is None:
+        libs = [side.get(a, {}).get("libraries", []) for a in ats]
+        antibodies = [side.get(a, {}).get("antibodies", []) for a in ats]
     return pa.table(
         {
             "experimentactivity_id": pa.array(ids, pa.string()),
@@ -783,10 +801,7 @@ def transform_experiment_batch(batch: pa.Table, side: dict) -> pa.Table:
                 [sorted({b for _, b in l if b is not None}) for l in libs],
                 pa.list_(pa.string()),
             ),
-            "antibody_id": pa.array(
-                [side.get(a, {}).get("antibodies", []) for a in ats],
-                pa.list_(pa.string()),
-            ),
+            "antibody_id": pa.array(antibodies, pa.list_(pa.string())),
             "library_id": pa.array(
                 [sorted(i for i, _ in l) for l in libs], pa.list_(pa.string())
             ),
@@ -798,8 +813,122 @@ def _get_col_or_null(batch: pa.Table, name: str, typ=pa.string()):
     return batch.column(name) if name in batch.column_names else pa.nulls(batch.num_rows, typ)
 
 
-def transform_experiments(experiments_ds, replicates: pa.Table, libraries: pa.Table):
+_LIB_PAIR_T = pa.struct([("lib_id", pa.string()), ("bio_id", pa.string())])
+_EXP_SIDE_T = pa.struct(
+    [
+        ("antibody_id", pa.list_(pa.string())),
+        ("library_pairs", pa.list_(_LIB_PAIR_T)),
+    ]
+)
+
+
+def _experiment_side_ds(replicates: pa.Table, libraries: pa.Table):
+    """Distributed experiment_side_index: replicate→library resolution via
+    one keyed exchange, per-experiment fold via another — no driver dict.
+    Row-order parity: antibodies and library pairs keep replicate ROW order
+    (__rep_order), exactly what the broadcast index produces."""
+    import numpy as np
+    import ray.data
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    n = replicates.num_rows
+    rep_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "library": replicates.column("library"),
+                "experiment": replicates.column("experiment"),
+                "antibody": replicates.column("antibody")
+                if "antibody" in replicates.column_names
+                else pa.nulls(n, pa.string()),
+                "__rep_order": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    )
+    lib_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "library": libraries.column("at_id"),
+                "__lib_pair": pa.array(
+                    [
+                        {"lib_id": transform_id(at), "bio_id": transform_id(b)}
+                        for at, b in zip(
+                            libraries.column("at_id").to_pylist(),
+                            libraries.column("biosample").to_pylist()
+                            if "biosample" in libraries.column_names
+                            else [None] * libraries.num_rows,
+                        )
+                    ],
+                    _LIB_PAIR_T,
+                ),
+            }
+        )
+    )
+    rep_with_lib = append_side_column(
+        rep_ds, lib_ds, "library", "__lib_pair", _LIB_PAIR_T
+    )
+
+    def fold_exp(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("experiment", "ascending"), ("__rep_order", "ascending")],
+        )
+        g = t.take(idx)
+        exps = g.column("experiment").to_pylist()
+        abs_ = g.column("antibody").to_pylist()
+        pairs = g.column("__lib_pair").to_pylist()
+        out_at, out_side = [], []
+        cur, cur_ab, cur_pairs = None, [], []
+        for e, a, p in zip(exps, abs_, pairs):
+            if e != cur:
+                if cur is not None:
+                    out_at.append(cur)
+                    out_side.append(
+                        {"antibody_id": cur_ab, "library_pairs": cur_pairs}
+                    )
+                cur, cur_ab, cur_pairs = e, [], []
+            if a is not None:
+                cur_ab.append(transform_id(a))
+            if p is not None:
+                cur_pairs.append(p)
+        if cur is not None:
+            out_at.append(cur)
+            out_side.append({"antibody_id": cur_ab, "library_pairs": cur_pairs})
+        return pa.table(
+            {
+                "at_id": pa.array(out_at, pa.string()),
+                "__exp_side": pa.array(out_side, _EXP_SIDE_T),
+            }
+        )
+
+    return bucketed_groupby_apply(rep_with_lib, ["experiment"], fold_exp)
+
+
+def transform_experiments(
+    experiments_ds,
+    replicates: pa.Table,
+    libraries: pa.Table,
+    *,
+    broadcast_max_rows: int | None = None,
+):
     import ray
+
+    limit = (
+        SIDE_INPUT_BROADCAST_MAX_ROWS
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+    if replicates.num_rows + libraries.num_rows > limit:
+        side_ds = _experiment_side_ds(replicates, libraries)
+        joined = append_side_column(
+            experiments_ds, side_ds, "at_id", "__exp_side", _EXP_SIDE_T
+        )
+        return joined.map_batches(
+            lambda t: transform_experiment_batch(t, {}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
 
     ref = ray.put(experiment_side_index(replicates, libraries))
 
@@ -814,12 +943,22 @@ def transform_experiments(experiments_ds, replicates: pa.Table, libraries: pa.Ta
 def transform_assay_activity_batch(
     batch: pa.Table, side: dict, files_by_dataset: dict
 ) -> pa.Table:
+    batch, libs, antibodies = _pop_exp_side(batch)
+    gen_files = None
+    if "__gen_files" in batch.column_names:
+        gen_files = [
+            sorted(set(v or [])) for v in batch.column("__gen_files").to_pylist()
+        ]
+        batch = batch.drop_columns(["__gen_files"])
     ats = batch.column("at_id").to_pylist()
     ids = [transform_id(v) for v in ats]
     assay_name = _get_str(batch, "assay_term_name")
     slims = _get_list(batch, "assay_slims")
-    libs = [side.get(a, {}).get("libraries", []) for a in ats]
-    gen_files = [sorted(set(files_by_dataset.get(a, []))) for a in ats]
+    if libs is None:
+        libs = [side.get(a, {}).get("libraries", []) for a in ats]
+        antibodies = [side.get(a, {}).get("antibodies", []) for a in ats]
+    if gen_files is None:
+        gen_files = [sorted(set(files_by_dataset.get(a, []))) for a in ats]
     return pa.table(
         {
             "assayactivity_id": pa.array(ids, pa.string()),
@@ -834,9 +973,7 @@ def transform_assay_activity_batch(
                 [[assay_term_to_modality(a)] if a is not None else [] for a in assay_name],
                 pa.list_(pa.string()),
             ),
-            "antibody_id": pa.array(
-                [side.get(a, {}).get("antibodies", []) for a in ats], pa.list_(pa.string())
-            ),
+            "antibody_id": pa.array(antibodies, pa.list_(pa.string())),
             "activity_type": pa.array(["Assay"] * batch.num_rows),
             "generated_file_id": pa.array(gen_files, pa.list_(pa.string())),
             "used_biosample_id": pa.array(
@@ -850,10 +987,86 @@ def transform_assay_activity_batch(
     )
 
 
+def _gen_files_ds(files: pa.Table):
+    """Distributed files_by_dataset: (dataset → generated file ids) via one
+    grouped exchange.  The consumer sorts the set, so row order is free."""
+    import ray.data
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "dataset": files.column("dataset"),
+                "file_id": pa.array(
+                    [transform_id(v) for v in files.column("at_id").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("dataset", "ascending")])
+        g = t.take(idx)
+        ds_col = g.column("dataset").to_pylist()
+        fids = g.column("file_id").to_pylist()
+        out_at, out_files = [], []
+        cur, acc = None, []
+        for d, f in zip(ds_col, fids):
+            if d != cur:
+                if cur is not None:
+                    out_at.append(cur)
+                    out_files.append(acc)
+                cur, acc = d, []
+            acc.append(f)
+        if cur is not None:
+            out_at.append(cur)
+            out_files.append(acc)
+        return pa.table(
+            {
+                "at_id": pa.array(out_at, pa.string()),
+                "__gen_files": pa.array(out_files, pa.list_(pa.string())),
+            }
+        )
+
+    return bucketed_groupby_apply(src, ["dataset"], fold)
+
+
 def transform_assay_activities(
-    experiments_ds, files: pa.Table, replicates: pa.Table, libraries: pa.Table
+    experiments_ds,
+    files: pa.Table,
+    replicates: pa.Table,
+    libraries: pa.Table,
+    *,
+    broadcast_max_rows: int | None = None,
 ):
     import ray
+
+    limit = (
+        SIDE_INPUT_BROADCAST_MAX_ROWS
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+    if files.num_rows + replicates.num_rows + libraries.num_rows > limit:
+        # files are the FACT side — never a driver dict at scale
+        joined = append_side_column(
+            experiments_ds,
+            _experiment_side_ds(replicates, libraries),
+            "at_id",
+            "__exp_side",
+            _EXP_SIDE_T,
+        )
+        joined = append_side_column(
+            joined, _gen_files_ds(files), "at_id", "__gen_files",
+            pa.list_(pa.string()),
+        )
+        return joined.map_batches(
+            lambda t: transform_assay_activity_batch(t, {}, {}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
 
     files_by_dataset: dict[str, list[str]] = {}
     for ds_at, f_at in zip(
@@ -1197,10 +1410,15 @@ def transform_library_preparation_batch(
     """Library-prep activity rows; modality comes from the experiment the
     library replicates into (the distinctBy'd library→experiment pairing,
     TransformationPipelineBuilder.scala:443-462)."""
+    assay = None
+    if "__assay" in batch.column_names:
+        assay = batch.column("__assay").to_pylist()
+        batch = batch.drop_columns(["__assay"])
     n = batch.num_rows
     ats = batch.column("at_id").to_pylist()
     ids = [transform_id(v) for v in ats]
-    assay = [experiment_assay_by_library.get(a) for a in ats]
+    if assay is None:
+        assay = [experiment_assay_by_library.get(a) for a in ats]
     return pa.table(
         {
             "librarypreparationactivity_id": pa.array(ids, pa.string()),
@@ -1243,8 +1461,96 @@ def experiment_assay_by_library(replicates: pa.Table, experiments: pa.Table) -> 
     return pairs
 
 
-def transform_library_preparations(libraries_ds, replicates: pa.Table, experiments: pa.Table):
+def _assay_by_library_ds(replicates: pa.Table, experiments: pa.Table):
+    """Distributed experiment_assay_by_library: resolve each replicate's
+    experiment assay by one keyed exchange, then per library keep the pair
+    with the SMALLEST experiment id among those whose experiment EXISTS —
+    the broadcast dict's sorted-first-membership rule, including the case
+    where the winning experiment's assay is null (it still claims the
+    library; a later non-null assay must NOT override)."""
+    import ray.data
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    hit_t = pa.struct([("assay", pa.string()), ("matched", pa.bool_())])
+    rep_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "library": replicates.column("library"),
+                "experiment": replicates.column("experiment"),
+            }
+        )
+    )
+    exp_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "experiment": experiments.column("at_id"),
+                "__hit": pa.array(
+                    [
+                        {"assay": a, "matched": True}
+                        for a in _get_str(experiments, "assay_term_name")
+                    ],
+                    hit_t,
+                ),
+            }
+        )
+    )
+    resolved = append_side_column(rep_ds, exp_ds, "experiment", "__hit", hit_t)
+
+    def fold_lib(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("library", "ascending"), ("experiment", "ascending")]
+        )
+        g = t.take(idx)
+        libs = g.column("library").to_pylist()
+        hits = g.column("__hit").to_pylist()
+        out_at, out_assay = [], []
+        cur, claimed = None, False
+        for l, h in zip(libs, hits):
+            if l != cur:
+                cur, claimed = l, False
+            if not claimed and h is not None and h.get("matched"):
+                out_at.append(l)
+                out_assay.append(h.get("assay"))
+                claimed = True
+        return pa.table(
+            {
+                "at_id": pa.array(out_at, pa.string()),
+                "__assay": pa.array(out_assay, pa.string()),
+            }
+        )
+
+    return bucketed_groupby_apply(resolved, ["library"], fold_lib)
+
+
+def transform_library_preparations(
+    libraries_ds,
+    replicates: pa.Table,
+    experiments: pa.Table,
+    *,
+    broadcast_max_rows: int | None = None,
+):
     import ray
+
+    limit = (
+        SIDE_INPUT_BROADCAST_MAX_ROWS
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+    if replicates.num_rows + experiments.num_rows > limit:
+        joined = append_side_column(
+            libraries_ds,
+            _assay_by_library_ds(replicates, experiments),
+            "at_id",
+            "__assay",
+            pa.string(),
+        )
+        return joined.map_batches(
+            lambda t: transform_library_preparation_batch(t, {}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
 
     ref = ray.put(experiment_assay_by_library(replicates, experiments))
 

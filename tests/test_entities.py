@@ -462,3 +462,81 @@ def test_file_transform_distributed_large_side_parity():
                 assert list(a) == list(b), (col, fid)
             else:
                 assert (a == b) or (a != a and b != b), (col, fid)
+
+
+def test_experiment_and_assay_distributed_parity():
+    """Size-guarded fallbacks for the experiment side index, the assay
+    files_by_dataset fact dict, and the library-prep assay pairing must all
+    match their broadcast paths row-for-row (incl. appearance order of
+    antibody/library lists and the null-assay-claims-the-slot rule)."""
+    exps = _experiments_table()
+    reps = _replicates_table()
+    libs = _libraries_table()
+    files = _files_table()
+
+    for maker, kwargs in [
+        (E.transform_experiments, dict(replicates=reps, libraries=libs)),
+        (E.transform_assay_activities, dict(files=files, replicates=reps, libraries=libs)),
+    ]:
+        a = maker(ray.data.from_arrow(exps), **kwargs).to_pandas()
+        b = (
+            maker(ray.data.from_arrow(exps), broadcast_max_rows=0, **kwargs)
+            .to_pandas()
+        )
+        key = "experimentactivity_id" if "experimentactivity_id" in a.columns else "assayactivity_id"
+        a = a.set_index(key).sort_index()
+        b = b.set_index(key).sort_index()
+        assert list(a.index) == list(b.index)
+        for col in a.columns:
+            for k in a.index:
+                va, vb = a.loc[k][col], b.loc[k][col]
+                if hasattr(va, "__len__") and not isinstance(va, str):
+                    assert list(va) == list(vb), (maker.__name__, col, k)
+                else:
+                    assert (va == vb) or (va != va and vb != vb), (maker.__name__, col, k)
+
+    lp_a = (
+        E.transform_library_preparations(ray.data.from_arrow(libs), reps, exps)
+        .to_pandas().set_index("librarypreparationactivity_id").sort_index()
+    )
+    lp_b = (
+        E.transform_library_preparations(
+            ray.data.from_arrow(libs), reps, exps, broadcast_max_rows=0
+        )
+        .to_pandas().set_index("librarypreparationactivity_id").sort_index()
+    )
+    assert list(lp_a.index) == list(lp_b.index)
+    for k in lp_a.index:
+        assert list(lp_a.loc[k]["data_modality"]) == list(lp_b.loc[k]["data_modality"]), k
+
+
+def test_library_prep_null_assay_claims_slot():
+    """A library whose sorted-first experiment has a NULL assay must keep
+    modality [] in BOTH paths (the null match claims the slot; a later
+    non-null experiment must not override) — the distinctBy subtlety."""
+    libs = pa.table({
+        "at_id": ["/libraries/LX/"],
+        "biosample": ["/biosamples/B1/"],
+        "date_created": pa.array([TS.as_py()], pa.timestamp("us", "UTC")),
+        "award": ["/awards/A1/"], "lab": ["/labs/L1/"],
+        "submitted_by": ["/users/U1/"],
+        "treatments": pa.array([[]], pa.list_(pa.string())),
+        "spikeins_used": pa.array([[]], pa.list_(pa.string())),
+        "dbxrefs": pa.array([[]], pa.list_(pa.string())),
+    })
+    reps = pa.table({
+        "at_id": ["/replicates/R1/", "/replicates/R2/"],
+        "library": ["/libraries/LX/", "/libraries/LX/"],
+        "experiment": ["/experiments/E1/", "/experiments/E2/"],
+    })
+    exps = pa.table({
+        "at_id": ["/experiments/E1/", "/experiments/E2/"],
+        # E1 sorts first and has a NULL assay
+        "assay_term_name": pa.array([None, "ATAC-seq"], pa.string()),
+    })
+    for kw in ({}, {"broadcast_max_rows": 0}):
+        out = (
+            E.transform_library_preparations(ray.data.from_arrow(libs), reps, exps, **kw)
+            .to_pandas()
+        )
+        assert list(out.iloc[0]["data_modality"]) == [], kw
