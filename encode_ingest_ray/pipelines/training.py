@@ -158,10 +158,14 @@ def minhash_lsh_pairs_q(sf_dir: str):
     # shingle+minhash is CPU-bound per doc: keep >=32 tasks regardless of
     # the (small) file size
     ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=32)
-    pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16)
+    # dedup folds into the verify (free where it already holds the pair
+    # keys) instead of its own sort exchange
+    pairs = minhash_lsh_pairs(ds, num_perm=64, num_bands=16, dedup=False)
     # verify distributively: texts resolve via a bucketed exchange on doc_id
     # (no driver-side read, no whole-corpus broadcast)
-    return verify_pairs_jaccard(pairs, _docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return verify_pairs_jaccard(
+        pairs, _docs(sf_dir, ["doc_id", "text"]), threshold=0.5, dedup_pairs=True
+    )
 
 
 @register("simhash")

@@ -64,6 +64,44 @@ def _word_ngrams(text: str, n: int) -> set:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+#: word → 64-bit blake2b, memoized per process (vocabulary ≪ corpus)
+_WORD_HASH_CACHE: dict = {}
+
+_POLY_B = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) > 2_000_000:  # bound worker memory
+            _WORD_HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        _WORD_HASH_CACHE[w] = h
+    return h
+
+
+def _ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes of a text's word n-grams — the wire form
+    of a document's ngram set for the distributed verify.  blake2b once per
+    UNIQUE word (deterministic across workers, unlike salted ``hash(str)``),
+    then one vectorized positional-polynomial fold in wraparound uint64 —
+    per-ngram string hashing was 100x slower.  Texts shorter than ``n``
+    words fold to a single all-words gram (same equality classes as
+    :func:`_word_ngrams`'s single joined gram)."""
+    words = (text or "").split()
+    hw = np.fromiter((_word_hash(w) for w in words), np.uint64, len(words))
+    if len(words) < n:
+        acc = np.zeros(1, np.uint64)
+        for j in range(len(words)):
+            acc = acc * _POLY_B + hw[j : j + 1]
+        return acc
+    m = len(words) - n + 1
+    acc = np.zeros(m, np.uint64)
+    for j in range(n):
+        acc = acc * _POLY_B + hw[j : m + j]
+    return np.unique(acc)
+
+
 class MinHasher:
     """Per-actor state: the (a, b) coefficient vectors for ``num_perm``
     universal hash functions, built once (seeded → identical on every actor).
@@ -175,12 +213,18 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     batch_size: int = 128,
     concurrency: int | None = None,
+    dedup: bool = True,
 ):
     """Full MinHash-LSH candidate-pair pipeline over a documents Dataset.
 
     shingle→minhash (actor pool, stateless math but per-actor coefficient
     tables) → band explode → groupby(band bucket) [the one shuffle] →
     pairs → exact dedup of pairs.
+
+    ``dedup=False`` skips the cross-band pair dedup exchange — for callers
+    that feed straight into :func:`verify_pairs_jaccard` with
+    ``dedup_pairs=True``, which dedups for free where it already holds the
+    pair keys.
     """
     from encode_ingest_ray.stages.dedup import dedup_exact
 
@@ -205,6 +249,8 @@ def minhash_lsh_pairs(
         lambda t: candidate_pairs_bulk(t, id_column),
         num_buckets=32,
     )
+    if not dedup:
+        return pairs
     # same pair may surface from several bands → exact dedup on the pair key
     return dedup_exact(pairs, ["doc_a", "doc_b"], "doc_a", keep_max=False)
 
@@ -288,7 +334,7 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 def verify_pairs_jaccard(
     pairs_ds, docs_ds, id_column: str = "doc_id",
     text_column: str = "text", n: int = 3, threshold: float = 0.8,
-    broadcast_max_docs: int = 100_000,
+    broadcast_max_docs: int = 100_000, dedup_pairs: bool = False,
 ):
     """Verify LSH candidate pairs with exact n-gram Jaccard — the CORPUS is
     never broadcast or read driver-side; only candidate-bounded state is.
@@ -315,16 +361,15 @@ def verify_pairs_jaccard(
     pairs = pairs_ds.materialize()  # consumed twice (id set + side rows); small
 
     # -- candidate id set (compact int64 array, not the corpus) ----------
-    id_blocks = [
-        np.concatenate(
-            [
-                t.column("doc_a").combine_chunks().to_numpy(zero_copy_only=False),
-                t.column("doc_b").combine_chunks().to_numpy(zero_copy_only=False),
-            ]
+    pair_cols = [
+        (
+            t.column("doc_a").combine_chunks().to_numpy(zero_copy_only=False),
+            t.column("doc_b").combine_chunks().to_numpy(zero_copy_only=False),
         )
         for t in ray.get(pairs.to_arrow_refs())
         if t.num_rows
     ]
+    id_blocks = [np.concatenate(ab) for ab in pair_cols]
     if not id_blocks:
         return ray.data.from_arrow(
             pa.table(
@@ -340,10 +385,40 @@ def verify_pairs_jaccard(
 
     if len(needed) <= broadcast_max_docs:
         # ---- small-candidate path: zero exchanges -----------------------
+        if dedup_pairs:
+            # the pair keys are already driver-side (pulled for the id set),
+            # so cross-band dedup is a free np.unique here instead of a
+            # whole dedup_exact sort exchange upstream
+            a = np.concatenate([ab[0] for ab in pair_cols])
+            b = np.concatenate([ab[1] for ab in pair_cols])
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            pairs = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_a": pa.array(uniq[:, 0], pa.int64()),
+                        "doc_b": pa.array(uniq[:, 1], pa.int64()),
+                    }
+                )
+            )
+        # prune AND tokenize distributed: the broadcast side carries hashed
+        # ngram arrays, so verify workers never re-tokenize the candidates
+        # (a 100k-doc dict build per worker was the query's top cost)
         def prune(t: pa.Table) -> pa.Table:
             ids = t.column(id_column).combine_chunks().to_numpy(zero_copy_only=False)
-            return t.select([id_column, text_column]).filter(
+            keep = t.select([id_column, text_column]).filter(
                 pa.array(np.isin(ids, ray.get(needed_ref)))
+            )
+            grams = [_ngram_hashes(tx, n) for tx in keep.column(text_column).to_pylist()]
+            lens = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+            values = np.concatenate(grams) if grams else np.empty(0, np.uint64)
+            return pa.table(
+                {
+                    id_column: keep.column(id_column),
+                    "ngrams": pa.ListArray.from_arrays(
+                        pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
+                        pa.array(values, pa.uint64()),
+                    ),
+                }
             )
 
         pruned = docs_ds.map_batches(
@@ -351,34 +426,46 @@ def verify_pairs_jaccard(
         )
         cand_tables = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
         lookup_ref = ray.put(
-            pa.concat_tables(cand_tables)
+            pa.concat_tables(cand_tables).combine_chunks()
             if cand_tables
-            else pa.table({id_column: pa.array([], pa.int64()), text_column: pa.array([], pa.string())})
+            else pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "ngrams": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
         )
 
         lookup_key = lookup_ref.hex()
+        missing = _ngram_hashes("", n)
 
         def verify(batch: pa.Table) -> pa.Table:
-            # id→text dict built ONCE per WORKER (process-level memo keyed by
-            # the broadcast ref), not per batch (VERDICT r2 #6) — and without
-            # an actor pool, whose spawn cost dwarfs this small stage
-            # (measured: a (1,8) actor pool doubled the whole query's wall).
+            # id→ngram-array dict built ONCE per WORKER (process-level memo
+            # keyed by the broadcast ref), not per batch (VERDICT r2 #6) —
+            # and without an actor pool, whose spawn cost dwarfs this small
+            # stage.  The arrays arrive pre-hashed, so the build is pure
+            # zero-copy slicing.
             lookup = _VERIFY_LOOKUP_CACHE.get(lookup_key)
             if lookup is None:
                 docs = ray.get(lookup_ref)
-                lookup = dict(
-                    zip(
-                        docs.column(id_column).to_pylist(),
-                        docs.column(text_column).to_pylist(),
-                    )
-                )
+                gr = docs.column("ngrams").combine_chunks()
+                offs = np.asarray(gr.offsets)
+                vals = np.asarray(gr.values)
+                lookup = {
+                    i: vals[offs[j] : offs[j + 1]]
+                    for j, i in enumerate(docs.column(id_column).to_pylist())
+                }
                 _VERIFY_LOOKUP_CACHE.clear()  # bound worker memory: keep one
                 _VERIFY_LOOKUP_CACHE[lookup_key] = lookup
             keep_a, keep_b, sims = [], [], []
             for a, b in zip(
                 batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
             ):
-                j = ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
+                sa = lookup.get(a, missing)
+                sb = lookup.get(b, missing)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = (inter / union) if union else 1.0
                 if j >= threshold:
                     keep_a.append(a)
                     keep_b.append(b)
@@ -391,13 +478,20 @@ def verify_pairs_jaccard(
                 }
             )
 
-        # candidate pairs are few (bounded by the LSH buckets) but arrive as
-        # one block PER BUCKET task — 32 near-empty blocks means 32 verify
-        # workers each paying the dict build (measured 0.6s × 32).  Coalesce
-        # to ~50k pairs per block first.
-        n_pairs = sum(len(b) for b in id_blocks) // 2
-        pairs = pairs.repartition(max(1, n_pairs // 50_000))
-        return pairs.map_batches(verify, batch_format="pyarrow", batch_size=None)
+        # candidate pairs arrive as one near-empty block PER BUCKET task; an
+        # explicit batch_size makes map_batches coalesce blocks into ~50k-pair
+        # batches (no extra repartition execution), so few workers pay the
+        # memoized dict build.
+        return pairs.map_batches(
+            verify, batch_format="pyarrow", batch_size=50_000
+        )
+
+    if dedup_pairs:
+        # large-candidate path: the pair keys are not held anywhere whole,
+        # so dedup stays the exchange it always was
+        from encode_ingest_ray.stages.dedup import dedup_exact
+
+        pairs = dedup_exact(pairs, ["doc_a", "doc_b"], "doc_a", keep_max=False)
 
     # -- side rows: (doc_id to resolve, pair key, no text yet) -----------
     def explode_sides(t: pa.Table) -> pa.Table:
@@ -435,21 +529,36 @@ def verify_pairs_jaccard(
         prune_docs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
-    # -- exchange 1: resolve text per side within each doc_id bucket -----
+    # -- exchange 1: resolve each side to its doc's HASHED ngram set -----
+    # Tokenize once per DOC here (not once per pair in the scorer) and ship
+    # sorted uint64 ngram hashes instead of raw text: a doc in P pairs
+    # crosses exchange 2 P times, so per-pair tokenization and text bytes
+    # both multiply by P.  64-bit hashing keeps the Jaccard exact up to
+    # ~n²/2^64 collision odds (negligible at any corpus size we shard to).
     def resolve_bucket(t: pa.Table) -> pa.Table:
         is_doc = pc.is_null(t.column("doc_a"))
         docs = t.filter(is_doc)
         side = t.filter(pc.invert(is_doc))
-        lookup = dict(
-            zip(docs.column("doc_id").to_pylist(), docs.column(text_column).to_pylist())
-        )
-        texts = [lookup.get(i, "") for i in side.column("doc_id").to_pylist()]
+        lookup = {
+            i: _ngram_hashes(tx, n)
+            for i, tx in zip(
+                docs.column("doc_id").to_pylist(),
+                docs.column(text_column).to_pylist(),
+            )
+        }
+        missing = _ngram_hashes("", n)
+        grams = [lookup.get(i, missing) for i in side.column("doc_id").to_pylist()]
+        lens = np.fromiter((len(g) for g in grams), np.int32, len(grams))
+        values = np.concatenate(grams) if grams else np.empty(0, np.uint64)
         return pa.table(
             {
                 "doc_a": side.column("doc_a"),
                 "doc_b": side.column("doc_b"),
                 "side_is_a": pc.equal(side.column("doc_id"), side.column("doc_a")),
-                text_column: pa.array(texts, pa.string()),
+                "ngrams": pa.ListArray.from_arrays(
+                    pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
+                    pa.array(values, pa.uint64()),
+                ),
             }
         )
 
@@ -470,12 +579,18 @@ def verify_pairs_jaccard(
         g = t.take(idx)
         da = g.column("doc_a").to_pylist()
         db = g.column("doc_b").to_pylist()
-        tx = g.column(text_column).to_pylist()
+        gr = g.column("ngrams").combine_chunks()
+        offs = np.asarray(gr.offsets)
+        vals = np.asarray(gr.values)
         keep_a, keep_b, sims = [], [], []
         i = 0
         while i + 1 < len(da):
             if da[i] == da[i + 1] and db[i] == db[i + 1]:
-                j = ngram_jaccard(tx[i], tx[i + 1], n)
+                sa = vals[offs[i] : offs[i + 1]]
+                sb = vals[offs[i + 1] : offs[i + 2]]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = (inter / union) if union else 1.0
                 if j >= threshold:
                     keep_a.append(da[i])
                     keep_b.append(db[i])
