@@ -307,3 +307,55 @@ def test_quantile_summary_merge_properties():
             )
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# hashed-ngram wire form: parity with the string-set Jaccard
+# ---------------------------------------------------------------------------
+def test_ngram_hash_jaccard_matches_string_jaccard():
+    from hypothesis import given, settings, strategies as st
+
+    from encode_ingest_ray.stages.neardup import _ngram_hashes
+
+    words = st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=25
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(words, words, st.integers(min_value=1, max_value=4))
+    def check(wa, wb, n):
+        ta, tb = " ".join(wa), " ".join(wb)
+        sa, sb = _ngram_hashes(ta, n), _ngram_hashes(tb, n)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        got = (inter / union) if union else 1.0
+        assert abs(got - ngram_jaccard(ta, tb, n)) < 1e-12
+
+    check()
+
+
+def test_verify_fused_dedup_matches_separate_dedup():
+    """dedup=False + dedup_pairs=True (the fused fast path) must equal
+    dedup=True + plain verify on BOTH verify paths."""
+    docs = _near_dup_docs()
+
+    def run(dedup_in_lsh, dedup_in_verify, bmax):
+        pairs = minhash_lsh_pairs(
+            ray.data.from_arrow(docs), num_perm=64, num_bands=16, dedup=dedup_in_lsh
+        )
+        return (
+            verify_pairs_jaccard(
+                pairs,
+                ray.data.from_arrow(docs),
+                threshold=0.6,
+                dedup_pairs=dedup_in_verify,
+                broadcast_max_docs=bmax,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    want = run(True, False, 100_000)
+    assert run(False, True, 100_000).equals(want)  # small path
+    assert run(False, True, 0).equals(want)  # exchange path
