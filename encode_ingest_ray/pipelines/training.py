@@ -168,6 +168,56 @@ def minhash_lsh_pairs_q(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# EXACT all-pairs n-gram Jaccard self-join (prefix-filtered set-similarity
+# join): unlike LSH it has no false negatives, so it carries a full DuckDB
+# oracle — the same trigram sets, intersection/union counts, integer
+# half-up milli rounding, and integer threshold compare.
+# ---------------------------------------------------------------------------
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END)) AS gram
+  FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ov.doc_a, ov.doc_b,
+       (2000 * i + (sa.s + sb.s - i)) // (2 * (sa.s + sb.s - i)) AS jaccard_milli
+FROM ov
+JOIN sz sa ON sa.doc_id = ov.doc_a
+JOIN sz sb ON sb.doc_id = ov.doc_b
+WHERE 1000 * i >= 800 * (sa.s + sb.s - i)
+"""
+
+
+@register("ngram_jaccard_pairs", NGRAM_JACCARD_SQL)
+def ngram_jaccard_pairs_q(sf_dir: str):
+    """Exact near-dup pairs (word-trigram Jaccard >= 0.8) via the
+    prefix-filtered set-similarity self-join (stages/neardup.py) — the
+    exact counterpart to minhash_lsh_pairs, with a full three-check
+    oracle."""
+    from encode_ingest_ray.stages.neardup import ngram_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=16)
+    return ngram_jaccard_pairs(
+        ds, _docs(sf_dir, ["doc_id", "text"]), n=3, threshold_milli=800
+    )
+
+
 @register("simhash")
 def simhash_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -331,6 +331,16 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jac_milli(inter: int, union: int) -> int:
+    """Integer milli-Jaccard, round-half-up — pure integer arithmetic so a
+    DuckDB oracle reproduces it exactly (``(2000*i + u) // (2*u)``); the
+    previous ``int(round(j * 1000))`` was float-mediated banker's rounding,
+    unreproducible in SQL at exact .5 ties."""
+    if union == 0:
+        return 1000
+    return (2000 * inter + union) // (2 * union)
+
+
 def verify_pairs_jaccard(
     pairs_ds, docs_ds, id_column: str = "doc_id",
     text_column: str = "text", n: int = 3, threshold: float = 0.8,
@@ -438,6 +448,7 @@ def verify_pairs_jaccard(
 
         lookup_key = lookup_ref.hex()
         missing = _ngram_hashes("", n)
+        t_milli = int(round(threshold * 1000))
 
         def verify(batch: pa.Table) -> pa.Table:
             # id→ngram-array dict built ONCE per WORKER (process-level memo
@@ -465,11 +476,12 @@ def verify_pairs_jaccard(
                 sb = lookup.get(b, missing)
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
-                j = (inter / union) if union else 1.0
-                if j >= threshold:
+                # integer threshold compare: 1000*i >= t_milli*u  ==  i/u >= t
+                # for milli-precision thresholds, with no float edge cases
+                if union == 0 or 1000 * inter >= t_milli * union:
                     keep_a.append(a)
                     keep_b.append(b)
-                    sims.append(int(round(j * 1000)))
+                    sims.append(jac_milli(inter, union))
             return pa.table(
                 {
                     "doc_a": pa.array(keep_a, pa.int64()),
@@ -567,6 +579,8 @@ def verify_pairs_jaccard(
     )
 
     # -- exchange 2: both sides of a pair meet; score Jaccard ------------
+    t_milli = int(round(threshold * 1000))
+
     def score_bucket(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             t,
@@ -590,11 +604,10 @@ def verify_pairs_jaccard(
                 sb = vals[offs[i + 1] : offs[i + 2]]
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
-                j = (inter / union) if union else 1.0
-                if j >= threshold:
+                if union == 0 or 1000 * inter >= t_milli * union:
                     keep_a.append(da[i])
                     keep_b.append(db[i])
-                    sims.append(int(round(j * 1000)))
+                    sims.append(jac_milli(inter, union))
                 i += 2
             else:  # unmatched side (doc missing) — skip
                 i += 1
@@ -607,3 +620,137 @@ def verify_pairs_jaccard(
         )
 
     return bucketed_groupby_apply(resolved, ["doc_a", "doc_b"], score_bucket)
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs n-gram-Jaccard self-join (prefix-filtered set-similarity
+# join — AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+# Unlike MinHash-LSH this has NO false negatives: every pair with Jaccard >=
+# t is emitted, so the result is SQL-expressible and carries an exact DuckDB
+# oracle (the only approximation is 64-bit gram hashing, collision odds
+# ~|grams|^2 / 2^64).
+# ---------------------------------------------------------------------------
+def prefix_explode(
+    batch: pa.Table, id_column: str, text_column: str, n: int, threshold_milli: int
+) -> pa.Table:
+    """Per doc: hash its word n-gram set (sorted uint64s = a global total
+    order for free), keep only the PREFIX — the first
+    ``s - ceil(t*s) + 1`` grams.  Completeness: if jac(A,B) >= t then
+    |A∩B| >= ceil(t*max(|A|,|B|)); were the smallest shared gram outside
+    either prefix, the whole intersection would fit in that doc's last
+    ``ceil(t*s) - 1`` grams — contradiction.  So qualifying pairs always
+    collide on a prefix gram and the gram-keyed exchange below sees them.
+
+    Emits (gram, doc id, set size); only ~(1-t) of each doc's grams cross
+    the exchange.  Ordering by ascending HASH (not ascending document
+    frequency, the classic AllPairs order) trades some candidate
+    selectivity for skipping the df-count aggregation pass entirely."""
+    ids = batch.column(id_column).to_pylist()
+    out_g, out_id, out_sz = [], [], []
+    for i, tx in zip(ids, batch.column(text_column).to_pylist()):
+        g = _ngram_hashes(tx, n)
+        s = len(g)
+        p = s - (threshold_milli * s + 999) // 1000 + 1  # s - ceil(t*s) + 1
+        out_g.append(g[:p])
+        out_id.append(np.full(p, i, np.int64))
+        out_sz.append(np.full(p, s, np.int32))
+    if not out_g:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "set_size": pa.array([], pa.int32()),
+            }
+        )
+    return pa.table(
+        {
+            "gram": pa.array(np.concatenate(out_g).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "set_size": pa.array(np.concatenate(out_sz), pa.int32()),
+        }
+    )
+
+
+def prefix_candidates_bulk(table: pa.Table, threshold_milli: int) -> pa.Table:
+    """Candidate pairs over MANY gram groups at once (same run-scan shape as
+    :func:`candidate_pairs_bulk`): sort by gram, emit pairs only inside
+    multi-member runs, pruned by the size filter — jac >= t forces
+    ``t*max(|A|,|B|) <= min(|A|,|B|)``, so mismatched-size pairs never
+    reach the verify."""
+    gram = table.column("gram").combine_chunks().to_numpy(zero_copy_only=False)
+    ids = table.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    sz = table.column("set_size").combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, gram))
+    gram, ids, sz = gram[order], ids[order], sz[order]
+    n = len(ids)
+    boundaries = np.concatenate(
+        ([0], np.flatnonzero(np.diff(gram) != 0) + 1, [n])
+    )
+    runs = np.diff(boundaries)
+    out_a, out_b = [], []
+    for i in np.flatnonzero(runs >= 2):
+        lo, hi = int(boundaries[i]), int(boundaries[i + 1])
+        u, first = np.unique(ids[lo:hi], return_index=True)
+        if len(u) < 2:
+            continue
+        usz = sz[lo:hi][first].astype(np.int64)
+        a, b = np.triu_indices(len(u), k=1)
+        keep = 1000 * np.minimum(usz[a], usz[b]) >= threshold_milli * np.maximum(
+            usz[a], usz[b]
+        )
+        if keep.any():
+            out_a.append(u[a[keep]])
+            out_b.append(u[b[keep]])
+    if not out_a:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {"doc_a": pa.array(np.concatenate(out_a)), "doc_b": pa.array(np.concatenate(out_b))}
+    )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    docs_ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 3,
+    threshold_milli: int = 800,
+):
+    """All document pairs with exact word-n-gram Jaccard >= t — one
+    gram-keyed bucketed exchange (prefix rows only), run-scan candidate
+    generation with the size filter, then the shared exact-Jaccard verify
+    (pair dedup fused where the keys are already held).
+
+    Output: (doc_a, doc_b, jaccard_milli), doc_a < doc_b, exact.
+
+    Scale notes: exchange volume is ~(1-t)·|grams| rows of 14 bytes; hot
+    prefix grams cost C(df,2) candidate pairs — inherent to exactness
+    (those pairs genuinely share a gram) but pruned by the size filter
+    here and by Jaccard itself in the verify.  At extreme skew the classic
+    remedies compose on top: df-ascending gram order (one extra combiner
+    aggregation) and the PPJoin positional filter."""
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    pref = ds.map_batches(
+        lambda t: prefix_explode(t, id_column, text_column, n, threshold_milli),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    cands = bucketed_groupby_apply(
+        pref,
+        ["gram"],
+        lambda t: prefix_candidates_bulk(t, threshold_milli),
+        num_buckets=32,
+    )
+    return verify_pairs_jaccard(
+        cands,
+        docs_ds,
+        id_column=id_column,
+        text_column=text_column,
+        n=n,
+        threshold=threshold_milli / 1000,
+        dedup_pairs=True,
+    )

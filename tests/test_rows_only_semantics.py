@@ -109,9 +109,13 @@ def test_minhash_lsh_finds_true_near_dups_and_verify_is_exact():
     )
     assert len(verified) > 100  # the 40 base variants pair up heavily
     text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    from encode_ingest_ray.stages.neardup import _word_ngrams, jac_milli
+
     for _, r in verified.head(50).iterrows():
+        sa = _word_ngrams(text[r["doc_a"]], 3)
+        sb = _word_ngrams(text[r["doc_b"]], 3)
         j = ngram_jaccard(text[r["doc_a"]], text[r["doc_b"]], 3)
-        assert int(round(j * 1000)) == r["jaccard_milli"]
+        assert jac_milli(len(sa & sb), len(sa | sb)) == r["jaccard_milli"]
         assert j >= 0.6
         # near-dup pairs are base variants: even ids
         assert r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0
@@ -359,3 +363,50 @@ def test_verify_fused_dedup_matches_separate_dedup():
     want = run(True, False, 100_000)
     assert run(False, True, 100_000).equals(want)  # small path
     assert run(False, True, 0).equals(want)  # exchange path
+
+
+def test_ngram_jaccard_pairs_exact_vs_brute_force():
+    """The prefix-filtered set-similarity join must equal brute-force
+    all-pairs string-set Jaccard EXACTLY (no false negatives, no false
+    positives, identical milli values) — including <n-word docs, empty
+    docs, and identical docs."""
+    import itertools
+
+    from encode_ingest_ray.stages.neardup import (
+        _word_ngrams,
+        jac_milli,
+        ngram_jaccard_pairs,
+    )
+
+    texts = {}
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        texts[i] = base + f" lambda{i}"          # heavy near-dups of base
+    for i in range(30, 60):
+        texts[i] = " ".join(f"w{i}_{j}" for j in range(12))  # unrelated
+    texts[60] = texts[61] = base                  # identical pair
+    texts[62] = "two words"                       # < n words
+    texts[63] = ""                                # empty
+    texts[64] = ""                                # empty pair (jac == 1)
+    docs = pa.table(
+        {"doc_id": pa.array(sorted(texts), pa.int64()),
+         "text": pa.array([texts[i] for i in sorted(texts)])}
+    )
+    t_milli = 800
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = _word_ngrams(texts[a], 3), _word_ngrams(texts[b], 3)
+        inter, union = len(sa & sb), len(sa | sb)
+        if union == 0 or 1000 * inter >= t_milli * union:
+            expected[(a, b)] = jac_milli(inter, union)
+    assert expected, "fixture must plant qualifying pairs"
+
+    got_df = ngram_jaccard_pairs(
+        ray.data.from_arrow(docs), ray.data.from_arrow(docs),
+        n=3, threshold_milli=t_milli,
+    ).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["jaccard_milli"])
+        for _, r in got_df.iterrows()
+    }
+    assert got == expected
