@@ -122,7 +122,38 @@ def fingerprint_md5_q(sf_dir: str):
         zero_copy_batch=True, batch_size=None)
 
 
-@register("fingerprint_rolling")  # rolling-hash sketch — rows-only oracle
+# The rolling fingerprint IS SQL-expressible after all: min over 16-byte
+# windows of the Rabin-Karp polynomial, with the mod-M power table inlined
+# as constants (hoisted into a CTE — inside the lambdas it re-materializes
+# per element, 15x slower).  Every product is <= 255*(M-1) so BIGINT sums
+# never overflow, and summing before one final % M equals the Python side's
+# incremental mod.  unicode(ch) == the utf-8 byte only for ASCII — true for
+# the synthetic corpus; the Ray side hashes raw utf-8 bytes.
+_FP_POWS = "[" + ", ".join(
+    f"CAST({pow(257, i, (1 << 31) - 1)} AS BIGINT)" for i in range(16)
+) + "]"
+
+FINGERPRINT_ROLLING_SQL = f"""
+WITH p AS (SELECT {_FP_POWS} AS pw),
+c AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS cs,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN n = 0 THEN 0
+       WHEN n < 16 THEN
+         list_sum(list_transform(range(1, n + 1), j -> cs[j] * pw[n - j + 1])) % 2147483647
+       ELSE
+         list_min(list_transform(range(1, n - 14), k ->
+           list_sum(list_transform(range(0, 16), j -> cs[k + j] * pw[16 - j])) % 2147483647))
+  END AS BIGINT) AS fp_roll
+FROM c CROSS JOIN p
+"""
+
+
+@register("fingerprint_rolling", FINGERPRINT_ROLLING_SQL)
 def fingerprint_rolling_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
