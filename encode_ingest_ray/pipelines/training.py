@@ -446,12 +446,18 @@ def media_frame_sample(sf_dir: str):
     )
 
 
-@register("media_decode_features")
+@register(
+    "media_decode_features",
+    """SELECT doc_id AS media_id, md5(text) AS content_hash
+       FROM documents""",
+)
 def media_decode_features(sf_dir: str):
     """The decode actor-pool stage end to end with the deterministic fake
     decoder (codecs are stubbed in this container — schema/batching/actor
     plumbing is the real part): byte-histogram features + content hash per
-    media row.  Rows-only; kernel semantics pinned in tests/test_multimodal."""
+    media row.  The md5 content hash makes the payload round-trip through
+    the actor pool an EXACT oracle; feature-kernel semantics are pinned in
+    tests/test_multimodal."""
     from encode_ingest_ray.stages.multimodal import decode_pipeline
 
     ds = _docs(sf_dir, ["doc_id", "text"])

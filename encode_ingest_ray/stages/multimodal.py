@@ -84,7 +84,9 @@ class FakeDecoder:
             if len(arr):
                 hist, _ = np.histogram(arr, bins=self.bins, range=(0, 256))
                 feats[i] = hist / len(arr)
-            hashes.append(hashlib.blake2b(p or b"", digest_size=8).hexdigest())
+            # md5 (not blake2b): DuckDB has md5(blob), so the decode stage's
+            # payload round-trip is verifiable bit-exactly by a SQL oracle
+            hashes.append(hashlib.md5(p or b"").hexdigest())
         out = batch.drop_columns(["payload"])  # decoded stages drop raw bytes
         out = out.append_column(
             "features",
