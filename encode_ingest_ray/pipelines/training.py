@@ -249,7 +249,40 @@ def ngram_jaccard_pairs_q(sf_dir: str):
     )
 
 
-@register("simhash")
+# SimHash is exactly SQL-expressible because the token hash is the first 8
+# bytes (big-endian) of md5 (stages/neardup.py SimHasher): per token-occurrence
+# a ±1 vote per bit, bit set iff the vote sum is positive, folded with int64
+# wraparound for bit 63.  The (j, weight) table is inlined as exact HUGEINT
+# literals (no float powers).
+_SIMHASH_BITS = ", ".join(f"({j}, CAST({1 << j} AS HUGEINT))" for j in range(64))
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+bitsum AS (
+  SELECT doc_id, b.j, b.w,
+         SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (VALUES {_SIMHASH_BITS}) b(j, w)
+  GROUP BY doc_id, b.j, b.w
+),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN acc > 0 THEN w ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bitsum GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(s.u, CAST(0 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+                 THEN COALESCE(s.u, CAST(0 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT)
+                 ELSE COALESCE(s.u, CAST(0 AS HUGEINT)) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+"""
+
+
+@register("simhash", SIMHASH_SQL)
 def simhash_q(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(SimHasher(), batch_format="pyarrow", batch_size=512, concurrency=2)

@@ -261,9 +261,14 @@ _VERIFY_LOOKUP_CACHE: dict = {}
 
 class SimHasher:
     """64-bit SimHash over word tokens (Charikar 2002), batch-vectorized:
-    blake2b is computed once per UNIQUE token (per-actor sign-row cache),
-    per-doc ±1 accumulation is one ``np.add.reduceat`` over the whole batch's
-    token matrix, bit folding is one matmul — no per-token inner loop."""
+    the token hash is computed once per UNIQUE token (per-actor sign-row
+    cache), per-doc ±1 accumulation is one ``np.add.reduceat`` over the whole
+    batch's token matrix, bit folding is one matmul — no per-token inner loop.
+
+    The token hash is the first 8 bytes (big-endian) of md5 — exactly
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` in DuckDB, which makes the
+    whole signature SQL-expressible and lets the driver hash-compare it as an
+    exact oracle (pipelines/training.py SIMHASH_SQL)."""
 
     def __init__(self, column: str = "text"):
         self.column = column
@@ -279,10 +284,7 @@ class SimHasher:
             rows = np.empty((len(new), 64), np.int8)
             for i, w in enumerate(new):
                 h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-                        "little",
-                    )
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
                 )
                 rows[i] = (((h >> bit_idx) & np.uint64(1)).astype(np.int8) * 2) - 1
             base = len(self._idx)
