@@ -1011,17 +1011,64 @@ def topk_per_group(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# approximate distinct (HLL sketch; rows-only — accuracy pinned in pytest)
+# approximate distinct (HLL sketch) — EXACT oracle: the md5-derived 64-bit
+# hash, register fill, exact-integer harmonic sum, and libm-ln linear-counting
+# branch are all reproduced in DuckDB SQL bit-for-bit (stages/sketch.py).
 # ---------------------------------------------------------------------------
-@register("approx_distinct_users")
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+APPROX_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) AS h
+  FROM events
+),
+rr AS (
+  -- idx = top p bits; rest = (h << p) | (2^p - 1) with 64-bit wraparound;
+  -- rank = clz64(rest) + 1 == 65 - bitlength(rest)
+  SELECT (h >> {64 - _HLL_P}) AS idx,
+         65 - length(bin(((h % CAST({1 << (64 - _HLL_P)} AS UBIGINT))
+                          * CAST({_HLL_M} AS UBIGINT))
+                         + CAST({_HLL_M - 1} AS UBIGINT))) AS rank
+  FROM h
+),
+regs AS (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx),
+allregs AS (
+  SELECT COALESCE(regs.r, 0) AS r
+  FROM (SELECT unnest(range({_HLL_M})) AS i) g LEFT JOIN regs ON regs.idx = g.i
+),
+agg AS (
+  SELECT SUM(CAST(1 AS HUGEINT) << (64 - r)) AS s,
+         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM allregs
+),
+raw AS (
+  SELECT CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} * 18446744073709551616.0
+           / CAST(s AS DOUBLE) AS e,
+         zeros
+  FROM agg
+)
+SELECT CAST(floor(CASE WHEN e <= {2.5 * _HLL_M!r} AND zeros > 0
+                       THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / zeros)
+                       ELSE e END) AS BIGINT) AS approx_distinct_users
+FROM raw
+"""
+
+
+@register("approx_distinct_users", APPROX_DISTINCT_SQL)
 def approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id): mergeable per-block
-    sketches, no dedup shuffle (stages/sketch.py)."""
+    sketches, no dedup shuffle (stages/sketch.py).  The estimate is floored
+    to an integer; the DuckDB oracle reproduces the sketch exactly."""
+    import math
+
     from encode_ingest_ray.stages.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+    return pa.table(
+        {"approx_distinct_users": pa.array([int(math.floor(est))], pa.int64())}
+    )
 
 
 # ---------------------------------------------------------------------------

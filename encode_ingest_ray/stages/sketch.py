@@ -16,19 +16,19 @@ import pyarrow as pa
 
 
 def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hashes of a column: blake2b(digest_size=8) over
-    the dictionary-encoded uniques — full 64 bits of entropy (a crc32-based
-    hash caps at 2^32 and biases HLL above ~10^5 distinct), and the Python
-    loop runs once per UNIQUE value, not per row."""
+    """Deterministic 64-bit hashes of a column: the first 8 bytes (big-endian)
+    of md5 over the dictionary-encoded uniques — full 64 bits of entropy (a
+    crc32-based hash caps at 2^32 and biases HLL above ~10^5 distinct), the
+    Python loop runs once per UNIQUE value, not per row, and the hash is
+    exactly ``('0x' || substr(md5(v), 1, 16))::UBIGINT`` in DuckDB so the
+    whole register computation is SQL-expressible (an exact oracle)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = col.cast(pa.string()).dictionary_encode()
     uniq = d.dictionary.to_pylist()
     uh = np.fromiter(
         (
-            int.from_bytes(
-                hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "little"
-            )
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "big")
             for u in uniq
         ),
         dtype=np.uint64,
@@ -73,12 +73,22 @@ def merge_sketches(sketches: list[np.ndarray]) -> np.ndarray:
 
 
 def estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate, computed so a DuckDB SQL oracle can
+    reproduce it BIT-FOR-BIT: the harmonic sum is exact integer arithmetic
+    (sum(2^-reg) == S / 2^64 with S an exact Python int / SQL HUGEINT), the
+    float expression mirrors the SQL operator order left-to-right, and the
+    small-range branch uses scalar libm ``math.log`` (DuckDB's ``ln`` calls
+    the same libm symbol — verified bit-identical)."""
+    import math
+
     m = len(regs)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
+    cnt = np.bincount(regs.astype(np.int64), minlength=65)
+    S = sum(int(c) << (64 - r) for r, c in enumerate(cnt) if c)  # exact
+    est = alpha * m * m * 18446744073709551616.0 / float(S)
+    zeros = int(cnt[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # small-range correction
+        est = m * math.log(m / zeros)  # small-range (linear-counting) branch
     return float(est)
 
 
