@@ -182,9 +182,102 @@ def dedup_text_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# near-dup: MinHash-LSH candidate pairs + Jaccard verify (rows-only)
+# near-dup: MinHash-LSH candidate pairs + Jaccard verify — EXACT oracle.
+# Every stage is integer arithmetic mod Mersenne-31, so DuckDB reproduces the
+# whole pipeline bit-for-bit: the Rabin-Karp 5-byte shingle hash (incremental
+# mods == one final mod, since mod is a ring homomorphism), the 64 seeded
+# universal-hash permutations (coefficients inlined from the SAME MinHasher
+# instance the query runs, so the rng sequence cannot drift), the 16 band
+# folds, bucket pair generation, and the trigram-Jaccard verify (string
+# grams — equal to the engine's hashed-gram sets absent collisions, pinned
+# by tests/test_rows_only_semantics.py's hashed-ngram parity test).
 # ---------------------------------------------------------------------------
-@register("minhash_lsh_pairs")
+def _minhash_sql(num_perm: int = 64, num_bands: int = 16, t_milli: int = 500) -> str:
+    from encode_ingest_ray.stages.neardup import MinHasher
+
+    M = 2147483647
+    B = 1000003
+    mh = MinHasher(num_perm=num_perm)  # seed=13 default — same as the query
+    rows_per_band = num_perm // num_bands
+    consts = ", ".join(
+        f"({p}, {p // rows_per_band}, {int(mh.a[p])}, {int(mh.b[p])}, "
+        f"{pow(B, rows_per_band - 1 - (p % rows_per_band), M)})"
+        for p in range(num_perm)
+    )
+    pw = [pow(B, e, M) for e in (4, 3, 2, 1, 0)]  # shingle-byte weights
+    return f"""
+WITH consts(p, band, a, b, w) AS (VALUES {consts}),
+d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (CAST(ascii(substr(text, i, 1)) AS BIGINT) * {pw[0]}
+          + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * {pw[1]}
+          + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * {pw[2]}
+          + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * {pw[3]}
+          + ascii(substr(text, i + 4, 1))) % {M} AS h
+  FROM d, unnest(range(1, length(text) - 3)) AS t(i)
+  WHERE length(text) >= 5
+  UNION ALL  -- texts shorter than one shingle fold to a single hash
+  SELECT doc_id,
+         COALESCE(SUM(CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+                      * CASE length(text) - j
+                        WHEN 1 THEN 1 WHEN 2 THEN {B}
+                        WHEN 3 THEN {pow(B, 2, M)} WHEN 4 THEN {pow(B, 3, M)}
+                        END) % {M}, 0) AS h
+  FROM d, unnest(range(1, length(text) + 1)) AS t(j)
+  WHERE length(text) < 5 GROUP BY doc_id, text
+  UNION ALL
+  SELECT doc_id, 0 AS h FROM d WHERE length(text) = 0
+),
+sig AS (
+  SELECT s.doc_id, c.band, c.p, c.w, MIN((c.a * s.h + c.b) % {M}) AS sig
+  FROM sh s CROSS JOIN consts c
+  GROUP BY s.doc_id, c.band, c.p, c.w
+),
+bands AS (
+  SELECT doc_id, band, SUM((sig * w) % {M}) % {M} AS band_hash
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash
+              AND x.doc_id < y.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+  FROM d
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END)) AS gram
+  FROM toks
+),
+sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT ov.doc_a, ov.doc_b,
+       (2000 * i + (sa.s + sb.s - i)) // (2 * (sa.s + sb.s - i)) AS jaccard_milli
+FROM ov
+JOIN sz sa ON sa.doc_id = ov.doc_a
+JOIN sz sb ON sb.doc_id = ov.doc_b
+WHERE 1000 * i >= {t_milli} * (sa.s + sb.s - i)
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql()
+
+
+@register("minhash_lsh_pairs", MINHASH_LSH_SQL)
 def minhash_lsh_pairs_q(sf_dir: str):
     # shingle+minhash is CPU-bound per doc: keep >=32 tasks regardless of
     # the (small) file size
