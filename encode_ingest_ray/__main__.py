@@ -92,6 +92,20 @@ def main(argv=None) -> int:
     t.add_argument("--out", required=True)
     t.add_argument("--overwrite", action="store_true")
 
+    x = sub.add_parser(
+        "extract",
+        help="ENCODE metadata extraction (S1): search-API crawl -> "
+             "distinct-by-id JSON-list dumps feeding `transform`; "
+             "--fixtures serves a local mini-ENCODE (offline), otherwise "
+             "the live HTTP client is used",
+    )
+    x.add_argument("--out", required=True)
+    x.add_argument("--fixtures", default=None,
+                   help="dir of <Entity>.jsonl fixture files (offline mode)")
+    x.add_argument("--base-url", default=None)
+    x.add_argument("--initial-query", default="",
+                   help="comma-separated k=v filters for the biosample seed")
+
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
     f.add_argument("--dest", required=True)
@@ -198,6 +212,34 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions, num_actors=args.actors
                 )
                 print(json.dumps(eng.run(args.events)))
+        elif args.cmd == "extract":
+            from encode_ingest_ray.pipelines.extraction import (
+                run_extraction_pipeline,
+            )
+            from encode_ingest_ray.sources.encode_client import (
+                ENCODE_BASE_URL,
+                FileTransport,
+                HttpTransport,
+            )
+
+            if args.fixtures:
+                root = args.fixtures
+                factory = lambda: FileTransport(root)  # noqa: E731
+            else:
+                factory = HttpTransport
+            initial = [
+                tuple(kv.split("=", 1))
+                for kv in args.initial_query.split(",")
+                if kv
+            ]
+            print(
+                json.dumps(
+                    run_extraction_pipeline(
+                        factory, args.out, initial,
+                        base_url=args.base_url or ENCODE_BASE_URL,
+                    )
+                )
+            )
         elif args.cmd == "transform":
             from encode_ingest_ray.pipelines.transform_driver import (
                 run_transformation_pipeline,
