@@ -603,3 +603,67 @@ def media_decode_features(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# training-set assembly: deterministic split + sequence packing
+# (stages/packing.py) — both exact oracles
+# ---------------------------------------------------------------------------
+@register(
+    "train_val_split",
+    """SELECT doc_id,
+              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                        AS UBIGINT) % 1000 < 100
+                   THEN 'val' ELSE 'train' END AS split
+       FROM documents""",
+)
+def train_val_split_q(sf_dir: str):
+    """Deterministic md5-hash train/val split (10% val): pure map, no
+    shuffle, identical assignment on any cluster (stages/packing.py)."""
+    from encode_ingest_ray.stages.packing import hash_split
+
+    return hash_split(_docs(sf_dir, ["doc_id"]), "doc_id", val_permille=100)
+
+
+SEQUENCE_PACKING_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM c
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id
+FROM s
+"""
+
+
+@register("sequence_packing", SEQUENCE_PACKING_SQL)
+def sequence_packing_q(sf_dir: str):
+    """Sample packing: global doc_id order, concat whitespace-token counts,
+    1024-token bins cut at stream offsets (bin = tokens_before // budget) —
+    the two-phase distributed prefix scan in stages/packing.py."""
+    from encode_ingest_ray.stages.packing import pack_sequences
+
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    counted = ds.map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pack_sequences(counted, "doc_id", "n_tokens", budget=1024)

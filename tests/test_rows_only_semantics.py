@@ -410,3 +410,46 @@ def test_ngram_jaccard_pairs_exact_vs_brute_force():
         for _, r in got_df.iterrows()
     }
     assert got == expected
+
+
+def test_hash_split_deterministic_and_balanced(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from encode_ingest_ray.stages.packing import hash_split, split_column
+
+    ids = pa.array(np.arange(20_000, dtype=np.int64))
+    a = split_column(ids).to_pylist()
+    b = split_column(ids).to_pylist()
+    assert a == b  # deterministic
+    frac = a.count("val") / len(a)
+    assert 0.08 < frac < 0.12  # ~10% val
+    # distributed assignment matches the local kernel regardless of blocks
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(7)
+    rows = {r["doc_id"]: r["split"] for r in hash_split(ds, "doc_id").take_all()}
+    assert [rows[i] for i in range(20_000)] == a
+
+
+def test_pack_sequences_scan_crosses_blocks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from encode_ingest_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 3_000
+    counts = rng.integers(1, 400, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "n_tokens": pa.array(counts)})
+    ).random_shuffle(seed=3).repartition(11)
+    out = sorted(
+        pack_sequences(ds, "doc_id", "n_tokens", budget=512).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    # the global scan must equal the single-stream cumulative bin layout
+    before = np.cumsum(counts) - counts
+    assert [r["bin_id"] for r in out] == list(before // 512)
+    bins = np.array([r["bin_id"] for r in out])
+    assert (np.diff(bins) >= 0).all()  # bins non-decreasing in stream order
