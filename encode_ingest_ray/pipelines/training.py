@@ -667,3 +667,59 @@ def sequence_packing_q(sf_dir: str):
         count_tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return pack_sequences(counted, "doc_id", "n_tokens", budget=1024)
+
+
+@register(
+    "mixture_subsample",
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) % 1000
+             < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 1000
+                         WHEN 'es' THEN 1000 WHEN 'fr' THEN 1000
+                         WHEN 'zh' THEN 500 ELSE 0 END""",
+)
+def mixture_subsample_q(sf_dir: str):
+    """Mixture reweighting: per-source deterministic keep rates (en-heavy
+    corpus downsampled toward a flatter language mix) — stages/packing.py,
+    no shuffle, replayable membership."""
+    from encode_ingest_ray.stages.packing import (
+        MIXTURE_WEIGHTS_PERMILLE,
+        mixture_subsample,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return mixture_subsample(ds, "doc_id", "lang", MIXTURE_WEIGHTS_PERMILLE)
+
+
+CURRICULUM_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+              THEN (1000 * len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                         w -> list_contains(['the','and','of','to','a','in','is','that'], w))))
+                   // len(regexp_extract_all(text, '\S+'))
+              ELSE 0 END AS quality_milli
+  FROM documents
+)
+SELECT doc_id, quality_milli,
+       CAST(ROW_NUMBER() OVER (ORDER BY quality_milli DESC, doc_id) - 1
+            AS BIGINT) AS rank
+FROM q
+"""
+
+
+@register("curriculum_order", CURRICULUM_SQL)
+def curriculum_order_q(sf_dir: str):
+    """Curriculum ordering: global rank by quality score (desc, doc_id
+    tie-break) via the distributed prefix scan (stages/packing.py
+    global_rank) — one sort exchange, offsets cross the driver as ints."""
+    from encode_ingest_ray.stages.packing import global_rank
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stats = ds.map_batches(
+        TextStats(), batch_format="pyarrow", batch_size=512, concurrency=2
+    ).map_batches(
+        lambda t: t.select(["doc_id", "quality_milli"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return global_rank(stats, ["quality_milli", "doc_id"], descending=[True, False])

@@ -110,3 +110,57 @@ def pack_sequences(
         for r, off in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+#: per-source keep rates (permille) for the mixture reweighting query —
+#: upweight scarce languages relative to the en-heavy corpus
+MIXTURE_WEIGHTS_PERMILLE = {"en": 300, "de": 1000, "es": 1000, "fr": 1000, "zh": 500}
+
+
+def mixture_subsample(
+    ds, id_column: str, source_column: str, weights_permille: dict[str, int]
+):
+    """Source-weighted deterministic subsampling (mixture reweighting):
+    keep a row iff md5-hash(id) mod 1000 < weight_permille[source] — the
+    standard way to hit target mixture proportions with no shuffle, no
+    coordination, and replayable membership."""
+    from encode_ingest_ray.stages.sketch import _hash64
+
+    def per_block(t: pa.Table) -> pa.Table:
+        h = _hash64(t.column(id_column)) % np.uint64(1000)
+        src = t.column(source_column).to_numpy(zero_copy_only=False)
+        limits = np.array(
+            [weights_permille.get(s, 0) for s in src], np.uint64
+        )
+        return t.filter(pa.array(h < limits, pa.bool_()))
+
+    return ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+@ray.remote
+def _block_num_rows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+@ray.remote
+def _rank_block(block: pa.Table, offset: int) -> pa.Table:
+    return block.append_column(
+        "rank", pa.array(offset + np.arange(block.num_rows, dtype=np.int64))
+    )
+
+
+def global_rank(ds, key, descending=False):
+    """Global 0-based rank under a total order — the same two-phase scan as
+    :func:`pack_sequences` with row counts instead of token sums (per-block
+    counts cross the driver as one int each; blocks never leave the object
+    store)."""
+    s = ds.sort(key, descending=descending).materialize()
+    refs = s.to_arrow_refs()
+    if not refs:
+        return s
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1], dtype=np.int64)))
+    out = [_rank_block.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)
