@@ -1,0 +1,375 @@
+"""LLM training-data preparation queries: repetition quality filters,
+benchmark decontamination, text normalization, PII redaction, corpus
+statistics (document frequency, BPE pair counts), deterministic shuffle
+and exact grouped quantiles.
+
+All eight queries carry EXACT DuckDB oracles (integer milli encodings,
+floor division, RE2-identical regexes — stages/quality.py documents each
+parity argument).  Scale shapes:
+
+* repetition / clean / pii / decontam — shuffle-free per-block maps; the
+  decontamination benchmark side is broadcast once (``ray.put``), probed
+  via binary search (benchmarks are MBs by definition).
+* doc_frequency / bpe_pair_counts — per-block combiner partials (vocab-
+  sized, not token-sized) into one small groupby.
+* shuffle_order / grouped_quantiles_exact — ONE sort exchange plus the
+  two-phase distributed prefix scan (stages/packing.py global_rank);
+  per-block counts cross the driver as single ints, rows never do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.pipelines.training import _docs, _sized_read
+from encode_ingest_ray.stages.packing import global_rank
+from encode_ingest_ray.stages.quality import (
+    DUP_5GRAM_KEEP_MILLI,
+    EMAIL_PATTERN,
+    TOP_WORD_KEEP_MILLI,
+    Decontaminator,
+    RepetitionStats,
+    benchmark_ngram_hashes,
+    bpe_pair_partial,
+    clean_text_table,
+    doc_frequency_partial,
+    redact_pii_table,
+)
+
+_WS = r"list_filter(string_split_regex(coalesce(text, ''), '\s+'), w -> w <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filter
+# ---------------------------------------------------------------------------
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+m AS (
+  SELECT doc_id, len(ws) AS n,
+    COALESCE(list_max(list_transform(list_distinct(ws),
+                      u -> len(list_filter(ws, x -> x = u)))), 0) AS topw,
+    CASE WHEN len(ws) >= 2
+         THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         ELSE [] END AS bg,
+    CASE WHEN len(ws) >= 5
+         THEN list_transform(range(1, len(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+         ELSE [] END AS g5
+  FROM t),
+m2 AS (
+  SELECT doc_id, n, topw,
+    COALESCE(list_max(list_transform(list_distinct(bg),
+                      u -> len(list_filter(bg, x -> x = u)))), 0) AS topb,
+    len(bg) AS nb, len(g5) AS n5, len(list_distinct(g5)) AS d5
+  FROM m)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  CAST(CASE WHEN n > 0 THEN 1000 * topw // n ELSE 0 END AS BIGINT) AS top_word_milli,
+  CAST(CASE WHEN nb > 0 THEN 1000 * topb // nb ELSE 0 END AS BIGINT) AS top_bigram_milli,
+  CAST(CASE WHEN n5 > 0 THEN 1000 * (n5 - d5) // n5 ELSE 0 END AS BIGINT) AS dup_5gram_milli,
+  (CASE WHEN n > 0 THEN 1000 * topw // n ELSE 0 END) <= {TOP_WORD_KEEP_MILLI}
+    AND (CASE WHEN n5 > 0 THEN 1000 * (n5 - d5) // n5 ELSE 0 END)
+        <= {DUP_5GRAM_KEEP_MILLI} AS keep
+FROM m2
+"""
+
+
+@register("repetition_stats", REPETITION_SQL)
+def repetition_stats_q(sf_dir: str):
+    """Per-document repetition signals (top-word / top-bigram / dup-5-gram
+    fractions) + keep flag — the Gopher repetition filter, fully vectorized
+    (dictionary-encoded tokens, integer-key np.unique; no per-row loop)."""
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    return ds.map_batches(
+        RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END)) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+sz AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+       FROM tg JOIN bench USING (gram) GROUP BY tg.doc_id)
+SELECT s.doc_id, s.n_grams, COALESCE(o.n_overlap, 0) AS n_overlap,
+       1000 * COALESCE(o.n_overlap, 0) // GREATEST(s.n_grams, 1) AS contam_milli
+FROM sz s LEFT JOIN ov o ON o.doc_id = s.doc_id
+"""
+
+
+@register("decontaminate_ngram", DECONTAMINATE_SQL)
+def decontaminate_ngram_q(sf_dir: str):
+    """Benchmark decontamination: documents with ``doc_id % 97 == 0`` act as
+    the held-out eval set; every training document reports how many of its
+    distinct word-trigrams appear in the benchmark.  The benchmark gram
+    hashes are reduced distributed (per-block distinct partials, only
+    uint64 hashes reach the driver), unioned, ``ray.put`` once, and probed
+    per batch by binary search — the broadcast-small-side join shape."""
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"g": pa.array(benchmark_ngram_hashes(t.column("text")), pa.uint64())}
+        )
+
+    bench_parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .map_batches(bench_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    bench = (
+        np.unique(np.array([r["g"] for r in bench_parts], np.uint64))
+        if bench_parts
+        else np.empty(0, np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def train_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 != 0))
+
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    return ds.map_batches(
+        train_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(
+        Decontaminator,
+        fn_constructor_args=(bench_ref,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text normalization fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "clean_text",
+    r"""SELECT doc_id,
+              md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+                AS clean_md5
+       FROM documents""",
+)
+def clean_text_q(sf_dir: str):
+    """Normalization fingerprint (lower → collapse whitespace → trim → md5):
+    the cross-crawl exact-dedup key.  The collapse regex runs in Arrow's
+    RE2 — the same engine DuckDB uses, so the oracle is byte-exact."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        clean_text_table, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (events.props carries the digit runs in this corpus)
+# ---------------------------------------------------------------------------
+PII_SQL = f"""
+SELECT event_id,
+  CAST(len(regexp_extract_all(coalesce(props, ''), '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(coalesce(props, ''), '[0-9]+')) AS BIGINT) AS n_nums,
+  regexp_replace(regexp_replace(coalesce(props, ''), '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS redacted
+FROM events
+"""
+
+
+@register("pii_scrub", PII_SQL)
+def pii_scrub_q(sf_dir: str):
+    """Regex PII redaction (emails, then digit runs) with match counts over
+    the original string — RE2-only patterns, vectorized Arrow kernels,
+    shuffle-free."""
+    ds = _sized_read(os.path.join(sf_dir, "events.parquet"), ["event_id", "props"])
+    return ds.map_batches(
+        redact_pii_table, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: document frequency + BPE pair counts
+# ---------------------------------------------------------------------------
+@register(
+    "doc_frequency",
+    r"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n_docs
+       FROM (SELECT doc_id, unnest(list_distinct(
+                list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                            w -> w <> ''))) AS w
+             FROM documents)
+       GROUP BY w""",
+)
+def doc_frequency_q(sf_dir: str):
+    """Document frequency (the IDF numerator): per-block distinct-(doc, word)
+    partials — vocab-sized, not token-sized — into one small word groupby.
+    Documents never span blocks, so block partials sum exactly."""
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    parts = ds.map_batches(
+        doc_frequency_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return parts.groupby("word").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+@register(
+    "bpe_pair_counts",
+    r"""SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, count(*) AS n
+       FROM (SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                       w -> w <> '')) AS w
+             FROM documents) t,
+            unnest(range(1, length(w))) AS r(i)
+       GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+)
+def bpe_pair_counts_q(sf_dir: str):
+    """One BPE merge iteration's pair statistics: adjacent character-pair
+    counts inside whitespace tokens, top-20 by (n desc, pair).  Pairs are
+    extracted per UNIQUE word and weighted by word frequency (block-level
+    combiner), so the shuffle carries vocabulary-sized partials."""
+    ds = _docs(sf_dir, ["text"], min_blocks=8)
+    parts = ds.map_batches(
+        bpe_pair_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = parts.groupby("pair").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "pair"], descending=[True, False]).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training order)
+# ---------------------------------------------------------------------------
+@register(
+    "shuffle_order",
+    """SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 16)
+                              AS UBIGINT), doc_id) - 1 AS BIGINT) AS rank
+       FROM documents""",
+)
+def shuffle_order_q(sf_dir: str):
+    """Seeded deterministic global shuffle: rank documents by a salted md5
+    hash — replayable on any cluster, one sort exchange + the distributed
+    prefix scan (offsets cross the driver as ints).  The uint64 hash is
+    mapped order-preserving into int64 (msb flip) for the sort key."""
+    from encode_ingest_ray.stages.sketch import _hash64
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            pc.cast(t.column("doc_id"), pa.string()), ":42", ""
+        )
+        h = _hash64(salted) ^ np.uint64(1 << 63)  # order-preserving msb flip
+        return t.append_column("h", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    ranked = global_rank(hashed, ["h", "doc_id"])
+    return ranked.map_batches(
+        lambda t: t.select(["doc_id", "rank"]), batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles (rank selection — the exact counterpart to the
+# mergeable-sketch grouped_quantiles query)
+# ---------------------------------------------------------------------------
+QUANTILES_EXACT_SQL = """
+WITH v AS (SELECT event_type, CAST(ROUND(1000 * value) AS BIGINT) AS vm FROM events),
+r AS (SELECT event_type, vm,
+        row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type,
+  MAX(CASE WHEN rn = (500 * n + 999) // 1000 THEN vm END) AS p50_milli,
+  MAX(CASE WHEN rn = (950 * n + 999) // 1000 THEN vm END) AS p95_milli,
+  MAX(CASE WHEN rn = (990 * n + 999) // 1000 THEN vm END) AS p99_milli
+FROM r GROUP BY event_type
+"""
+
+_PHIS_PERMILLE = (500, 950, 990)
+
+
+@register("grouped_quantiles_exact", QUANTILES_EXACT_SQL)
+def grouped_quantiles_exact_q(sf_dir: str):
+    """EXACT per-group quantiles by distributed rank selection: one sort on
+    (group, value), per-block row counts cross the driver as single ints
+    (global_rank's two-phase scan), then only the ~groups x phis target rows
+    are fetched.  The value at a rank is tie-invariant, so the SQL
+    row_number oracle matches bit-for-bit.  Group count must be small (the
+    per-group sizes live on the driver); value rows never leave the object
+    store until the final O(groups*phis) select."""
+    ds = _sized_read(os.path.join(sf_dir, "events.parquet"), ["event_type", "value"])
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        vm = pc.cast(
+            pc.round(
+                pc.multiply(t.column("value"), 1000.0), 0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"event_type": t.column("event_type"), "vm": vm})
+
+    vm_ds = ds.map_batches(
+        to_milli, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = {
+        r["event_type"]: r["count()"]
+        for r in vm_ds.groupby("event_type").count().take_all()
+    }
+    groups = sorted(counts)
+    rank_to_slot: dict[int, tuple[str, int]] = {}
+    start = 0
+    for g in groups:
+        n = counts[g]
+        for p in _PHIS_PERMILLE:
+            rank_to_slot[start + (p * n + 999) // 1000 - 1] = (g, p)
+        start += n
+    targets = np.array(sorted(rank_to_slot), np.int64)
+
+    ranked = global_rank(vm_ds, ["event_type", "vm"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        rk = t.column("rank").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(rk, targets)))
+
+    rows = ranked.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    vm_at = {r["rank"]: r["vm"] for r in rows}
+    cols: dict[str, list] = {"event_type": list(groups)}
+    for p in _PHIS_PERMILLE:
+        cols[f"p{p // 10}_milli"] = []
+    start = 0
+    for g in groups:
+        n = counts[g]
+        for p in _PHIS_PERMILLE:
+            cols[f"p{p // 10}_milli"].append(vm_at[start + (p * n + 999) // 1000 - 1])
+        start += n
+    return pa.table(
+        {
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            **{
+                f"p{p // 10}_milli": pa.array(cols[f"p{p // 10}_milli"], pa.int64())
+                for p in _PHIS_PERMILLE
+            },
+        }
+    )

@@ -31,5 +31,6 @@ def load_all() -> None:
         analogs,
         cdc_queries,
         entity_queries,
+        llmprep,
         training,
     )
