@@ -45,6 +45,14 @@ from encode_ingest_ray.stages.quality import (
 
 _WS = r"list_filter(string_split_regex(coalesce(text, ''), '\s+'), w -> w <> '')"
 
+#: distinct word-trigram list from a ``ws`` token-list column (shared by the
+#: decontamination and corpus-prep oracles; <3-word docs yield one whole-doc gram)
+_GRAMS = (
+    "list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)"
+)
+
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality filter
@@ -372,4 +380,156 @@ def grouped_quantiles_exact_q(sf_dir: str):
                 for p in _PHIS_PERMILLE
             },
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship corpus-prep pipeline: the full cleaning DAG as ONE composed query
+# ---------------------------------------------------------------------------
+CORPUS_PREP_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS cm
+  FROM documents),
+surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY cm),
+s1 AS (SELECT c.doc_id, c.lang, c.text FROM c JOIN surv USING (doc_id)),
+m AS (
+  SELECT doc_id, lang, text, ws, len(ws) AS n,
+    COALESCE(list_max(list_transform(list_distinct(ws),
+                      u -> len(list_filter(ws, x -> x = u)))), 0) AS topw,
+    CASE WHEN len(ws) >= 5
+         THEN list_transform(range(1, len(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+         ELSE [] END AS g5
+  FROM (SELECT doc_id, lang, text, {_WS} AS ws FROM s1)),
+s2 AS (
+  SELECT doc_id, lang, text, ws FROM m
+  WHERE (CASE WHEN n > 0 THEN 1000 * topw // n ELSE 0 END) <= {TOP_WORD_KEEP_MILLI}
+    AND (CASE WHEN len(g5) > 0
+              THEN 1000 * (len(g5) - len(list_distinct(g5))) // len(g5)
+              ELSE 0 END) <= {DUP_5GRAM_KEEP_MILLI}
+    AND doc_id % 97 <> 0),
+benchg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest({_GRAMS}) AS gram
+    FROM (SELECT {_WS} AS ws FROM documents WHERE doc_id % 97 = 0))),
+contaminated AS (
+  SELECT DISTINCT tg.doc_id
+  FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM s2) tg
+  JOIN benchg USING (gram)),
+s3 AS (SELECT s2.doc_id, s2.lang, s2.text FROM s2
+       LEFT JOIN contaminated k ON k.doc_id = s2.doc_id WHERE k.doc_id IS NULL),
+s4 AS (
+  SELECT * FROM s3
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 1000 WHEN 'es' THEN 1000
+                    WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END)
+SELECT doc_id, lang,
+  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT)
+            % 1000 < 100 THEN 'val' ELSE 'train' END AS split,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT) AS n_tokens
+FROM s4
+"""
+
+
+@register("corpus_prep", CORPUS_PREP_SQL)
+def corpus_prep_q(sf_dir: str):
+    """Flagship training-corpus preparation DAG — every cleaning stage this
+    module registers standalone, composed end to end with ONE exact oracle:
+
+      normalize-fingerprint → exact dedup (deterministic min-doc_id winner,
+      combiner + one bucketed exchange) → repetition quality filter →
+      benchmark decontamination (broadcast gram probe, zero-overlap keep) →
+      mixture reweighting → split assignment + token counts.
+
+    Shuffle count for the WHOLE pipeline: one (the dedup exchange) plus the
+    tiny benchmark reduction; every other stage is a per-block map.  The
+    mixture and split stages intentionally reuse the registered primitives'
+    unsalted md5(doc_id) hash (their oracles pin it); a production pipeline
+    would salt the two decisions apart.
+    """
+    from encode_ingest_ray.stages.dedup import dedup_exact
+    from encode_ingest_ray.stages.packing import (
+        MIXTURE_WEIGHTS_PERMILLE,
+        mixture_subsample,
+        split_column,
+    )
+
+    # benchmark gram hashes from the full corpus (same shape as
+    # decontaminate_ngram: per-block distinct partials, hashes-only driver union)
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"g": pa.array(benchmark_ngram_hashes(t.column("text")), pa.uint64())}
+        )
+
+    bench_parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .map_batches(bench_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    bench = (
+        np.unique(np.array([r["g"] for r in bench_parts], np.uint64))
+        if bench_parts
+        else np.empty(0, np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"], min_blocks=8)
+    with_md5 = ds.map_batches(
+        lambda t: clean_text_table(t, keep_source=True),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    surv = dedup_exact(with_md5, ["clean_md5"], "doc_id")
+
+    def rep_keep_and_train(t: pa.Table) -> pa.Table:
+        scored = RepetitionStats(keep_source=True)(t)
+        ids = scored.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = scored.column("keep").to_numpy(zero_copy_only=False)
+        return scored.filter(pa.array(keep & (ids % 97 != 0))).select(
+            ["doc_id", "lang", "text"]
+        )
+
+    s2 = surv.map_batches(
+        rep_keep_and_train, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    dec = s2.map_batches(
+        Decontaminator,
+        fn_constructor_args=(bench_ref,),
+        fn_constructor_kwargs={"keep_source": True},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=2,
+    )
+
+    def uncontaminated(t: pa.Table) -> pa.Table:
+        ov = t.column("n_overlap").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ov == 0)).select(["doc_id", "lang", "text"])
+
+    s3 = dec.map_batches(
+        uncontaminated, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    s4 = mixture_subsample(s3, "doc_id", "lang", MIXTURE_WEIGHTS_PERMILLE)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "split": split_column(t.column("doc_id"), val_permille=100),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        pc.fill_null(t.column("text"), ""), pattern=r"\S+"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return s4.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -115,8 +115,9 @@ class RepetitionStats:
     milli fractions) and ``keep`` (bool: passes the repetition filter).
     """
 
-    def __init__(self, column: str = "text"):
+    def __init__(self, column: str = "text", keep_source: bool = False):
         self.column = column
+        self.keep_source = keep_source
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ndocs = batch.num_rows
@@ -165,7 +166,9 @@ class RepetitionStats:
         keep = (top_word_milli <= TOP_WORD_KEEP_MILLI) & (
             dup5_milli <= DUP_5GRAM_KEEP_MILLI
         )
-        out = batch.select([c for c in batch.column_names if c != self.column])
+        out = batch if self.keep_source else batch.select(
+            [c for c in batch.column_names if c != self.column]
+        )
         out = out.append_column("n_words", pa.array(n_words))
         out = out.append_column("top_word_milli", pa.array(top_word_milli.astype(np.int64)))
         out = out.append_column("top_bigram_milli", pa.array(top_bigram_milli.astype(np.int64)))
@@ -260,7 +263,7 @@ class Decontaminator:
     (distinct grams also in the benchmark) and ``contam_milli``.
     """
 
-    def __init__(self, bench_ref, column: str = "text", n: int = 3):
+    def __init__(self, bench_ref, column: str = "text", n: int = 3, keep_source: bool = False):
         import ray
 
         self.bench = (
@@ -268,6 +271,7 @@ class Decontaminator:
         )
         self.column = column
         self.n = n
+        self.keep_source = keep_source
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ndocs = batch.num_rows
@@ -281,7 +285,9 @@ class Decontaminator:
             hit = np.zeros(len(g_hash), bool)
         n_overlap = np.bincount(g_doc[hit], minlength=ndocs).astype(np.int64)
         contam = 1000 * n_overlap // np.maximum(n_grams, 1)
-        out = batch.select([c for c in batch.column_names if c != self.column])
+        out = batch if self.keep_source else batch.select(
+            [c for c in batch.column_names if c != self.column]
+        )
         out = out.append_column("n_grams", pa.array(n_grams))
         out = out.append_column("n_overlap", pa.array(n_overlap))
         return out.append_column("contam_milli", pa.array(contam.astype(np.int64)))
@@ -290,7 +296,9 @@ class Decontaminator:
 # ---------------------------------------------------------------------------
 # normalization + PII redaction (RE2 kernels — identical in DuckDB)
 # ---------------------------------------------------------------------------
-def clean_text_table(batch: pa.Table, column: str = "text") -> pa.Table:
+def clean_text_table(
+    batch: pa.Table, column: str = "text", keep_source: bool = False
+) -> pa.Table:
     """lower → collapse whitespace runs → trim → md5; the normalized-content
     fingerprint used for cross-crawl exact dedup."""
     col = pc.fill_null(batch.column(column), "")
@@ -303,7 +311,9 @@ def clean_text_table(batch: pa.Table, column: str = "text") -> pa.Table:
         [hashlib.md5(v.encode("utf-8")).hexdigest() for v in norm.to_pylist()],
         pa.string(),
     )
-    out = batch.select([c for c in batch.column_names if c != column])
+    out = batch if keep_source else batch.select(
+        [c for c in batch.column_names if c != column]
+    )
     return out.append_column("clean_md5", md5)
 
 

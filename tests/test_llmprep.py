@@ -204,6 +204,29 @@ def test_shuffle_order_is_permutation(sf_dir):
     }
 
 
+def test_corpus_prep_invariants(sf_dir):
+    """The composed pipeline's output respects every stage's contract."""
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.pipelines.llmprep import corpus_prep_q
+
+    rows = corpus_prep_q(sf_dir).take_all()
+    all_ids = set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # dedup: no doc twice
+    for r in rows:
+        assert r["doc_id"] in all_ids
+        assert r["doc_id"] % 97 != 0  # benchmark docs never in the corpus
+        assert r["split"] in ("train", "val")
+        assert r["n_tokens"] >= 0
+    # deterministic: identical membership on a second run
+    rows2 = corpus_prep_q(sf_dir).take_all()
+    assert sorted(ids) == sorted(r["doc_id"] for r in rows2)
+
+
 def test_repetition_keep_flag_has_both_classes(sf_dir):
     from encode_ingest_ray.pipelines.llmprep import repetition_stats_q
 
