@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "summarize_audits_full",
     "grouped_quantiles",
     "media_frame_sample",
+    # round-3 LLM-prep suite: repetition quality filter, benchmark
+    # decontamination, and the composed corpus-prep flagship DAG
+    "repetition_stats",
+    "decontaminate_ngram",
+    "corpus_prep",
 ]
 
 

@@ -94,9 +94,10 @@ def repetition_stats_q(sf_dir: str):
     fractions) + keep flag — the Gopher repetition filter, fully vectorized
     (dictionary-encoded tokens, integer-key np.unique; no per-row loop)."""
     ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    # stateless kernel (no per-actor state to build) -> task pool, not actors
     return ds.map_batches(
-        RepetitionStats, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None, concurrency=2,
+        RepetitionStats(), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -315,15 +316,39 @@ FROM r GROUP BY event_type
 _PHIS_PERMILLE = (500, 950, 990)
 
 
+@ray.remote
+def _block_group_counts(block: pa.Table):
+    """Ordered per-block (group, count) partial — sorted input means each
+    group occupies one contiguous run, possibly spanning blocks."""
+    et = block.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    d = et.dictionary_encode()
+    ids = d.indices.to_numpy(zero_copy_only=False)
+    # dictionary ids are first-appearance ordinals; the block is sorted, so
+    # ascending id order IS the sorted group order
+    uniq, counts = np.unique(ids, return_counts=True)
+    return [str(d.dictionary[int(u)]) for u in uniq], counts.tolist()
+
+
+@ray.remote
+def _block_pick_ranks(block: pa.Table, offset: int, targets: np.ndarray) -> pa.Table:
+    pos = offset + np.arange(block.num_rows, dtype=np.int64)
+    t = block.append_column("rank", pa.array(pos))
+    return t.filter(pa.array(np.isin(pos, targets)))
+
+
 @register("grouped_quantiles_exact", QUANTILES_EXACT_SQL)
 def grouped_quantiles_exact_q(sf_dir: str):
-    """EXACT per-group quantiles by distributed rank selection: one sort on
-    (group, value), per-block row counts cross the driver as single ints
-    (global_rank's two-phase scan), then only the ~groups x phis target rows
-    are fetched.  The value at a rank is tie-invariant, so the SQL
-    row_number oracle matches bit-for-bit.  Group count must be small (the
-    per-group sizes live on the driver); value rows never leave the object
-    store until the final O(groups*phis) select."""
+    """EXACT per-group quantiles by distributed rank selection over ONE
+    dataset execution: sort on (group, value) and materialize, then two tiny
+    per-block passes over the sorted block refs — (1) ordered (group, count)
+    partials (a few ints per block cross the driver; rows never do), from
+    which group sizes, start offsets and the ~groups x phis target global
+    ranks are computed driver-side; (2) each block independently emits the
+    target rows it owns.  The value at a rank is tie-invariant, so the SQL
+    row_number oracle matches bit-for-bit.  Group cardinality must be
+    driver-small; value volume is unbounded."""
     ds = _sized_read(os.path.join(sf_dir, "events.parquet"), ["event_type", "value"])
 
     def to_milli(t: pa.Table) -> pa.Table:
@@ -336,47 +361,52 @@ def grouped_quantiles_exact_q(sf_dir: str):
         )
         return pa.table({"event_type": t.column("event_type"), "vm": vm})
 
-    vm_ds = ds.map_batches(
+    s = ds.map_batches(
         to_milli, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    counts = {
-        r["event_type"]: r["count()"]
-        for r in vm_ds.groupby("event_type").count().take_all()
-    }
+    ).sort(["event_type", "vm"]).materialize()
+    refs = s.to_arrow_refs()  # blocks in sorted order
+    if not refs:
+        return pa.table(
+            {"event_type": pa.array([], pa.string())}
+            | {f"p{p // 10}_milli": pa.array([], pa.int64()) for p in _PHIS_PERMILLE}
+        )
+
+    parts = ray.get([_block_group_counts.remote(r) for r in refs])
+    counts: dict[str, int] = {}
+    block_offsets = [0]
+    for gs, cs in parts:
+        for g, c in zip(gs, cs):
+            counts[g] = counts.get(g, 0) + int(c)
+        block_offsets.append(block_offsets[-1] + int(sum(cs)))
+
     groups = sorted(counts)
-    rank_to_slot: dict[int, tuple[str, int]] = {}
     start = 0
+    target_rank: dict[tuple[str, int], int] = {}
     for g in groups:
         n = counts[g]
         for p in _PHIS_PERMILLE:
-            rank_to_slot[start + (p * n + 999) // 1000 - 1] = (g, p)
+            target_rank[(g, p)] = start + (p * n + 999) // 1000 - 1
         start += n
-    targets = np.array(sorted(rank_to_slot), np.int64)
+    targets = np.array(sorted(set(target_rank.values())), np.int64)
 
-    ranked = global_rank(vm_ds, ["event_type", "vm"])
-
-    def pick(t: pa.Table) -> pa.Table:
-        rk = t.column("rank").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(rk, targets)))
-
-    rows = ranked.map_batches(
-        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).take_all()
-    vm_at = {r["rank"]: r["vm"] for r in rows}
-    cols: dict[str, list] = {"event_type": list(groups)}
-    for p in _PHIS_PERMILLE:
-        cols[f"p{p // 10}_milli"] = []
-    start = 0
-    for g in groups:
-        n = counts[g]
-        for p in _PHIS_PERMILLE:
-            cols[f"p{p // 10}_milli"].append(vm_at[start + (p * n + 999) // 1000 - 1])
-        start += n
+    rows = pa.concat_tables(
+        ray.get(
+            [
+                _block_pick_ranks.remote(r, off, targets)
+                # only blocks owning a target rank run the pick task
+                for r, off, off2 in zip(refs, block_offsets[:-1], block_offsets[1:])
+                if np.any((targets >= off) & (targets < off2))
+            ]
+        )
+    )
+    vm_at = dict(zip(rows.column("rank").to_pylist(), rows.column("vm").to_pylist()))
     return pa.table(
         {
-            "event_type": pa.array(cols["event_type"], pa.string()),
+            "event_type": pa.array(groups, pa.string()),
             **{
-                f"p{p // 10}_milli": pa.array(cols[f"p{p // 10}_milli"], pa.int64())
+                f"p{p // 10}_milli": pa.array(
+                    [vm_at[target_rank[(g, p)]] for g in groups], pa.int64()
+                )
                 for p in _PHIS_PERMILLE
             },
         }
