@@ -56,6 +56,7 @@ _FAMILY_COVERED = {
     "media_decode_features", # media_frame_sample covers multimodal plumbing
     "train_val_split",       # md5-permille filter — mixture_subsample stays
     "curriculum_order",      # global_rank scan — shuffle_order stays
+    "ann_lsh",               # ANN family — ann_brute_force stays
 }
 
 

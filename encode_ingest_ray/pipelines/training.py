@@ -422,7 +422,55 @@ def ann_brute_force_q(sf_dir: str):
     return brute_force_topk(ds, _queries_table(sf_dir), k=5)
 
 
-@register("ann_lsh")
+# ann_lsh is EXACTLY SQL-expressible because bucket assignment is pure
+# integer arithmetic: vectors quantize to milli units (ROUND half away from
+# zero), plane coefficients are seeded integers inlined from the SAME
+# HyperplaneLsh instance the query constructs, and integer sums are
+# order-independent — so DuckDB derives byte-identical buckets, the same
+# candidate sets, and the same (cos_milli desc, neighbor_id) ranking the
+# distributed per-batch top-k + per-query reduce produces (the float
+# cos_milli parity is the one ann_brute_force already carries).
+def _ann_lsh_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
+    from encode_ingest_ray.stages.ann import HyperplaneLsh
+
+    h = HyperplaneLsh(dim, num_planes)  # seed=23 default — same as the query
+    vals = ", ".join(
+        f"({p}, {j + 1}, {int(h.planes[j, p])})"
+        for p in range(num_planes)
+        for j in range(dim)
+    )
+    return f"""
+WITH planes(pidx, j, w) AS (VALUES {vals}),
+v AS (SELECT vec_id, embedding,
+        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+      FROM embeddings),
+dots AS (
+  SELECT v.vec_id, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
+  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.pidx),
+bucket AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN (1 << pidx) ELSE 0 END) AS INTEGER) AS bucket
+  FROM dots GROUP BY vec_id),
+q AS (SELECT v.vec_id AS query_id, v.embedding, b.bucket
+      FROM v JOIN bucket b USING (vec_id) WHERE v.vec_id < 8),
+sims AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(ROUND(1000 * list_cosine_similarity(v.embedding, q.embedding))
+              AS BIGINT) AS cos_milli
+  FROM v JOIN bucket b ON b.vec_id = v.vec_id
+       JOIN q ON q.bucket = b.bucket)
+SELECT query_id, neighbor_id, cos_milli
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_milli DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= {k}
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
+@register("ann_lsh", ANN_LSH_SQL)
 def ann_lsh_q(sf_dir: str):
     ds = _sized_read(
         os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]

@@ -112,22 +112,36 @@ def brute_force_topk(
     )
 
 
+def _quantize_milli(m: np.ndarray) -> np.ndarray:
+    """Round half away from zero to milli units — the same value DuckDB's
+    ``CAST(ROUND(1000 * x) AS BIGINT)`` produces, element for element."""
+    y = m * 1000.0
+    return np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+
+
 class HyperplaneLsh:
-    """Random-hyperplane signature stage: bucket = sign-bits of (v · H).
-    H is seeded → identical across actors/runs."""
+    """Random-hyperplane signature stage: bucket = sign-bits of (vq · H),
+    computed in INTEGER arithmetic — vectors quantized to milli units and
+    plane coefficients drawn as seeded integers in [-999, 999] — so bucket
+    assignment is order-independent AND exactly reproducible in SQL (the
+    ann_lsh oracle inlines this instance's plane matrix as literals).
+    Signs are invariant to positive scaling, so quantization preserves the
+    Charikar-LSH geometry up to the milli grid."""
 
     def __init__(self, dim: int, num_planes: int = 8, column: str = "embedding", seed: int = 23):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, num_planes))
+        self.planes = rng.integers(-999, 1000, size=(dim, num_planes), dtype=np.int64)
         self.column = column
+
+    def buckets(self, m: np.ndarray) -> np.ndarray:
+        bits = (_quantize_milli(m) @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch, self.column)
         if m.shape[0] == 0:
             return batch.append_column("bucket", pa.array([], pa.int32()))
-        bits = (m @ self.planes) > 0
-        bucket = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int32)
-        return batch.append_column("bucket", pa.array(bucket))
+        return batch.append_column("bucket", pa.array(self.buckets(m)))
 
 
 def _grouped_local_topk(
@@ -180,8 +194,9 @@ def lsh_bucketed_topk(
     hasher = HyperplaneLsh(dim, num_planes, column)
     q_ids = query_table.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
     qm = _normalize(_matrix(query_table, column))
-    q_buckets = ((qm @ hasher.planes) > 0)
-    q_buckets = (q_buckets * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int32)
+    # buckets from the RAW vectors (what the SQL oracle quantizes); the
+    # normalized matrix is only the scoring operand
+    q_buckets = hasher.buckets(_matrix(query_table, column))
     by_bucket: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for b in np.unique(q_buckets):
         sel = q_buckets == b
@@ -192,8 +207,7 @@ def lsh_bucketed_topk(
         m = _matrix(batch, column)
         if m.shape[0] == 0:
             return _EMPTY_TOPK
-        bits = (m @ hasher.planes) > 0
-        buckets = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int32)
+        buckets = hasher.buckets(m)
         return _grouped_local_topk(
             batch, buckets, ray.get(qref), id_column=id_column, column=column, k=k
         )
