@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
 
 from encode_ingest_ray.pipelines.registry import register
 from encode_ingest_ray.pipelines.training import _docs, _sized_read
@@ -231,11 +230,13 @@ def doc_frequency_q(sf_dir: str):
     """Document frequency (the IDF numerator): per-block distinct-(doc, word)
     partials — vocab-sized, not token-sized — into one small word groupby.
     Documents never span blocks, so block partials sum exactly."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
     ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
     parts = ds.map_batches(
         doc_frequency_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return parts.groupby("word").aggregate(Sum("n_docs", alias_name="n_docs"))
+    return bucketed_sum_combine(parts, ["word"], ["n_docs"])
 
 
 @register(
@@ -252,11 +253,13 @@ def bpe_pair_counts_q(sf_dir: str):
     counts inside whitespace tokens, top-20 by (n desc, pair).  Pairs are
     extracted per UNIQUE word and weighted by word frequency (block-level
     combiner), so the shuffle carries vocabulary-sized partials."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
     ds = _docs(sf_dir, ["text"], min_blocks=8)
     parts = ds.map_batches(
         bpe_pair_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    agg = parts.groupby("pair").aggregate(Sum("n", alias_name="n"))
+    agg = bucketed_sum_combine(parts, ["pair"], ["n"])
     return agg.sort(["n", "pair"], descending=[True, False]).limit(20)
 
 

@@ -14,7 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from encode_ingest_ray.pipelines.registry import register
 from encode_ingest_ray.stages.ann import brute_force_topk, lsh_bucketed_topk
@@ -32,13 +31,24 @@ from encode_ingest_ray.stages.text import (
 )
 
 
+def _path_bytes(path: str) -> int:
+    """File size, or the parquet footprint of a sharded-table directory."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(path)
+
+
 def _sized_read(path: str, columns=None, min_blocks: int = 1):
     """~8MB per block, bounded [min_blocks, 64] — Ray's 2-per-cpu heuristic
     shreds small single-file tables into 64+ blocks and taxes every later
     exchange (see analogs._read).  CPU-heavy per-row stages (shingling,
     hashing) pass ``min_blocks`` to keep task parallelism independent of
     file size."""
-    blocks = max(min_blocks, min(64, os.path.getsize(path) // (8 << 20)))
+    blocks = max(min_blocks, min(64, _path_bytes(path) // (8 << 20)))
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
@@ -171,14 +181,37 @@ def fingerprint_rolling_q(sf_dir: str):
        FROM documents GROUP BY md5(text)""",
 )
 def dedup_text_exact(sf_dir: str):
+    """Combiner + ONE hash-bucket exchange: per-block C++ group_by partials
+    (min doc_id, count per hash), then a per-bucket merge (min of mins, sum
+    of counts).  The hash key is corpus-cardinality, so the native
+    sort-based Dataset aggregate is the wrong shape (see
+    stages/aggregate.bucketed_sum_combine)."""
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    hashed = ds.map_batches(
-        lambda t: md5_fingerprint(t).select(["fp_md5", "doc_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=None)
-    return hashed.groupby("fp_md5").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = md5_fingerprint(t).select(["fp_md5", "doc_id"])
+        g = h.group_by(["fp_md5"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        g = g.rename_columns(
+            [{"doc_id_min": "doc_id", "doc_id_count": "n_copies"}.get(n, n)
+             for n in g.column_names]
+        )
+        return g.select(["fp_md5", "doc_id", "n_copies"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["fp_md5"]).aggregate([("doc_id", "min"), ("n_copies", "sum")])
+        g = g.rename_columns(
+            [{"doc_id_min": "doc_id", "n_copies_sum": "n_copies"}.get(n, n)
+             for n in g.column_names]
+        )
+        return g.select(["fp_md5", "doc_id", "n_copies"])
+
+    return bucketed_groupby_apply(partials, ["fp_md5"], merge)
 
 
 # ---------------------------------------------------------------------------
@@ -491,28 +524,38 @@ def ann_lsh_q(sf_dir: str):
        GROUP BY w ORDER BY n DESC, w LIMIT 20""",
 )
 def token_freq_topk(sf_dir: str):
-    """Word-frequency top-k: per-block Counter combiner (one row per word per
-    block through the shuffle), global sum, deterministic (n desc, word asc)
-    top-k."""
-    from collections import Counter
+    """Word-frequency top-k: per-block vectorized combiner (dictionary-encode
+    the block's tokens once in Arrow C++ — one row per word per block through
+    the shuffle), ONE bucket exchange with a per-bucket C++ sum, then the
+    tiny deterministic (n desc, word asc) top-k."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.quality import _token_ids
 
-    from ray.data.aggregate import Sum
-
-    ds = _docs(sf_dir, ["text"])
+    ds = _docs(sf_dir, ["text"], min_blocks=8)
 
     def count_block(t: pa.Table) -> pa.Table:
-        c = Counter()
-        for txt in t.column("text").to_pylist():
-            c.update((txt or "").lower().split())
+        import numpy as np
+
+        _, tok, vocab = _token_ids(t.column("text"), lowercase=True)
+        if len(tok) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        counts = np.bincount(tok, minlength=len(vocab))
+        present = np.flatnonzero(counts)
         return pa.table(
-            {"word": pa.array(list(c.keys()), pa.string()),
-             "n": pa.array(list(c.values()), pa.int64())}
+            {
+                "word": vocab.take(pa.array(present, pa.int64())),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
         )
 
     counts = ds.map_batches(
         count_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).groupby("word").aggregate(Sum("n", alias_name="n"))
-    return counts.sort(["n", "word"], descending=[True, False]).limit(20)
+    )
+    return bucketed_sum_combine(counts, ["word"], ["n"]).sort(
+        ["n", "word"], descending=[True, False]
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,24 @@ def dynamic_num_buckets(
     return int(min(hi, max(lo, (total * 3) // bytes_per_bucket + 1)))
 
 
+def bucketed_sum_combine(ds, keys: list[str], sum_columns: list[str], num_buckets=None):
+    """Exact high-cardinality ``SELECT keys, SUM(c)... GROUP BY keys`` where
+    ``ds`` already holds per-block PARTIAL rows (each block pre-combined):
+    one hash-bucket exchange of the partials, then a single vectorized C++
+    ``pa.Table.group_by`` sum per bucket.  The native ``Dataset.groupby``
+    Aggregate is sort-based and collapses past ~10k string groups (measured
+    on the 20k-vocab corpus: a 40k-group sum took 6.8 s through the native
+    path vs ~0.3 s through this shape)."""
+    rename = {f"{c}_sum": c for c in sum_columns}
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_columns])
+        g = g.rename_columns([rename.get(n, n) for n in g.column_names])
+        return g.select(keys + sum_columns)
+
+    return bucketed_groupby_apply(ds, keys, combine, num_buckets)
+
+
 def bucketed_groupby_apply(
     ds,
     key_columns: list[str],

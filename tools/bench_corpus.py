@@ -1,0 +1,170 @@
+"""Corpus-scale throughput bench for the LLM-prep operators.
+
+The driver's sf tables cap documents at 5k rows — enough for correctness,
+useless for judging whether the text-pipeline shapes hold when the corpus
+is the big table.  This tool generates a deterministic synthetic corpus
+(zipf-ish vocabulary, 5% exact duplicates, 5% near-duplicates, mixed
+langs) at two sizes (default 200k and 800k documents, a 4x step), runs the
+headline text operators at both, and reports docs/sec plus the size-4x
+throughput ratio — ~1.0 means the operator scales linearly with corpus
+size (its per-doc cost dominates its fixed cost), <1 means a superlinear
+stage is lurking.
+
+Usage:  python tools/bench_corpus.py [--small N] [--large N] [--cpus N]
+
+Prints one JSON line.  Corpus shards are cached under /tmp and reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+import pyarrow as pa
+
+VOCAB_SIZE = 20_000
+MEAN_WORDS = 80
+LANGS = np.array(["en", "en", "en", "de", "es", "fr", "zh"])  # en-heavy
+
+#: operators benched; each callable takes the corpus dir (documents.parquet
+#: inside) and returns a Dataset/table to consume.  minhash is quadratic in
+#: near-dup cluster sizes and OFF by default at the large size — enable
+#: with GRAFT_CORPUS_MINHASH=1.
+BENCH = [
+    "clean_text",
+    "repetition_stats",
+    "dedup_text_exact",
+    "decontaminate_ngram",
+    "doc_frequency",
+    "token_freq_topk",
+    "shuffle_order",
+    "simhash",
+    "corpus_prep",
+]
+
+
+def _gen_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    rng = np.random.default_rng(1_000_003 + int(ids[0]))
+    vocab = np.array([f"w{i:05d}" for i in range(VOCAB_SIZE)])
+    texts: list[str] = []
+    for i in ids:
+        n = max(5, int(rng.normal(MEAN_WORDS, 25)))
+        # power-law token ranks: a few words dominate, like real text
+        ranks = (VOCAB_SIZE * rng.random(n) ** 3).astype(np.int64)
+        t = " ".join(vocab[ranks])
+        m = i % 20
+        if m == 1 and texts:
+            t = texts[-1]                 # 5% exact duplicate of predecessor
+        elif m == 2 and texts:
+            t = texts[-1] + f" tail{i}"   # 5% near-duplicate
+        texts.append(t)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(LANGS[ids % len(LANGS)], pa.string()),
+            "source": pa.array([f"src{int(i) % 8}" for i in ids], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def ensure_corpus(n_docs: int) -> str:
+    import ray.data
+
+    root = f"/tmp/graft_corpus_cache/docs-{n_docs}"
+    table_dir = os.path.join(root, "documents.parquet")
+    marker = os.path.join(root, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(table_dir, exist_ok=True)
+        shards = max(8, n_docs // 50_000)
+        (
+            ray.data.range(n_docs, override_num_blocks=shards)
+            .map_batches(_gen_batch, batch_format="pyarrow", batch_size=None)
+            .write_parquet(table_dir)
+        )
+        open(marker, "w").close()
+    return root
+
+
+def _consume(result) -> int:
+    import ray
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    return len(result)
+
+
+def run(sizes: list[int], num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    queries = list(BENCH)
+    if os.environ.get("GRAFT_CORPUS_MINHASH") == "1":
+        queries.append("minhash_lsh_pairs")
+
+    out: dict = {"sizes": sizes, "num_cpus": num_cpus, "ops": {}}
+    for n in sizes:
+        corpus = ensure_corpus(n)
+        # warm read (page cache + worker pool), untimed
+        import ray.data
+
+        ray.data.read_parquet(os.path.join(corpus, "documents.parquet")).count()
+        for name in queries:
+            best = None
+            for _ in range(2):  # best-of-2: bursty host steal
+                t0 = time.perf_counter()
+                rows = _consume(registry.QUERIES[name](corpus))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            rec = out["ops"].setdefault(name, {})
+            rec[str(n)] = {
+                "sec": round(best, 3),
+                "docs_per_sec": round(n / best, 1),
+                "rows_out": rows,
+            }
+    ray.shutdown()
+
+    if len(sizes) == 2:
+        a, b = (str(s) for s in sizes)
+        factor = sizes[1] / sizes[0]
+        for name, rec in out["ops"].items():
+            if a in rec and b in rec:
+                rec["linearity"] = round(
+                    rec[b]["docs_per_sec"] / rec[a]["docs_per_sec"], 3
+                )
+        out["note"] = (
+            f"linearity = docs/sec at {b} over docs/sec at {a} "
+            f"({factor:.0f}x the corpus); ~1.0 = linear scaling"
+        )
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=200_000)
+    ap.add_argument("--large", type=int, default=800_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+    print(json.dumps(run([args.small, args.large], args.cpus)))
