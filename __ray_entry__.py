@@ -57,6 +57,7 @@ _FAMILY_COVERED = {
     "train_val_split",       # md5-permille filter — mixture_subsample stays
     "curriculum_order",      # global_rank scan — shuffle_order stays
     "ann_lsh",               # ANN family — ann_brute_force stays
+    "embedding_near_dup",    # ANN family — ann_brute_force stays
 }
 
 

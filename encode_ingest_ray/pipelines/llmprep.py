@@ -166,7 +166,11 @@ def decontaminate_ngram_q(sf_dir: str):
         fn_constructor_args=(bench_ref,),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=2,
+        # actors resolve the broadcast once; a FIXED pool of 2 serializes
+        # the corpus scan (37s at 800k docs), while a fixed 8 eats every
+        # CPU of a small session and starves the upstream read (deadlock).
+        # The bounded autoscaling pool does both sizes right.
+        concurrency=(1, 8),
     )
 
 
@@ -536,7 +540,7 @@ def corpus_prep_q(sf_dir: str):
         fn_constructor_kwargs={"keep_source": True},
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=2,
+        concurrency=(1, 8),
     )
 
     def uncontaminated(t: pa.Table) -> pa.Table:

@@ -410,8 +410,13 @@ FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
 
 @register("simhash", SIMHASH_SQL)
 def simhash_q(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(SimHasher(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    # stateless bit-parallel kernel -> task pool (the former per-actor token
+    # cache is gone: md5 runs per unique token per block via dictionary
+    # encoding, so actors had nothing left to amortize)
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    out = ds.map_batches(
+        SimHasher(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow", batch_size=None)
 
 
@@ -561,7 +566,62 @@ def token_freq_topk(sf_dir: str):
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs (LSH-bucketed; rows-only oracle)
 # ---------------------------------------------------------------------------
-@register("embedding_near_dup")
+# Exactly SQL-expressible for the same reason as ann_lsh: every band's
+# bucket is integer arithmetic over milli-quantized vectors with seeded
+# integer plane matrices (inlined below from the SAME MultiBandLsh instance
+# the query constructs), candidate pairs are same-(band,bucket) joins
+# deduped across bands, and the float cos_milli threshold carries the same
+# parity ann_brute_force does.  The bucket-size cap (re-split) is part of
+# the engine's scale semantics but never triggers at the oracle scales
+# (max bucket << 2048 at sf0.1) — at 100 TB it trades bounded recall for a
+# bounded quadratic block, documented in stages/ann._pairs_in_run.
+def _near_dup_sql(
+    dim: int = 64, num_bands: int = 4, base_planes: int = 6,
+    extra_planes: int = 12, threshold_milli: int = 400,
+) -> str:
+    from encode_ingest_ray.stages.ann import MultiBandLsh
+
+    h = MultiBandLsh(
+        dim, num_bands=num_bands, base_planes=base_planes, extra_planes=extra_planes
+    )  # seed=23 default — same as the query
+    vals = ", ".join(
+        f"({b}, {p}, {j + 1}, {int(pl[j, p])})"
+        for b, pl in enumerate(h.planes)
+        for p in range(pl.shape[1])
+        for j in range(dim)
+    )
+    return f"""
+WITH planes(band, pidx, j, w) AS (VALUES {vals}),
+v AS (SELECT vec_id, embedding,
+        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+      FROM embeddings),
+dots AS (
+  SELECT v.vec_id, p.band, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
+  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.band, p.pidx),
+buck AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << pidx)
+                  ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM dots GROUP BY vec_id, band),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buck x JOIN buck y ON x.band = y.band AND x.bucket = y.bucket
+                         AND x.vec_id < y.vec_id)
+SELECT c.vec_a, c.vec_b,
+       CAST(ROUND(1000 * list_cosine_similarity(a.embedding, b.embedding))
+            AS BIGINT) AS cos_milli
+FROM cand c
+JOIN v a ON a.vec_id = c.vec_a
+JOIN v b ON b.vec_id = c.vec_b
+WHERE CAST(ROUND(1000 * list_cosine_similarity(a.embedding, b.embedding))
+           AS BIGINT) >= {threshold_milli}
+"""
+
+
+NEAR_DUP_SQL = _near_dup_sql()
+
+
+@register("embedding_near_dup", NEAR_DUP_SQL)
 def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
     """Near-duplicate vector pairs: multi-band hyperplane LSH (band 0
     reproduces the classic single projection, extra bands add recall), exact

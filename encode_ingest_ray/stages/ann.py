@@ -233,10 +233,12 @@ _EMPTY_PAIRS = pa.table(
 
 
 def _band_planes(dim: int, num_planes: int, band: int, depth: int = 0) -> np.ndarray:
-    """Seeded hyperplanes per (band, re-split depth) — identical on every
-    worker, no broadcast needed (generation is microseconds)."""
+    """Seeded INTEGER hyperplanes per (band, re-split depth) — identical on
+    every worker, no broadcast needed (generation is microseconds), and
+    SQL-inlinable as literals (signs are scale-invariant, so integer
+    coefficients preserve the LSH geometry; see HyperplaneLsh)."""
     rng = np.random.default_rng(100_003 * (band + 1) + 7 * depth + 23)
-    return rng.standard_normal((dim, num_planes))
+    return rng.integers(-999, 1000, size=(dim, num_planes), dtype=np.int64)
 
 
 def _pairs_in_run(
@@ -283,7 +285,9 @@ class MultiBandLsh:
     def __init__(self, dim: int, num_bands: int = 4, base_planes: int = 6,
                  extra_planes: int = 12, column: str = "embedding", seed: int = 23):
         rng = np.random.default_rng(seed)
-        self.planes = [rng.standard_normal((dim, base_planes))]
+        # integer planes over milli-quantized vectors: bucket assignment is
+        # exact integer arithmetic, reproducible in the SQL oracle
+        self.planes = [rng.integers(-999, 1000, size=(dim, base_planes), dtype=np.int64)]
         for b in range(1, num_bands):
             self.planes.append(_band_planes(dim, extra_planes, b))
         self.column = column
@@ -301,8 +305,9 @@ class MultiBandLsh:
                 }
             )
         bands, buckets = [], []
+        vq = _quantize_milli(m)
         for b, planes in enumerate(self.planes):
-            bits = (m @ planes) > 0
+            bits = (vq @ planes) > 0
             buckets.append((bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64))
             bands.append(np.full(n, b, np.int32))
         nb = len(self.planes)
