@@ -58,6 +58,7 @@ _FAMILY_COVERED = {
     "curriculum_order",      # global_rank scan — shuffle_order stays
     "ann_lsh",               # ANN family — ann_brute_force stays
     "embedding_near_dup",    # ANN family — ann_brute_force stays
+    "doc_chunking",          # token-budget windowing — sequence_packing stays
 }
 
 

@@ -106,6 +106,17 @@ def main(argv=None) -> int:
     x.add_argument("--initial-query", default="",
                    help="comma-separated k=v filters for the biosample seed")
 
+    pr = sub.add_parser(
+        "prep",
+        help="LLM corpus preparation: clean -> dedup -> repetition filter -> "
+             "decontaminate -> mixture -> split, written as train/ + val/ "
+             "Parquet with a _SUCCESS marker (re-runs skip)",
+    )
+    pr.add_argument("--docs", required=True,
+                    help="dir containing documents.parquet (file or shard dir)")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--overwrite", action="store_true")
+
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
     f.add_argument("--dest", required=True)
@@ -250,6 +261,14 @@ def main(argv=None) -> int:
                     run_transformation_pipeline(
                         args.input, args.out, overwrite=args.overwrite
                     )
+                )
+            )
+        elif args.cmd == "prep":
+            from encode_ingest_ray.pipelines.llmprep import run_corpus_prep
+
+            print(
+                json.dumps(
+                    run_corpus_prep(args.docs, args.out, overwrite=args.overwrite)
                 )
             )
         elif args.cmd == "final":

@@ -570,3 +570,70 @@ def corpus_prep_q(sf_dir: str):
     return s4.map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows — embedding/indexing prep)
+# ---------------------------------------------------------------------------
+DOC_CHUNKING_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WS} AS ws FROM documents),
+c AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+ch AS (SELECT doc_id, ws, n,
+              CAST(unnest(range(0, (n + 255) // 256)) AS BIGINT) AS chunk_id
+       FROM c)
+SELECT doc_id, chunk_id,
+  CAST(LEAST(256, n - chunk_id * 256) AS BIGINT) AS n_tok,
+  md5(array_to_string(
+        list_slice(ws, chunk_id * 256 + 1, LEAST((chunk_id + 1) * 256, n)),
+        ' ')) AS chunk_md5
+FROM ch
+"""
+
+
+@register("doc_chunking", DOC_CHUNKING_SQL)
+def doc_chunking_q(sf_dir: str):
+    """Fixed-window document chunking (256 whitespace tokens per chunk) —
+    the embedding/indexing prep step.  Shuffle-free flat-map shape; each
+    chunk level is one Arrow C++ list_slice + binary_join over the whole
+    batch (stages/quality.chunk_documents)."""
+    from encode_ingest_ray.stages.quality import chunk_documents
+
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    return ds.map_batches(
+        lambda t: chunk_documents(t, chunk_tokens=256),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def run_corpus_prep(sf_dir: str, out_dir: str, overwrite: bool = False) -> dict:
+    """User-facing corpus-prep run: the full cleaning DAG written as
+    split-partitioned Parquet (``out/train/``, ``out/val/`` — no '=' in
+    paths, per the hive-inference rule) with an atomic ``_SUCCESS.json``
+    marker, so a re-run is a no-op (resume-safe like the CDC/transform
+    sinks) and a crashed run re-writes cleanly."""
+    import json
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS.json")
+    if os.path.exists(marker) and not overwrite:
+        with open(marker) as f:
+            return {**json.load(f), "skipped": True}
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = corpus_prep_q(sf_dir).materialize()
+    counts: dict[str, int] = {}
+    for split in ("train", "val"):
+        part = ds.map_batches(
+            lambda t, s=split: t.filter(pc.equal(t.column("split"), s)),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        dest = os.path.join(out_dir, split)
+        shutil.rmtree(dest, ignore_errors=True)
+        part.write_parquet(dest)
+        counts[split] = part.count()
+    summary = {"rows": counts, "out": out_dir, "source": sf_dir}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, marker)
+    return summary

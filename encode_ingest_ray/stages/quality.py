@@ -377,3 +377,63 @@ def doc_frequency_partial(batch: pa.Table, column: str = "text") -> pa.Table:
             "n_docs": pa.array(df[present].astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (fixed token windows — the embedding/indexing prep step)
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    batch: pa.Table,
+    column: str = "text",
+    id_column: str = "doc_id",
+    chunk_tokens: int = 256,
+) -> pa.Table:
+    """Split each document into fixed ``chunk_tokens`` windows of whitespace
+    tokens.  Vectorized: the batch's tokens become ONE rebuilt ListArray and
+    each chunk level is a single Arrow C++ ``list_slice`` + ``binary_join``
+    over all documents at once (the loop runs max-chunks-per-doc times, not
+    once per document).  Zero-token documents produce no chunks.  Output:
+    (doc_id, chunk_id, n_tok, chunk_md5) — md5 of the space-joined window,
+    byte-equal to the DuckDB oracle's array_to_string slice."""
+    doc_idx, tok, vocab = _token_ids(batch.column(column))
+    ndocs = batch.num_rows
+    counts = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+    flat = vocab.take(pa.array(tok, pa.int64()))
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    ids = batch.column(id_column).combine_chunks()
+
+    out: list[pa.Table] = []
+    max_chunks = int((counts.max() + chunk_tokens - 1) // chunk_tokens) if ndocs else 0
+    for c in range(max_chunks):
+        sel = counts > c * chunk_tokens
+        joined = pc.binary_join(
+            pc.list_slice(lists, c * chunk_tokens, (c + 1) * chunk_tokens), " "
+        )
+        sel_arr = pa.array(sel)
+        texts = joined.filter(sel_arr)
+        md5 = pa.array(
+            [hashlib.md5(v.encode("utf-8")).hexdigest() for v in texts.to_pylist()],
+            pa.string(),
+        )
+        n_tok = np.minimum(chunk_tokens, counts[sel] - c * chunk_tokens)
+        out.append(
+            pa.table(
+                {
+                    id_column: ids.filter(sel_arr),
+                    "chunk_id": pa.array(np.full(int(sel.sum()), c, np.int64)),
+                    "n_tok": pa.array(n_tok.astype(np.int64)),
+                    "chunk_md5": md5,
+                }
+            )
+        )
+    if not out:
+        return pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_md5": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(out)

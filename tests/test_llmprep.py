@@ -232,3 +232,49 @@ def test_repetition_keep_flag_has_both_classes(sf_dir):
 
     keeps = [r["keep"] for r in repetition_stats_q(sf_dir).take_all()]
     assert any(keeps) and not all(keeps)
+
+
+def test_chunk_documents_windows():
+    from encode_ingest_ray.stages.quality import chunk_documents
+
+    import hashlib
+
+    texts = ["a b c d e", "", None, "x", " ".join(f"t{i}" for i in range(7))]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = chunk_documents(t, chunk_tokens=3)
+    rows = out.to_pylist()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc  # empty/null docs: no chunks
+    assert [r["n_tok"] for r in by_doc[0]] == [3, 2]
+    assert by_doc[0][1]["chunk_md5"] == hashlib.md5(b"d e").hexdigest()
+    assert [r["n_tok"] for r in by_doc[3]] == [1]
+    assert [r["n_tok"] for r in by_doc[4]] == [3, 3, 1]
+    assert by_doc[4][2]["chunk_md5"] == hashlib.md5(b"t6").hexdigest()
+
+
+def test_run_corpus_prep_sink_and_resume(sf_dir, tmp_path):
+    import os
+
+    import pyarrow.dataset as pads
+
+    from encode_ingest_ray.pipelines.llmprep import run_corpus_prep
+
+    out = str(tmp_path / "prep")
+    s1 = run_corpus_prep(sf_dir, out)
+    assert "skipped" not in s1 and set(s1["rows"]) == {"train", "val"}
+    total = s1["rows"]["train"] + s1["rows"]["val"]
+    on_disk = sum(
+        pads.dataset(os.path.join(out, sp)).count_rows() for sp in ("train", "val")
+    )
+    assert on_disk == total and total > 0
+    # resume: second run is a no-op
+    s2 = run_corpus_prep(sf_dir, out)
+    assert s2.get("skipped") is True and s2["rows"] == s1["rows"]
+    # overwrite forces a rewrite with identical membership (determinism)
+    s3 = run_corpus_prep(sf_dir, out, overwrite=True)
+    assert s3["rows"] == s1["rows"]
