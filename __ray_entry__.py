@@ -59,6 +59,8 @@ _FAMILY_COVERED = {
     "ann_lsh",               # ANN family — ann_brute_force stays
     "embedding_near_dup",    # ANN family — ann_brute_force stays
     "doc_chunking",          # token-budget windowing — sequence_packing stays
+    "ngram_jaccard_pairs",   # its pair CTEs are re-verified inside
+                             # near_dup_clusters' recursive oracle
 }
 
 

@@ -331,8 +331,7 @@ def minhash_lsh_pairs_q(sf_dir: str):
 # oracle — the same trigram sets, intersection/union counts, integer
 # half-up milli rounding, and integer threshold compare.
 # ---------------------------------------------------------------------------
-NGRAM_JACCARD_SQL = r"""
-WITH toks AS (
+_NGRAM_PAIR_CTES = r"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
   FROM documents
@@ -351,7 +350,10 @@ ov AS (
   FROM grams a JOIN grams b USING (gram)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_NGRAM_PAIR_CTES}
 SELECT ov.doc_a, ov.doc_b,
        (2000 * i + (sa.s + sb.s - i)) // (2 * (sa.s + sb.s - i)) AS jaccard_milli
 FROM ov
@@ -874,3 +876,75 @@ def curriculum_order_q(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
     )
     return global_rank(stats, ["quality_milli", "doc_id"], descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate CLUSTER formation: connected components over the exact
+# Jaccard pair graph — the step dedup pipelines run after pair generation.
+# The oracle reproduces the whole composition: the same pair CTEs, then a
+# recursive reachability closure whose per-node min equals the engine's
+# min-label-propagation fixpoint.
+# ---------------------------------------------------------------------------
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+p AS (
+  SELECT ov.doc_a, ov.doc_b
+  FROM ov
+  JOIN sz sa ON sa.doc_id = ov.doc_a
+  JOIN sz sb ON sb.doc_id = ov.doc_b
+  WHERE 1000 * i >= 800 * (sa.s + sb.s - i)
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@register("near_dup_clusters", NEAR_DUP_CLUSTERS_SQL)
+def near_dup_clusters_q(sf_dir: str):
+    """Near-duplicate clusters: exact trigram-Jaccard pairs (>= 0.8) →
+    distributed connected components (stages/components.py: min-label
+    propagation, two bucketed exchanges per round, scalar-sum convergence)
+    → every document labeled with its cluster's min doc_id (own id if it
+    has no near-dup).  The component labels cover only the pair-graph nodes
+    — far smaller than the corpus — so the final assignment is a broadcast
+    binary-search probe, not a join shuffle."""
+    import numpy as np
+    import ray as _ray
+
+    from encode_ingest_ray.stages.components import connected_components
+    from encode_ingest_ray.stages.neardup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"], min_blocks=16),
+        _docs(sf_dir, ["doc_id", "text"]),
+        n=3,
+        threshold_milli=800,
+    )
+    comp_rows = connected_components(pairs).take_all()
+    nodes = np.array([r["node"] for r in comp_rows], np.int64)
+    lbls = np.array([r["lbl"] for r in comp_rows], np.int64)
+    order = np.argsort(nodes)
+    ref = _ray.put((nodes[order], lbls[order]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys, vals = _ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ids.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ids
+            cid[hit] = vals[pos[hit]]
+        return pa.table({"doc_id": pa.array(ids), "cluster_id": pa.array(cid)})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

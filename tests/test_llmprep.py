@@ -278,3 +278,35 @@ def test_run_corpus_prep_sink_and_resume(sf_dir, tmp_path):
     # overwrite forces a rewrite with identical membership (determinism)
     s3 = run_corpus_prep(sf_dir, out, overwrite=True)
     assert s3["rows"] == s1["rows"]
+
+
+def test_connected_components_chain_and_clique(sf_dir):
+    """A 6-node path graph needs several propagation rounds (diameter 5) —
+    exercises the loop beyond the clique-ish near-dup case — plus a
+    separate triangle and an isolated pair."""
+    import ray.data
+
+    from encode_ingest_ray.stages.components import connected_components
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([10, 11, 12, 13, 14, 20, 21, 20, 30], pa.int64()),
+            "doc_b": pa.array([11, 12, 13, 14, 15, 21, 22, 22, 31], pa.int64()),
+        }
+    )
+    out = connected_components(ray.data.from_arrow(pairs)).take_all()
+    lbl = {r["node"]: r["lbl"] for r in out}
+    assert all(lbl[n] == 10 for n in range(10, 16))
+    assert all(lbl[n] == 20 for n in (20, 21, 22))
+    assert lbl[30] == 30 and lbl[31] == 30
+
+
+def test_connected_components_empty(sf_dir):
+    import ray.data
+
+    from encode_ingest_ray.stages.components import connected_components
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    assert connected_components(ray.data.from_arrow(empty)).count() == 0
