@@ -280,10 +280,12 @@ def test_run_corpus_prep_sink_and_resume(sf_dir, tmp_path):
     assert s3["rows"] == s1["rows"]
 
 
-def test_connected_components_chain_and_clique(sf_dir):
+@pytest.mark.parametrize("driver_max_edges", [5_000_000, 0])
+def test_connected_components_chain_and_clique(sf_dir, driver_max_edges):
     """A 6-node path graph needs several propagation rounds (diameter 5) —
     exercises the loop beyond the clique-ish near-dup case — plus a
-    separate triangle and an isolated pair."""
+    separate triangle and an isolated pair.  Runs BOTH the driver fast
+    path and (driver_max_edges=0) the distributed loop."""
     import ray.data
 
     from encode_ingest_ray.stages.components import connected_components
@@ -294,7 +296,9 @@ def test_connected_components_chain_and_clique(sf_dir):
             "doc_b": pa.array([11, 12, 13, 14, 15, 21, 22, 22, 31], pa.int64()),
         }
     )
-    out = connected_components(ray.data.from_arrow(pairs)).take_all()
+    out = connected_components(
+        ray.data.from_arrow(pairs), driver_max_edges=driver_max_edges
+    ).take_all()
     lbl = {r["node"]: r["lbl"] for r in out}
     assert all(lbl[n] == 10 for n in range(10, 16))
     assert all(lbl[n] == 20 for n in (20, 21, 22))

@@ -46,6 +46,8 @@ BENCH = [
     "token_freq_topk",
     "shuffle_order",
     "simhash",
+    "doc_chunking",
+    "near_dup_clusters",
     "corpus_prep",
 ]
 
