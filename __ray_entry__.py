@@ -61,6 +61,8 @@ _FAMILY_COVERED = {
     "doc_chunking",          # token-budget windowing — sequence_packing stays
     "ngram_jaccard_pairs",   # its pair CTEs are re-verified inside
                              # near_dup_clusters' recursive oracle
+    "doc_frequency",         # its df aggregation is re-verified inside
+                             # tf_idf_topk's oracle
 }
 
 

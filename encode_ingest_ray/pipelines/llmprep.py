@@ -637,3 +637,98 @@ def run_corpus_prep(sf_dir: str, out_dir: str, overwrite: bool = False) -> dict:
         json.dump(summary, f)
     os.replace(tmp, marker)
     return summary
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document — exact oracle.  The ln is computed ONCE
+# per vocabulary word with SCALAR libm log (math.log), bit-equal to DuckDB's
+# ln on this machine (the HLL oracle established this; numpy's SIMD log is
+# NOT ulp-identical and must not be used here).  Scores are floored to
+# integer micro-units BEFORE ranking, so the top-k compare is pure integer
+# (score desc, word asc) on both sides.
+# ---------------------------------------------------------------------------
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                       '\s+'), w -> w <> '')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.w AS word,
+        CAST(FLOOR((1e6 * tf.tf) * ln(n.n / df.df)) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (w) CROSS JOIN n)
+SELECT doc_id, word, score_micro
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, word) AS rn
+      FROM s)
+WHERE rn <= 3
+"""
+
+
+@register("tf_idf_topk", TFIDF_SQL)
+def tf_idf_topk_q(sf_dir: str):
+    """Top-3 TF-IDF terms per document.  The document-frequency table is
+    reduced distributed (the same vocab-sized combiner as doc_frequency),
+    broadcast once with precomputed scalar-libm ln(N/df) per word, and each
+    batch scores its own (doc, word) term counts and selects its top-3 with
+    one lexsort — shuffle-free after the tiny df reduction.  At extreme
+    vocabulary sizes the broadcast IDF table would hash-partition instead;
+    the broadcast shape is the standard one (IDF tables are MBs)."""
+    import math
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.quality import _token_ids, doc_frequency_partial
+
+    docs = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    n_docs = docs.count()
+    df_rows = bucketed_sum_combine(
+        docs.map_batches(
+            doc_frequency_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["word"], ["n_docs"],
+    ).take_all()
+    words = np.array([r["word"] for r in df_rows])
+    dfs = np.array([r["n_docs"] for r in df_rows], np.int64)
+    order = np.argsort(words)
+    words, dfs = words[order], dfs[order]
+    # scalar libm ln once per vocabulary word (bit-equal to DuckDB ln)
+    lnv = np.array([math.log(n_docs / int(d)) for d in dfs], np.float64)
+    ref = ray.put((words, lnv))
+
+    def score(t: pa.Table) -> pa.Table:
+        keys, lns = ray.get(ref)
+        doc_idx, tok, vocab = _token_ids(t.column("text"), lowercase=True)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(tok) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "word": pa.array([], pa.string()),
+                 "score_micro": pa.array([], pa.int64())}
+            )
+        V = np.int64(len(vocab))
+        ukeys, tf = np.unique(doc_idx * V + tok, return_counts=True)
+        udoc = (ukeys // V).astype(np.int64)
+        utok = (ukeys % V).astype(np.int64)
+        wnames = np.asarray(vocab.to_pylist())[utok]
+        pos = np.searchsorted(keys, wnames)
+        ln_term = lns[pos]  # every batch word exists in the global df table
+        score_micro = np.floor((1e6 * tf.astype(np.float64)) * ln_term).astype(np.int64)
+        # top-3 per doc by (score desc, word asc): one lexsort + segment take
+        o = np.lexsort((wnames, -score_micro, udoc))
+        udoc, wnames, score_micro = udoc[o], wnames[o], score_micro[o]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(udoc)) + 1))
+        rank = np.arange(len(udoc)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(udoc)]))))
+        keep = rank < 3
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[udoc[keep]]),
+                "word": pa.array(wnames[keep], pa.string()),
+                "score_micro": pa.array(score_micro[keep]),
+            }
+        )
+
+    return docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -314,3 +314,38 @@ def test_connected_components_empty(sf_dir):
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     )
     assert connected_components(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_tf_idf_topk_matches_naive(sf_dir):
+    """Engine top-3 TF-IDF equals a single-process python computation using
+    the identical float expression (scalar math.log, floor-then-rank)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.pipelines.llmprep import tf_idf_topk_q
+
+    got = {}
+    for r in tf_idf_topk_q(sf_dir).take_all():
+        got.setdefault(r["doc_id"], []).append((r["word"], r["score_micro"]))
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        i: (txt or "").lower().split()
+        for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    n = len(docs)
+    df = Counter()
+    for ws in docs.values():
+        df.update(set(ws))
+    for i, ws in docs.items():
+        if not ws:
+            assert i not in got
+            continue
+        tf = Counter(ws)
+        scored = sorted(
+            ((math.floor((1e6 * c) * math.log(n / df[w])), w) for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        assert sorted(got[i], key=lambda x: (-x[1], x[0])) == [
+            (w, s) for s, w in scored
+        ], i
