@@ -76,8 +76,9 @@ def _docs(sf_dir: str, columns=None, min_blocks: int = 1):
        FROM documents""",
 )
 def text_stats_q(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(TextStats(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    # vectorized RE2/token kernels, no per-actor state -> task pool
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
+    out = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return out.map_batches(
         lambda t: t.select(
             ["doc_id", "n_chars", "n_words", "n_tokens", "n_punct", "n_stop", "quality_milli"]
@@ -114,8 +115,8 @@ def _lang_hits_sql(lang: str) -> str:
        FROM documents""",
 )
 def langid_heuristic(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
-    out = ds.map_batches(LangId(), batch_format="pyarrow", batch_size=512, concurrency=2)
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"], min_blocks=8)
+    out = ds.map_batches(LangId(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return out.map_batches(
         lambda t: t.select(["doc_id", "lang", "pred_lang"]), batch_format="pyarrow", batch_size=None)
 
@@ -868,9 +869,9 @@ def curriculum_order_q(sf_dir: str):
     global_rank) — one sort exchange, offsets cross the driver as ints."""
     from encode_ingest_ray.stages.packing import global_rank
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
     stats = ds.map_batches(
-        TextStats(), batch_format="pyarrow", batch_size=512, concurrency=2
+        TextStats(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).map_batches(
         lambda t: t.select(["doc_id", "quality_milli"]),
         batch_format="pyarrow", batch_size=None,

@@ -36,40 +36,46 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 LANG_ORDER = ["de", "en", "es", "fr", "zh"]
 
 
+def _stop_hits_per_doc(
+    col: pa.ChunkedArray | pa.Array, stopwords: frozenset | set, ndocs: int
+) -> np.ndarray:
+    """Per-document count of lowercase whitespace tokens in ``stopwords`` —
+    Arrow C++ tokenize + dictionary encode, membership tested once per
+    UNIQUE token (vocab-sized python set probes, not per occurrence)."""
+    from encode_ingest_ray.stages.quality import _token_ids
+
+    doc_idx, tok, vocab = _token_ids(col, lowercase=True)
+    if len(tok) == 0:
+        return np.zeros(ndocs, np.int64)
+    is_stop = np.fromiter(
+        (w in stopwords for w in vocab.to_pylist()), dtype=bool, count=len(vocab)
+    )
+    return np.bincount(doc_idx[is_stop[tok]], minlength=ndocs).astype(np.int64)
+
+
 class TextStats:
-    """Actor-pool form: regexes compiled once per actor (__init__), applied
-    per batch (__call__) — use with map_batches(TextStats, concurrency=N)."""
+    """Fully vectorized text statistics: the regex counts run in Arrow's RE2
+    kernels (`count_substring_regex`), the stopword counts go through the
+    dictionary-encoded token path — no per-row Python loop."""
 
     def __init__(self, column: str = "text"):
-        import re
-
         self.column = column
-        self.word = re.compile(WORD_PATTERN)
-        self.token = re.compile(TOKEN_PATTERN)
-        self.punct = re.compile(PUNCT_PATTERN)
-        self.stop_en = set(LANG_STOPWORDS["en"])
+        self.stop_en = frozenset(LANG_STOPWORDS["en"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
-        n_words = np.empty(len(texts), np.int64)
-        n_tokens = np.empty(len(texts), np.int64)
-        n_punct = np.empty(len(texts), np.int64)
-        n_stop = np.empty(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            words = self.word.findall(t)
-            n_words[i] = len(words)
-            n_tokens[i] = len(self.token.findall(t))
-            n_punct[i] = len(self.punct.findall(t))
-            n_stop[i] = sum(1 for w in words if w.lower() in self.stop_en)
+        col = pc.fill_null(batch.column(self.column), "")
+        n_words = pc.cast(pc.count_substring_regex(col, pattern=WORD_PATTERN), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(col, pattern=TOKEN_PATTERN), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(col, pattern=PUNCT_PATTERN), pa.int64())
+        nw = n_words.to_numpy(zero_copy_only=False)
+        n_stop = _stop_hits_per_doc(col, self.stop_en, batch.num_rows)
         out = batch.append_column("n_chars", pc.cast(pc.utf8_length(batch.column(self.column)), pa.int64()))
-        out = out.append_column("n_words", pa.array(n_words))
-        out = out.append_column("n_tokens", pa.array(n_tokens))
-        out = out.append_column("n_punct", pa.array(n_punct))
+        out = out.append_column("n_words", n_words)
+        out = out.append_column("n_tokens", n_tokens)
+        out = out.append_column("n_punct", n_punct)
         out = out.append_column("n_stop", pa.array(n_stop))
         # quality score in integer milli-units: 1000*stopwords/words (0 if empty)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            q = np.where(n_words > 0, (1000 * n_stop) // np.maximum(n_words, 1), 0)
+        q = np.where(nw > 0, (1000 * n_stop) // np.maximum(nw, 1), 0)
         return out.append_column("quality_milli", pa.array(q.astype(np.int64)))
 
 
@@ -85,17 +91,24 @@ class LangId:
         self.sets = {lang: frozenset(w) for lang, w in LANG_STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
-        preds = []
-        for t in texts:
-            words = (t or "").lower().split()
-            best_lang, best_n = None, -1
-            for lang in LANG_ORDER:
+        from encode_ingest_ray.stages.quality import _token_ids
+
+        col = pc.fill_null(batch.column(self.column), "")
+        ndocs = batch.num_rows
+        doc_idx, tok, vocab = _token_ids(col, lowercase=True)
+        # (ndocs x langs) hit matrix: membership tested per UNIQUE token;
+        # argmax over columns in LANG_ORDER == the first-strictly-greater
+        # scan of the scalar version (np.argmax returns the first maximum)
+        hits = np.zeros((ndocs, len(LANG_ORDER)), np.int64)
+        if len(tok):
+            vocab_words = vocab.to_pylist()
+            for j, lang in enumerate(LANG_ORDER):
                 s = self.sets[lang]
-                n = sum(1 for w in words if w in s)
-                if n > best_n:
-                    best_lang, best_n = lang, n
-            preds.append(best_lang)
+                is_hit = np.fromiter(
+                    (w in s for w in vocab_words), dtype=bool, count=len(vocab_words)
+                )
+                hits[:, j] = np.bincount(doc_idx[is_hit[tok]], minlength=ndocs)
+        preds = np.asarray(LANG_ORDER)[np.argmax(hits, axis=1)]
         return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
 
 
