@@ -308,7 +308,7 @@ def cdc_tombstone_audit(sf_dir: str):
     tombstones (state/lww.py) precisely so they are queryable — the
     reference's soft-delete bookkeeping (ingest-processed-data.yaml:118-144)
     as a first-class query."""
-    from ray.data.aggregate import Count
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
 
     ds = _derived_events(sf_dir)
     ds = ds.map_batches(
@@ -319,15 +319,21 @@ def cdc_tombstone_audit(sf_dir: str):
     )
 
     def winners_with_tombstones(group: pa.Table) -> pa.Table:
+        # fold the per-conv count partial into the partition task: only
+        # (conv_id, n) partials cross the final exchange, and the count
+        # combine is a C++ group_by (conv_id is corpus-cardinality — the
+        # native sort-based Count aggregate is the wrong shape there)
         t = lww_reduce(group.drop_columns(["part"]))
-        return t.filter(pc.equal(t.column("op"), pa.scalar("delete"))).select(
-            ["conv_id"]
-        )
+        d = t.filter(pc.equal(t.column("op"), pa.scalar("delete")))
+        g = d.group_by(["conv_id"]).aggregate([("conv_id", "count")])
+        return g.rename_columns(
+            [{"conv_id_count": "n_deleted"}.get(n, n) for n in g.column_names]
+        ).select(["conv_id", "n_deleted"])
 
-    deleted = ds.groupby("part").map_groups(
+    partials = ds.groupby("part").map_groups(
         winners_with_tombstones, batch_format="pyarrow"
     )
-    return deleted.groupby("conv_id").aggregate(Count(alias_name="n_deleted"))
+    return bucketed_sum_combine(partials, ["conv_id"], ["n_deleted"])
 
 
 CONV_RUNNING_SQL = f"""
