@@ -44,7 +44,7 @@ def _min_labels(ds):
     return bucketed_groupby_apply(ds, ["node"], m)
 
 
-def _local_components(edges: pa.Table, max_iters: int) -> pa.Table:
+def _local_components(edges: pa.Table) -> pa.Table:
     """Vectorized min-label propagation over a driver-collected edge list:
     dense-encode nodes, then repeat ``labels[dst] = min(labels[dst],
     labels[src])`` (one ``np.minimum.at`` per pass) until the label sum is
@@ -55,7 +55,10 @@ def _local_components(edges: pa.Table, max_iters: int) -> pa.Table:
     inv_dst = np.searchsorted(nodes, dst)  # sym edges: dst nodes == src nodes
     labels = nodes.copy()
     prev = labels.sum()
-    for _ in range(max_iters):
+    # labels strictly decrease between non-converged passes and are bounded
+    # below, so this always terminates — no iteration cap needed locally
+    # (max_iters only bounds the exchange-priced distributed loop)
+    while True:
         np.minimum.at(labels, inv_dst, labels[inv_src])
         s = labels.sum()
         if s == prev:
@@ -103,7 +106,7 @@ def connected_components(
         local = pa.concat_tables(
             [b for b in edges.iter_batches(batch_size=None, batch_format="pyarrow")]
         )
-        return ray.data.from_arrow(_local_components(local, max_iters))
+        return ray.data.from_arrow(_local_components(local))
 
     def init_lbl(t: pa.Table) -> pa.Table:
         u = pc.unique(t.column("src").combine_chunks())
