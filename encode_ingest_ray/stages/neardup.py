@@ -174,11 +174,23 @@ def candidate_pairs_from_bucket(group: pa.Table, id_column: str) -> pa.Table:
     return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
 
 
-def candidate_pairs_bulk(table: pa.Table, id_column: str) -> pa.Table:
+def candidate_pairs_bulk(
+    table: pa.Table, id_column: str, max_bucket: int | None = None
+) -> pa.Table:
     """Pair generation over MANY (band_id, band_hash) groups at once: sort by
     (band, hash) in numpy, scan run boundaries, emit pairs only for the few
     multi-member buckets — most LSH buckets are singletons, so per-bucket
-    map_groups calls would dominate 100x."""
+    map_groups calls would dominate 100x.
+
+    ``max_bucket`` guards the quadratic blow-up on mass-duplicate corpora:
+    a bucket of k docs with IDENTICAL band signatures (templated/boilerplate
+    text — re-splitting by more hashes cannot separate them) emits k(k-1)/2
+    pairs; measured on the 200k-doc synthetic corpus this made the verify
+    exchange spill >39 GB.  Runs larger than the cap emit the deterministic
+    STAR pairs (min id → every other member) instead — linear in k, cluster
+    connectivity preserved through the hub (the standard mass-dup trick).
+    ``None`` (default) keeps exact all-pairs semantics — what the registered
+    oracle pins; buckets never approach the cap at the driver's sf scales."""
     band = table.column("band_id").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     bh = table.column("band_hash").combine_chunks().to_numpy(zero_copy_only=False)
     ids = table.column(id_column).combine_chunks().to_numpy(zero_copy_only=False)
@@ -194,6 +206,10 @@ def candidate_pairs_bulk(table: pa.Table, id_column: str) -> pa.Table:
         lo, hi = int(boundaries[i]), int(boundaries[i + 1])
         uniq = np.unique(ids[lo:hi])
         if len(uniq) < 2:
+            continue
+        if max_bucket is not None and len(uniq) > max_bucket:
+            out_a.append(np.full(len(uniq) - 1, uniq[0], dtype=uniq.dtype))
+            out_b.append(uniq[1:])
             continue
         a, b = np.triu_indices(len(uniq), k=1)
         out_a.append(uniq[a])
@@ -214,6 +230,7 @@ def minhash_lsh_pairs(
     batch_size: int = 128,
     concurrency: int | None = None,
     dedup: bool = True,
+    max_bucket: int | None = None,
 ):
     """Full MinHash-LSH candidate-pair pipeline over a documents Dataset.
 
@@ -246,7 +263,7 @@ def minhash_lsh_pairs(
     pairs = bucketed_groupby_apply(
         bands,
         ["band_id", "band_hash"],
-        lambda t: candidate_pairs_bulk(t, id_column),
+        lambda t: candidate_pairs_bulk(t, id_column, max_bucket),
         num_buckets=32,
     )
     if not dedup:
@@ -384,14 +401,21 @@ def verify_pairs_jaccard(
             a = np.concatenate([ab[0] for ab in pair_cols])
             b = np.concatenate([ab[1] for ab in pair_cols])
             uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-            pairs = ray.data.from_arrow(
+            # REBUILD AS MANY BLOCKS: from_arrow of one table is one block,
+            # and map_batches runs one task per (coalesced) block — a single
+            # 800k-pair block made the whole verify run on one core
+            # (measured 32.6 s for a stage that takes ~2 s at 32-way).
+            chunk = 25_000
+            tables = [
                 pa.table(
                     {
-                        "doc_a": pa.array(uniq[:, 0], pa.int64()),
-                        "doc_b": pa.array(uniq[:, 1], pa.int64()),
+                        "doc_a": pa.array(uniq[i : i + chunk, 0], pa.int64()),
+                        "doc_b": pa.array(uniq[i : i + chunk, 1], pa.int64()),
                     }
                 )
-            )
+                for i in range(0, max(len(uniq), 1), chunk)
+            ]
+            pairs = ray.data.from_arrow(tables)
         # prune AND tokenize distributed: the broadcast side carries hashed
         # ngram arrays, so verify workers never re-tokenize the candidates
         # (a 100k-doc dict build per worker was the query's top cost)
@@ -472,12 +496,13 @@ def verify_pairs_jaccard(
                 }
             )
 
-        # candidate pairs arrive as one near-empty block PER BUCKET task; an
-        # explicit batch_size makes map_batches coalesce blocks into ~50k-pair
-        # batches (no extra repartition execution), so few workers pay the
-        # memoized dict build.
+        # candidate pairs arrive as one near-empty block PER BUCKET task (or
+        # as the 25k-pair chunks built above); an explicit batch_size makes
+        # map_batches coalesce blocks into ~25k-pair batches (no extra
+        # repartition execution) — small enough to parallelize a 100k-pair
+        # verify, large enough that few workers pay the memoized dict build.
         return pairs.map_batches(
-            verify, batch_format="pyarrow", batch_size=50_000
+            verify, batch_format="pyarrow", batch_size=25_000
         )
 
     if dedup_pairs:

@@ -453,3 +453,22 @@ def test_pack_sequences_scan_crosses_blocks(ray_session):
     assert [r["bin_id"] for r in out] == list(before // 512)
     bins = np.array([r["bin_id"] for r in out])
     assert (np.diff(bins) >= 0).all()  # bins non-decreasing in stream order
+
+
+def test_candidate_pairs_bulk_star_cap():
+    """Oversized identical-signature buckets emit star pairs (min id hub)
+    instead of the quadratic all-pairs set; small buckets are unaffected."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.neardup import candidate_pairs_bulk
+
+    t = pa.table(
+        {
+            "band_id": pa.array([0] * 6 + [1] * 2, pa.int32()),
+            "band_hash": pa.array([7] * 6 + [9] * 2, pa.int64()),
+            "doc_id": pa.array([5, 3, 9, 1, 7, 11, 2, 4], pa.int64()),
+        }
+    )
+    assert candidate_pairs_bulk(t, "doc_id").num_rows == 15 + 1  # exact default
+    capped = candidate_pairs_bulk(t, "doc_id", max_bucket=4).to_pydict()
+    assert capped == {"doc_a": [1, 1, 1, 1, 1, 2], "doc_b": [3, 5, 7, 9, 11, 4]}
