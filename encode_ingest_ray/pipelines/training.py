@@ -427,7 +427,14 @@ def simhash_q(sf_dir: str):
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 def _queries_table(sf_dir: str, n: int = 8) -> pa.Table:
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    # row-group filter pushdown: only the query rows' groups decode — a
+    # plain read_table would pull the whole corpus to the driver just to
+    # keep 8 rows
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
     return t.filter(pc.less(t.column("vec_id"), n))
 
 

@@ -79,6 +79,58 @@ def _gen_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+EMB_DIM = 64
+EMB_CLUSTERS = 256
+
+
+def _gen_emb_batch(batch: pa.Table) -> pa.Table:
+    """Random unit vectors with PAIRWISE near-duplicates (2%: id%50==1 is a
+    jittered copy of its predecessor).  Random 64-dim vectors are mutually
+    near-orthogonal, so the true near-dup pair set stays linear in n while
+    LSH buckets still exceed the cap at 1M vectors — exercising the
+    re-split path without a quadratic true-pair set."""
+    ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    rng = np.random.default_rng(7_000_003 + int(ids[0]))
+    lbl = (ids % EMB_CLUSTERS).astype(np.int32)
+    m = rng.standard_normal((len(ids), EMB_DIM))
+    dup = np.flatnonzero((ids % 50 == 1))
+    dup = dup[dup > 0]
+    m[dup] = m[dup - 1] + 0.02 * rng.standard_normal((len(dup), EMB_DIM))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    flat = m.astype(np.float32).ravel()
+    offsets = np.arange(0, (len(ids) + 1) * EMB_DIM, EMB_DIM, dtype=np.int32)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.float32())
+            ),
+            "label": pa.array(lbl),
+        }
+    )
+
+
+def ensure_embeddings(n_vecs: int) -> str:
+    import ray.data
+
+    root = f"/tmp/graft_corpus_cache/embs-{n_vecs}"
+    table_dir = os.path.join(root, "embeddings.parquet")
+    marker = os.path.join(root, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(table_dir, exist_ok=True)
+        shards = max(8, n_vecs // 100_000)
+        (
+            ray.data.range(n_vecs, override_num_blocks=shards)
+            .map_batches(_gen_emb_batch, batch_format="pyarrow", batch_size=None)
+            .write_parquet(table_dir)
+        )
+        open(marker, "w").close()
+    return root
+
+
+EMB_BENCH = ["ann_brute_force", "ann_lsh", "ann_ivf", "embedding_near_dup"]
+
+
 def ensure_corpus(n_docs: int) -> str:
     import ray.data
 
@@ -144,6 +196,26 @@ def run(sizes: list[int], num_cpus: int) -> dict:
             rec[str(n)] = {
                 "sec": round(best, 3),
                 "docs_per_sec": round(n / best, 1),
+                "rows_out": rows,
+            }
+    emb_sizes = [s for s in (int(os.environ.get("GRAFT_EMB_SMALL", "250000")),
+                             int(os.environ.get("GRAFT_EMB_LARGE", "1000000"))) if s > 0]
+    for n in emb_sizes:
+        root = ensure_embeddings(n)
+        import ray.data
+
+        ray.data.read_parquet(os.path.join(root, "embeddings.parquet")).count()
+        for name in EMB_BENCH:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = _consume(registry.QUERIES[name](root))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            rec = out.setdefault("emb_ops", {}).setdefault(name, {})
+            rec[str(n)] = {
+                "sec": round(best, 3),
+                "vecs_per_sec": round(n / best, 1),
                 "rows_out": rows,
             }
     ray.shutdown()
