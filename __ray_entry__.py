@@ -63,6 +63,8 @@ _FAMILY_COVERED = {
                              # near_dup_clusters' recursive oracle
     "doc_frequency",         # its df aggregation is re-verified inside
                              # tf_idf_topk's oracle
+    "bpe_pair_counts",       # corpus-stats family — token_freq_topk and
+                             # tf_idf_topk stay
 }
 
 

@@ -732,3 +732,95 @@ def tf_idf_topk_q(sf_dir: str):
     return docs.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup index: the CDC engine maintains (content-hash -> latest
+# doc) state across document-arrival epochs — recrawl dedup with
+# exactly-once commits, resume, and the full manifest machinery.
+# ---------------------------------------------------------------------------
+INCREMENTAL_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')))
+         AS fp_md5,
+       MAX(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+@register("incremental_dedup", INCREMENTAL_DEDUP_SQL)
+def incremental_dedup_q(sf_dir: str):
+    """Recrawl-style INCREMENTAL exact dedup: documents arrive in two
+    epochs; each batch becomes CDC events keyed by the normalization
+    fingerprint (``conv_id = clean_md5``, ``lsn = doc_id``), and the engine
+    maintains the hash→latest-doc index with its full machinery — salted
+    push exchange, LWW merge, exactly-once two-phase commits, resume,
+    replay dedup.  The committed state after both epochs equals the
+    one-shot oracle (latest doc per normalized content hash), which is what
+    a 100-TB continuous-crawl pipeline needs: each new crawl batch costs
+    one epoch against durable state, never a recompute over the corpus."""
+    import shutil
+    import tempfile
+
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cutoff = docs.max("doc_id") // 2
+
+    def to_events(t: pa.Table) -> pa.Table:
+        c = clean_text_table(t, keep_source=False)  # doc_id, clean_md5
+        ids = c.column("doc_id").combine_chunks().cast(pa.int64())
+        n = c.num_rows
+        return pa.table(
+            {
+                "conv_id": c.column("clean_md5"),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "ts": pc.cast(pc.multiply(ids, 1_000_000), pa.timestamp("us")),
+                "doc_id": ids,
+                "op": pa.array(["insert"] * n, pa.string()),
+                "lsn": ids,
+            }
+        )
+
+    scratch = tempfile.mkdtemp(prefix="incr-dedup-")
+    try:
+        epoch_files: list[list[str]] = []
+        for e, pred in enumerate(
+            (lambda i: i <= cutoff, lambda i: i > cutoff)
+        ):
+            part_dir = os.path.join(scratch, f"epoch-{e}")
+            (
+                docs.map_batches(
+                    lambda t, p=pred: t.filter(
+                        pa.array(p(t.column("doc_id").to_numpy(zero_copy_only=False)))
+                    ),
+                    batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+                )
+                .map_batches(
+                    to_events, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
+                .write_parquet(part_dir)
+            )
+            epoch_files.append(
+                sorted(
+                    os.path.join(part_dir, f)
+                    for f in os.listdir(part_dir)
+                    if f.endswith(".parquet")
+                )
+            )
+        engine = CdcEngine(
+            os.path.join(scratch, "table"),
+            num_partitions=16,
+            num_actors=2,
+            actor_num_cpus=0,
+        )
+        engine.run(epoch_files=epoch_files)
+        final = engine.final_table()
+        return pa.table(
+            {
+                "fp_md5": final.column("conv_id"),
+                "doc_id": final.column("doc_id"),
+            }
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
