@@ -59,6 +59,7 @@ def _cents(expr_col):
        FROM documents""",
 )
 def normalize_unknowns(sf_dir: str):
+    """removeUnknowns (M1): strip the literal 'unknown'/'Unknown' sentinels to null, vectorized."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -76,6 +77,7 @@ def normalize_unknowns(sf_dir: str):
     "SELECT doc_id, regexp_extract(source, 'src([0-9]+)', 1) AS src_num FROM documents",
 )
 def extract_id_q(sf_dir: str):
+    """transformId/readId (M2): regex-extract the trailing id segment from reference URLs."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     return ds.map_batches(
         lambda t: extract_id(t, "source", "src_num", r"src(?P<id>[0-9]+)").drop_columns(
@@ -93,6 +95,7 @@ def extract_id_q(sf_dir: str):
     """SELECT doc_id, 'https://www.encodeproject.org/' || source AS url FROM documents""",
 )
 def url_prefix_q(sf_dir: str):
+    """convertToEncodeUrl (M3): prefix relative ids into absolute URLs, vectorized concat."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     return ds.map_batches(
         lambda t: url_prefix(t, "source", "url", "https://www.encodeproject.org/").drop_columns(
@@ -125,6 +128,7 @@ def url_prefix_q(sf_dir: str):
        FROM events""",
 )
 def age_bounds_q(sf_dir: str):
+    """Age-bounds parse (M4): split 'N-M'/'N' age strings into numeric lower/upper bounds."""
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -161,6 +165,7 @@ def age_bounds_q(sf_dir: str):
        FROM events""",
 )
 def audit_color_q(sf_dir: str):
+    """Audit max-level -> color mapping (M5 slice), dictionary-encoded case-when."""
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -205,6 +210,7 @@ _MODALITY = {
        FROM events""",
 )
 def lookup_modality_q(sf_dir: str):
+    """Assay-term -> modality dictionary lookup (M6) with the '!' unknown sentinel."""
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
     return ds.map_batches(
         lambda t: dict_lookup(t, "event_type", "modality", _MODALITY).drop_columns(
@@ -226,6 +232,7 @@ def lookup_modality_q(sf_dir: str):
        FROM events""",
 )
 def paired_end_q(sf_dir: str):
+    """Paired-end flag parse (M7/M8): case-when over string codes to boolean + run type."""
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -254,6 +261,7 @@ def paired_end_q(sf_dir: str):
        WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.02""",
 )
 def filter_project(sf_dir: str):
+    """Filter + projection with the predicate PUSHED INTO the Parquet scan (M10) — only matching row groups decode."""
     import datetime
 
     import pyarrow.dataset as pads
@@ -302,6 +310,7 @@ def filter_project(sf_dir: str):
        GROUP BY l_returnflag, l_linestatus""",
 )
 def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape (A1/A2): per-block combiner pre-aggregation, integer cents encodings, tiny global groupby."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -347,6 +356,7 @@ def q1_pricing_summary(sf_dir: str):
        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 )
 def topk_orders(sf_dir: str):
+    """Global top-k by value (§2.6): Dataset.sort + limit, deterministic tie-break."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return out.map_batches(
@@ -370,6 +380,7 @@ def topk_orders(sf_dir: str):
        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1""",
 )
 def dedup_first_event(sf_dir: str):
+    """distinctBy key (D2): deterministic first-event winner via combiner + one bucketed exchange."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
     out = dedup_exact(ds, ["user_id"], ["ts", "event_id"], keep_max=False)
     return out.map_batches(
@@ -388,6 +399,7 @@ def dedup_first_event(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register("distinct_event_types", "SELECT DISTINCT event_type FROM events")
 def distinct_event_types(sf_dir: str):
+    """Distinct values of one column (D3): per-block unique -> one bucketed exchange."""
     return distinct_values(_read(sf_dir, "events", ["event_type"]), "event_type")
 
 
@@ -402,6 +414,7 @@ def distinct_event_types(sf_dir: str):
        FROM embeddings WHERE vec_id < 100""",
 )
 def explode_embeddings(sf_dir: str):
+    """FK-unnest explode (M11): one output row per list element, vectorized ListArray flatten."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("vec_id"), 100)),
@@ -425,6 +438,7 @@ def explode_embeddings(sf_dir: str):
        SELECT event_id, 'low'  AS band FROM events WHERE value < 10""",
 )
 def split_streams(sf_dir: str):
+    """Stream split by predicate (M12/D1): one input scan fanned into tagged substreams."""
     ds = _read(sf_dir, "events", ["event_id", "value"])
     hi = ds.map_batches(
         lambda t: pa.table(
@@ -455,6 +469,7 @@ def split_streams(sf_dir: str):
        GROUP BY r_name, n_name""",
 )
 def join_broadcast_dims(sf_dir: str):
+    """Broadcast dimension join (J1/J4/J8): ray.put the small side once, probe per batch — no shuffle."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -493,6 +508,7 @@ def join_broadcast_dims(sf_dir: str):
        GROUP BY o_orderpriority""",
 )
 def join_cohash(sf_dir: str):
+    """Broadcast-or-cohash join (J5): both sides bucketed by key hash, pa C++ join per bucket, partial agg inside the join task."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
 
@@ -535,6 +551,7 @@ def join_cohash(sf_dir: str):
        GROUP BY l_partkey""",
 )
 def join_semi(sf_dir: str):
+    """Broadcast semi-join filter (J12): keep rows whose key exists in the broadcast side."""
     import pyarrow.parquet as pq
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"])
@@ -564,6 +581,7 @@ def join_semi(sf_dir: str):
        GROUP BY l_orderkey""",
 )
 def collect_sorted_parts(sf_dir: str):
+    """Sorted-list collect per group (A3): vectorized ListArray build + binary_join."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     ds = ds.map_batches(
         lambda t: t.filter(
@@ -610,6 +628,7 @@ def collect_sorted_parts(sf_dir: str):
        FROM lineitem GROUP BY l_orderkey""",
 )
 def cardinality_check(sf_dir: str):
+    """Cardinality validation (A4): per-key distinct counts with violation flags."""
     from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
@@ -639,6 +658,7 @@ def cardinality_check(sf_dir: str):
        FROM events GROUP BY user_id, hour_bucket""",
 )
 def window_tumbling(sf_dir: str):
+    """Tumbling time window aggregate (§2.8): integer bucket of event time + combiner groupby."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:

@@ -76,6 +76,7 @@ def _docs(sf_dir: str, columns=None, min_blocks: int = 1):
        FROM documents""",
 )
 def text_stats_q(sf_dir: str):
+    """Per-document text statistics (chars/words/tokens/punct/stopwords + quality milli) — vectorized RE2 + token kernels."""
     # vectorized RE2/token kernels, no per-actor state -> task pool
     ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=8)
     out = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -115,6 +116,7 @@ def _lang_hits_sql(lang: str) -> str:
        FROM documents""",
 )
 def langid_heuristic(sf_dir: str):
+    """Stopword-hit language identification with deterministic argmax tie-break, vectorized."""
     ds = _docs(sf_dir, ["doc_id", "lang", "text"], min_blocks=8)
     out = ds.map_batches(LangId(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return out.map_batches(
@@ -126,6 +128,7 @@ def langid_heuristic(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register("fingerprint_md5", "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
 def fingerprint_md5_q(sf_dir: str):
+    """Content fingerprint: hex md5 of the raw text (the exact-dedup key)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         lambda t: md5_fingerprint(t).select(["doc_id", "fp_md5"]),
@@ -166,6 +169,7 @@ FROM c CROSS JOIN p
 
 @register("fingerprint_rolling", FINGERPRINT_ROLLING_SQL)
 def fingerprint_rolling_q(sf_dir: str):
+    """Rabin-Karp rolling-window fingerprint: min of 16-byte window hashes (concat-robust)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         lambda t: rolling_fingerprint(t).select(["doc_id", "fp_roll"]),
@@ -313,6 +317,7 @@ MINHASH_LSH_SQL = _minhash_sql()
 
 @register("minhash_lsh_pairs", MINHASH_LSH_SQL)
 def minhash_lsh_pairs_q(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs + distributed exact-Jaccard verify."""
     # shingle+minhash is CPU-bound per doc: keep >=32 tasks regardless of
     # the (small) file size
     ds = _docs(sf_dir, ["doc_id", "text"], min_blocks=32)
@@ -413,6 +418,7 @@ FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
 
 @register("simhash", SIMHASH_SQL)
 def simhash_q(sf_dir: str):
+    """64-bit SimHash signature per document (Charikar), bit-parallel over dictionary tokens."""
     # stateless bit-parallel kernel -> task pool (the former per-actor token
     # cache is gone: md5 runs per unique token per block via dictionary
     # encoding, so actors had nothing left to amortize)
@@ -520,6 +526,7 @@ ANN_LSH_SQL = _ann_lsh_sql()
 
 @register("ann_lsh", ANN_LSH_SQL)
 def ann_lsh_q(sf_dir: str):
+    """Approximate cosine top-k via integer hyperplane LSH buckets (exact oracle)."""
     ds = _sized_read(
         os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
