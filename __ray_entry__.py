@@ -65,6 +65,13 @@ _FAMILY_COVERED = {
                              # tf_idf_topk's oracle
     "bpe_pair_counts",       # corpus-stats family — token_freq_topk and
                              # tf_idf_topk stay
+    # round-3 continuation 3: four new families enter tier 0 (asof join,
+    # range join, lag window, CDC time travel) — four covered siblings move
+    # down to keep tier 0 at exactly 50:
+    "extract_id",            # M2 regex map — normalize_unknowns carries the family
+    "lookup_modality",       # M6 — modality_classify exercises every arm
+    "clean_text",            # text-normalize — pii_scrub stays
+    "session_windows",       # §2.8 — window_tumbling + conversation_running_totals stay
 }
 
 

@@ -446,18 +446,30 @@ class CdcEngine:
         return totals
 
     # -- read side -------------------------------------------------------
-    def partition_files(self) -> dict[int, dict]:
-        """part -> {base, deltas} from the latest manifest."""
+    def partition_files(self, epoch: int | None = None) -> dict[int, dict]:
+        """part -> {base, deltas} from the latest manifest, or — time
+        travel — from the manifest of a specific committed ``epoch``: each
+        manifest carries the CUMULATIVE pointer map, so one historical JSON
+        read reconstructs the table exactly as of that commit (valid while
+        vacuum retention covers the epoch; ``Manifest.vacuum`` retains the
+        newest ``retain_epochs`` manifests' files)."""
+        rec = (
+            self.manifest.latest()
+            if epoch is None
+            else self.manifest.read_epoch(epoch)
+        )
+        pointers = dict(rec["partitions"]) if rec else {}
         return {
             int(p): {"base": ptr.get("base"), "deltas": list(ptr.get("deltas", []))}
-            for p, ptr in self.manifest.pointers().items()
+            for p, ptr in pointers.items()
         }
 
-    def final_dataset(self) -> "ray.data.Dataset":
+    def final_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
         """Streaming live view of the committed table: one merge-on-read task
         per partition (base snapshot + epoch deltas resolved by the LWW
         kernel), unordered; apply ``sort(['conv_id','turn_idx'])`` when a
-        total order is needed.
+        total order is needed.  ``epoch`` selects a historical commit
+        (snapshot-as-of / time travel) via that epoch's cumulative manifest.
 
         Schema evolution: partitions last written before an additive column
         appeared lack it; every partition is aligned to the union schema
@@ -469,7 +481,7 @@ class CdcEngine:
         from encode_ingest_ray.state.lww import live_view
         from encode_ingest_ray.state.merger import load_partition_state
 
-        parts = self.partition_files()
+        parts = self.partition_files(epoch)
         if not parts:
             return ray.data.from_items([])
 

@@ -209,6 +209,47 @@ def cdc_upsert_engine(sf_dir: str):
     return engine.final_dataset()
 
 
+#: Snapshot-as-of epoch 1 of 3: the fixture writer splits the LSN range into
+#: 3 equal epochs (``epoch_size = (max_lsn + 3) // 3``), so state after the
+#: SECOND commit is exactly the LWW fold of events with ``lsn < 2*size``.
+CDC_SNAPSHOT_SQL = f"""
+WITH bound AS (
+  SELECT 2 * ((MAX(event_id) + 3) // 3) AS hi FROM events
+),
+ev AS (
+  SELECT * FROM ({_DERIVE_SQL}) WHERE lsn < (SELECT hi FROM bound)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_snapshot_epoch", CDC_SNAPSHOT_SQL)
+def cdc_snapshot_epoch(sf_dir: str):
+    """Time travel: run the full engine for 3 epochs, then read the table AS
+    OF the second commit (epoch index 1) from that epoch's manifest — every
+    manifest stores the cumulative per-partition pointer map
+    (state/manifest.py), so one historical JSON read plus the standard
+    merge-on-read path reconstructs any retained commit exactly.  The
+    reference keeps no queryable history (its staging dataset auto-expires,
+    ingest-processed-data.yaml:22-41); a lakehouse-grade CDC sink needs
+    this for audits and replay debugging."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdctt-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    return engine.final_dataset(epoch=1)
+
+
 CONVERSATION_TEXT_SQL = f"""
 WITH final AS ({CDC_FINAL_SQL})
 SELECT conv_id,

@@ -32,5 +32,6 @@ def load_all() -> None:
         cdc_queries,
         entity_queries,
         llmprep,
+        temporal,
         training,
     )

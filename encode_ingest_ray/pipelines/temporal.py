@@ -1,0 +1,166 @@
+"""Temporal-join queries: as-of join, interval/range join, lag windows.
+
+These are the custom temporal operators the brief calls out as missing from
+Ray Data's Dataset API ("as-of join, range join, windowed aggregate" —
+SURVEY.md §2.4/§2.8 custom-operator guidance).  Each is expressed through
+the one-exchange kernels in stages/temporal.py and carries an exact DuckDB
+oracle (window-function / non-equi-join SQL over the same tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from encode_ingest_ray.pipelines.analogs import _cents, _read
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+from encode_ingest_ray.stages.temporal import asof_join_bucketed, interval_count_join
+
+ASOF_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM j WHERE rn = 1
+"""
+
+
+@register("asof_latest_order", ASOF_SQL)
+def asof_latest_order(sf_dir: str):
+    """Backward as-of join: each event picks the latest order (by
+    ``o_orderdate``, ties broken by max ``o_orderkey``) of the same customer
+    placed at or before the event's timestamp.  One tagged-union hash
+    exchange on the key, ``pandas.merge_asof`` over int64 views per bucket
+    (stages/temporal.py) — the join-form generalization of the engine's LWW
+    latest-wins pick (state/lww.py)."""
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    joined = asof_join_bucketed(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tiebreak="o_orderkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    return joined.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+RANGE_WINDOW_SQL = """
+WITH iv AS (
+  SELECT event_id AS anchor_id, ts AS start_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.anchor_id, COUNT(*) AS n_in_window
+FROM iv JOIN events e
+  ON e.ts >= iv.start_ts AND e.ts < iv.start_ts + INTERVAL 10 MINUTE
+GROUP BY iv.anchor_id
+"""
+
+_TEN_MIN_US = 10 * 60 * 1_000_000
+
+
+@register("range_join_window", RANGE_WINDOW_SQL)
+def range_join_window(sf_dir: str):
+    """Pure containment range join (no equi key): for every ``error`` event,
+    count ALL events inside its 10-minute window.  Time-bin
+    co-partitioning (stages/temporal.py): points land in one bin, windows
+    replicate to the ≤2 bins they overlap, counts come from clamped
+    ``searchsorted`` probes — matched pairs are never materialized."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    points = _read(sf_dir, "events", ["ts"])
+    # anchor scan: predicate pushed into the Parquet read (M10 pattern —
+    # only matching row groups decode; filter runs before projection)
+    anchors = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts"],
+        filter=(pads.field("event_type") == "error"),
+    )
+    return interval_count_join(
+        points,
+        anchors,
+        point_ts="ts",
+        iv_id="event_id",
+        iv_start="ts",
+        length_us=_TEN_MIN_US,
+        out_count="n_in_window",
+    ).map_batches(
+        lambda t: t.rename_columns(["anchor_id", "n_in_window"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+LAG_GAPS_SQL = """
+WITH g AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, gap_us FROM g WHERE gap_us IS NOT NULL
+"""
+
+
+@register("event_lag_gaps", LAG_GAPS_SQL)
+def event_lag_gaps(sf_dir: str):
+    """Lag window: per user, microseconds since that user's previous event
+    (first event per user drops).  One hash-bucket exchange on the user,
+    then a vectorized lexsort + diff per bucket — the lag/lead window
+    family beside the repo's cumulative (conversation_running_totals) and
+    gap-session (session_windows) shapes."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        gap = np.empty(len(s), np.int64)
+        if len(s):
+            gap[0] = 0
+            gap[1:] = s[1:] - s[:-1]
+        valid = np.zeros(len(s), bool)
+        valid[1:] = u[1:] == u[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order][valid]),
+                "user_id": pa.array(u[valid]),
+                "gap_us": pa.array(gap[valid]),
+            }
+        )
+
+    return bucketed_groupby_apply(ds, ["user_id"], per_bucket)
