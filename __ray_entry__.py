@@ -72,6 +72,7 @@ _FAMILY_COVERED = {
     "lookup_modality",       # M6 — modality_classify exercises every arm
     "clean_text",            # text-normalize — pii_scrub stays
     "session_windows",       # §2.8 — window_tumbling + conversation_running_totals stay
+    "cdc_epoch_diff",        # time-travel family — cdc_snapshot_epoch stays
 }
 
 

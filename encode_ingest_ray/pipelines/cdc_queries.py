@@ -250,6 +250,71 @@ def cdc_snapshot_epoch(sf_dir: str):
     return engine.final_dataset(epoch=1)
 
 
+#: Change stream between commits 0 and 1 of a 3-epoch run: the reference's
+#: diff → soft-delete → append sync as a queryable operator over two
+#: time-travel snapshots (state as of lsn < size vs lsn < 2*size).
+CDC_DIFF_SQL = f"""
+WITH bound AS (
+  SELECT (MAX(event_id) + 3) // 3 AS size FROM events
+),
+ev AS ({_DERIVE_SQL}),
+s1 AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+    FROM ev WHERE lsn < (SELECT size FROM bound)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+s2 AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+    FROM ev WHERE lsn < 2 * (SELECT size FROM bound)
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT COALESCE(s2.conv_id, s1.conv_id)   AS conv_id,
+       COALESCE(s2.turn_idx, s1.turn_idx) AS turn_idx,
+       CASE WHEN s1.conv_id IS NULL THEN 'insert'
+            WHEN s2.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END              AS change_type,
+       s2.text                             AS text
+FROM s1 FULL OUTER JOIN s2
+  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+WHERE s1.conv_id IS NULL OR s2.conv_id IS NULL
+   OR s1.role IS DISTINCT FROM s2.role
+   OR s1.text IS DISTINCT FROM s2.text
+   OR s1.tool IS DISTINCT FROM s2.tool
+   OR s1.ts   IS DISTINCT FROM s2.ts
+"""
+
+
+@register("cdc_epoch_diff", CDC_DIFF_SQL)
+def cdc_epoch_diff(sf_dir: str):
+    """Changelog between two committed epochs: run the full engine, read the
+    epoch-0 and epoch-1 snapshots via their cumulative manifests (time
+    travel), and emit insert/update/delete rows through the distributed
+    snapshot-diff operator (stages/diff.py) — one keyed exchange, vectorized
+    run-pair comparison, only changed rows leave the bucket.  This is the
+    reference's per-table diff-and-sync primitive
+    (ingest-processed-data.yaml) as a first-class query."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+    from encode_ingest_ray.stages.diff import snapshot_diff
+
+    work = tempfile.mkdtemp(prefix=f"cdcdiff-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    return snapshot_diff(
+        engine.final_dataset(epoch=0),
+        engine.final_dataset(epoch=1),
+        key_cols=["conv_id", "turn_idx"],
+        compare_cols=["role", "text", "tool", "ts"],
+        carry_cols=["text"],
+    )
+
+
 CONVERSATION_TEXT_SQL = f"""
 WITH final AS ({CDC_FINAL_SQL})
 SELECT conv_id,

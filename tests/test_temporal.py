@@ -151,6 +151,75 @@ def test_interval_count_join_boundary_inclusion():
     assert out.column("n_in_window").to_pylist() == [4]  # 10,19,20,29 in [10,30)
 
 
+def test_snapshot_diff_matches_brute_force():
+    rng = np.random.default_rng(3)
+    n = 500
+    keys = [(f"c{i % 37}", i % 11) for i in range(n)]
+    keys = sorted(set(keys))
+
+    def mk(drop_frac, seed):
+        r = np.random.default_rng(seed)
+        rows = [
+            (k, t, f"v{r.integers(0, 4)}", None if r.random() < 0.2 else f"x{r.integers(0, 3)}")
+            for (k, t) in keys
+            if r.random() > drop_frac
+        ]
+        return pa.table(
+            {
+                "k": [x[0] for x in rows],
+                "t": pa.array([x[1] for x in rows], pa.int32()),
+                "val": [x[2] for x in rows],
+                "opt": [x[3] for x in rows],
+            }
+        )
+
+    old, new = mk(0.15, 1), mk(0.15, 2)
+    from encode_ingest_ray.stages.diff import snapshot_diff
+
+    out = _collect(
+        snapshot_diff(
+            _chunked(old), _chunked(new),
+            key_cols=["k", "t"], compare_cols=["val", "opt"], carry_cols=["val"],
+            num_buckets=5,
+        )
+    )
+    got = sorted(
+        zip(
+            out.column("k").to_pylist(),
+            out.column("t").to_pylist(),
+            out.column("change_type").to_pylist(),
+            out.column("val").to_pylist(),
+        )
+    )
+    om = {(r["k"], r["t"]): (r["val"], r["opt"]) for r in old.to_pylist()}
+    nm = {(r["k"], r["t"]): (r["val"], r["opt"]) for r in new.to_pylist()}
+    want = []
+    for key in set(om) | set(nm):
+        if key not in om:
+            want.append((*key, "insert", nm[key][0]))
+        elif key not in nm:
+            want.append((*key, "delete", None))
+        elif om[key] != nm[key]:
+            want.append((*key, "update", nm[key][0]))
+    assert got == sorted(want)
+
+
+def test_snapshot_diff_rejects_duplicate_keys():
+    import pytest
+
+    from encode_ingest_ray.stages.diff import snapshot_diff
+
+    old = pa.table({"k": ["a", "a"], "v": ["1", "2"]})
+    new = pa.table({"k": ["a"], "v": ["1"]})
+    with pytest.raises(Exception):
+        _collect(
+            snapshot_diff(
+                ray.data.from_arrow(old), ray.data.from_arrow(new),
+                key_cols=["k"], compare_cols=["v"], num_buckets=2,
+            )
+        )
+
+
 def test_cdc_time_travel_snapshot_equals_prefix_replay(tmp_path, sf_dir):
     """final_dataset(epoch=0) after a 3-epoch run must equal the final state
     of an engine that only ever saw epoch 0's files — per-turn text equality
