@@ -73,6 +73,8 @@ _FAMILY_COVERED = {
     "clean_text",            # text-normalize — pii_scrub stays
     "session_windows",       # §2.8 — window_tumbling + conversation_running_totals stay
     "cdc_epoch_diff",        # time-travel family — cdc_snapshot_epoch stays
+    "ann_ivf",               # ANN family — ann_brute_force stays (integer-
+                             # anchor quantizer makes it exact now)
 }
 
 

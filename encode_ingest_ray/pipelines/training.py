@@ -658,15 +658,74 @@ def embedding_near_dup(sf_dir: str, threshold_milli: int = 400):
     )
 
 
-@register("ann_ivf")
+# ann_ivf is EXACTLY SQL-expressible with a seeded INTEGER anchor set as
+# the coarse quantizer (the ann_lsh promotion recipe): vectors quantize to
+# milli units, anchors are seeded integers inlined as literals, assignment
+# and probing are integer-argmax with lowest-anchor-id tie-break, and the
+# final ranking is the established (cos_milli desc, neighbor_id) key.  The
+# data-adapted k-means quantizer (`train_ivf_centroids`) remains the scale
+# path for clustered corpora, recall-pinned in tests.
+def _ann_ivf_sql(dim: int = 64, n_anchors: int = 16, nprobe: int = 2, k: int = 5) -> str:
+    from encode_ingest_ray.stages.ann import IntegerAnchors
+
+    a = IntegerAnchors(dim, n_anchors)  # seed=41 default — same as the query
+    vals = ", ".join(
+        f"({c}, {j + 1}, {int(a.anchors[c, j])})"
+        for c in range(n_anchors)
+        for j in range(dim)
+    )
+    return f"""
+WITH anchors(cid, j, w) AS (VALUES {vals}),
+v AS (SELECT vec_id, embedding,
+        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+      FROM embeddings),
+dots AS (
+  SELECT v.vec_id, a.cid, SUM(v.vq[a.j] * a.w) AS dot
+  FROM v CROSS JOIN anchors a GROUP BY v.vec_id, a.cid),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn FROM dots)
+  WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM dots WHERE vec_id < 8)
+  WHERE rn <= {nprobe}),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT qp.query_id, asg.vec_id AS neighbor_id,
+         CAST(ROUND(1000 * list_cosine_similarity(v.embedding, q.embedding))
+              AS BIGINT) AS cos_milli
+  FROM qprobe qp
+       JOIN assign asg ON asg.cid = qp.cid
+       JOIN v ON v.vec_id = asg.vec_id
+       JOIN q ON q.query_id = qp.query_id)
+SELECT query_id, neighbor_id, cos_milli
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_milli DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= {k}
+"""
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
+
+
+@register("ann_ivf", ANN_IVF_SQL)
 def ann_ivf_q(sf_dir: str):
-    """IVF coarse-quantizer ANN (scale path beside the LSH variant)."""
-    from encode_ingest_ray.stages.ann import ivf_topk
+    """IVF ANN with the seeded integer-anchor quantizer (exact oracle);
+    assignment + probing fuse into one streaming map_batches — per-task
+    memory is batch-bounded, never 1/n_centroids of the corpus."""
+    from encode_ingest_ray.stages.ann import IntegerAnchors, ivf_topk
 
     ds = _sized_read(
         os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
-    return ivf_topk(ds, _queries_table(sf_dir), k=5)
+    q = _queries_table(sf_dir)
+    dim = len(q.column("embedding")[0])
+    return ivf_topk(ds, q, k=5, nprobe=2, anchors=IntegerAnchors(dim, 16))
 
 
 # ---------------------------------------------------------------------------

@@ -401,6 +401,29 @@ def train_ivf_centroids(
     return cent
 
 
+class IntegerAnchors:
+    """Seeded integer anchor set — the exactly-SQL-reproducible coarse
+    quantizer for IVF: assignment is ``argmax_c <quantize_milli(v), A_c>``
+    in pure int64 arithmetic (ties to the lowest anchor id), so DuckDB can
+    re-derive byte-identical inverted lists from the same anchor literals
+    (the ann_lsh promotion recipe applied to IVF).  Trades the data-adapted
+    centroids of ``train_ivf_centroids`` for data-independent anchors —
+    recall is lower on clustered corpora, determinism is absolute."""
+
+    def __init__(self, dim: int, n_anchors: int = 16, seed: int = 41):
+        rng = np.random.default_rng(seed)
+        self.anchors = rng.integers(-999, 1000, size=(n_anchors, dim), dtype=np.int64)
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        """Nearest-anchor id per row (int dot products; first-max = lowest id)."""
+        return (_quantize_milli(m) @ self.anchors.T).argmax(axis=1).astype(np.int32)
+
+    def probes(self, m: np.ndarray, nprobe: int) -> np.ndarray:
+        """Top-``nprobe`` anchor ids per query row by (dot desc, id asc)."""
+        dots = _quantize_milli(m) @ self.anchors.T
+        return np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+
+
 def ivf_topk(
     ds,
     query_table,
@@ -411,6 +434,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 2,
     train_sample: int = 2048,
+    anchors: "IntegerAnchors | None" = None,
 ):
     """IVF ANN: assign every vector to its nearest centroid; each query
     probes its ``nprobe`` nearest centroids' lists only.  Recall < 1 by
@@ -420,47 +444,56 @@ def ivf_topk(
     that centroid), so per-task memory is batch-bounded, not 1/n_centroids
     of the corpus."""
 
-    sample = _matrix(query_table, column)  # queries always included in train
-    # deterministic distributed sample: EVERY block contributes a strided
-    # subset (a head `limit` would train the quantizer on the first file
-    # only and skew centroids at scale), then cap at train_sample
-    per_block = max(8, train_sample // 32)
+    if anchors is None:
+        sample = _matrix(query_table, column)  # queries always included in train
+        # deterministic distributed sample: EVERY block contributes a strided
+        # subset (a head `limit` would train the quantizer on the first file
+        # only and skew centroids at scale), then cap at train_sample
+        per_block = max(8, train_sample // 32)
 
-    def strided(t: pa.Table) -> pa.Table:
-        if t.num_rows <= per_block:
-            return t.select([column])
-        step = t.num_rows // per_block
-        return t.select([column]).take(pa.array(range(0, step * per_block, step)))
+        def strided(t: pa.Table) -> pa.Table:
+            if t.num_rows <= per_block:
+                return t.select([column])
+            step = t.num_rows // per_block
+            return t.select([column]).take(pa.array(range(0, step * per_block, step)))
 
-    head = (
-        ds.map_batches(strided, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .limit(train_sample)
-        .to_pandas()
-    )
-    if len(head):
-        dim = len(head[column].iloc[0])
-        head_m = np.stack(head[column].to_numpy()).reshape(len(head), dim)
-        sample = np.concatenate([sample, head_m])
-    cent = train_ivf_centroids(sample, n_centroids)
-    cref = ray.put(cent)
+        head = (
+            ds.map_batches(strided, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+            .limit(train_sample)
+            .to_pandas()
+        )
+        if len(head):
+            dim = len(head[column].iloc[0])
+            head_m = np.stack(head[column].to_numpy()).reshape(len(head), dim)
+            sample = np.concatenate([sample, head_m])
+        cent = train_ivf_centroids(sample, n_centroids)
+    cref = ray.put(anchors if anchors is not None else cent)
 
     q_ids = query_table.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
-    qm = _normalize(_matrix(query_table, column))
-    q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_raw = _matrix(query_table, column)
+    qm = _normalize(q_raw)
+    if anchors is not None:
+        q_probes = anchors.probes(q_raw, nprobe)  # (Q, nprobe) int-exact
+    else:
+        q_probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     # per centroid: which queries probe it
+    n_cent = len(anchors.anchors) if anchors is not None else len(cent)
     probes_by_cent: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for c in range(len(cent)):
+    for c in range(n_cent):
         sel = (q_probes == c).any(axis=1)
         if sel.any():
             probes_by_cent[c] = (q_ids[sel], qm[sel])
     pref = ray.put(probes_by_cent)
 
     def assign_and_probe(batch: pa.Table) -> pa.Table:
-        m = _normalize(_matrix(batch, column))
-        if m.shape[0] == 0:
+        raw = _matrix(batch, column)
+        if raw.shape[0] == 0:
             return _EMPTY_TOPK
-        cents = ray.get(cref)
-        cid = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        quantizer = ray.get(cref)
+        if isinstance(quantizer, IntegerAnchors):
+            cid = quantizer.assign(raw)
+        else:
+            cid = (_normalize(raw) @ quantizer.T).argmax(axis=1).astype(np.int32)
         return _grouped_local_topk(
             batch, cid, ray.get(pref), id_column=id_column, column=column, k=k
         )

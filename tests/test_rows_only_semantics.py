@@ -472,3 +472,18 @@ def test_candidate_pairs_bulk_star_cap():
     assert candidate_pairs_bulk(t, "doc_id").num_rows == 15 + 1  # exact default
     capped = candidate_pairs_bulk(t, "doc_id", max_bucket=4).to_pydict()
     assert capped == {"doc_a": [1, 1, 1, 1, 1, 2], "doc_b": [3, 5, 7, 9, 11, 4]}
+
+
+def test_ivf_integer_anchor_path_finds_self():
+    from encode_ingest_ray.stages.ann import IntegerAnchors
+
+    t, vecs = _embeddings(n=200)
+    q = t.slice(0, 6)
+    out = ivf_topk(
+        ray.data.from_arrow(t), q, k=5, nprobe=2, anchors=IntegerAnchors(16, 8)
+    ).to_pandas()
+    # a query's own assigned anchor is its top probe, so it always finds itself
+    for qid in range(6):
+        mine = out[out["query_id"] == qid]
+        assert qid in set(mine["neighbor_id"]), qid
+        assert mine["cos_milli"].max() == 1000
