@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "repetition_stats",
     "decontaminate_ngram",
     "corpus_prep",
+    # round-3 continuation 3: temporal joins (as-of, pure range join)
+    "asof_latest_order",
+    "range_join_window",
 ]
 
 

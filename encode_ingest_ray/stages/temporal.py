@@ -124,8 +124,17 @@ def asof_join_bucketed(
         r = group.filter(pc.invert(mask))
         if l.num_rows == 0 or r.num_rows == 0:
             return out_schema.empty_table()
-        lk, lts = _i64(l.column(key)), _i64(l.column(left_ts))
-        rk = _i64(r.column(f"__r_{right_key}"))
+        lkc = l.column(key).combine_chunks()
+        rkc = r.column(f"__r_{right_key}").combine_chunks()
+        if pa.types.is_integer(lkc.type):
+            lk, rk = _i64(lkc), _i64(rkc)
+        else:
+            # generic keys (conv_id strings etc.): dense-encode over the
+            # bucket's combined key domain — equality is all merge_asof needs
+            codes = pa.concat_arrays([lkc, rkc]).dictionary_encode()
+            both_codes = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            lk, rk = both_codes[: len(lkc)], both_codes[len(lkc):]
+        lts = _i64(l.column(left_ts))
         rts = _i64(r.column(f"__r_{right_ts}"))
         rtb = _i64(r.column(f"__r_{tiebreak}"))
         lorder = np.argsort(lts, kind="stable")

@@ -92,6 +92,36 @@ def test_asof_join_matches_brute_force_with_ties():
     assert len(got) == len({g[0] for g in got})
 
 
+def test_asof_join_string_keys():
+    rng = np.random.default_rng(19)
+    n_l, n_r = 200, 150
+    lk = [f"conv{int(i)}" for i in rng.integers(0, 9, n_l)]
+    lts = rng.integers(0, 40, n_l)
+    rk = [f"conv{int(i)}" for i in rng.integers(0, 11, n_r)]
+    rts = rng.integers(0, 40, n_r)
+    rtb = np.arange(n_r)
+    left = pa.table({"k": lk, "ts": lts.astype("int64"),
+                     "lid": np.arange(n_l, dtype="int64")})
+    right = pa.table({"rk": rk, "rts": rts.astype("int64"),
+                      "rtb": rtb.astype("int64"),
+                      "rv": rng.integers(0, 100, n_r).astype("int64")})
+    out = _collect(
+        asof_join_bucketed(
+            _chunked(left), _chunked(right),
+            key="k", right_key="rk", left_ts="ts", right_ts="rts",
+            tiebreak="rtb", right_cols=["rtb", "rv"], num_buckets=4,
+        )
+    )
+    got = sorted(zip(out.column("lid").to_pylist(), out.column("rtb").to_pylist(),
+                     out.column("rv").to_pylist()))
+    want = _brute_asof(
+        list(zip(lk, lts.tolist(), range(n_l))),
+        list(zip(rk, rts.tolist(), rtb.tolist(),
+                 right.column("rv").to_pylist())),
+    )
+    assert got == want
+
+
 def test_asof_join_empty_sides():
     left = pa.table({"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
                      "lid": pa.array([], pa.int64())})
