@@ -99,11 +99,18 @@ def range_join_window(sf_dir: str):
 
     points = _read(sf_dir, "events", ["ts"])
     # anchor scan: predicate pushed into the Parquet read (M10 pattern —
-    # only matching row groups decode; filter runs before projection)
+    # only matching row groups decode; filter runs before projection).
+    # Size-aware block count like _read: without it Ray applies
+    # SplitBlocks(64) at plan run and the tiny filtered output becomes 64
+    # ~300-row blocks that dominate the bin exchange with per-block
+    # overhead (measured 3.7s -> ~1s at sf0.1).
+    path = os.path.join(sf_dir, "events.parquet")
+    blocks = max(1, min(64, os.path.getsize(path) // (8 << 20)))
     anchors = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        path,
         columns=["event_id", "ts"],
         filter=(pads.field("event_type") == "error"),
+        override_num_blocks=blocks,
     )
     return interval_count_join(
         points,
