@@ -75,6 +75,8 @@ _FAMILY_COVERED = {
     "cdc_epoch_diff",        # time-travel family — cdc_snapshot_epoch stays
     "ann_ivf",               # ANN family — ann_brute_force stays (integer-
                              # anchor quantizer makes it exact now)
+    "pivot_event_counts",    # aggregation family — q1_pricing_summary stays
+    "rollup_pricing",        # aggregation family — q1_pricing_summary stays
 }
 
 

@@ -32,6 +32,7 @@ def load_all() -> None:
         cdc_queries,
         entity_queries,
         llmprep,
+        relational,
         temporal,
         training,
     )

@@ -161,3 +161,137 @@ def bucketed_groupby_apply(
         return bucket_fn(group.drop_columns(["__bucket"]))
 
     return bucketed.groupby("__bucket").map_groups(run_bucket, batch_format="pyarrow")
+
+
+def pivot_count_columns(
+    ds,
+    key: str,
+    pivot_col: str,
+    categories: list[str],
+    prefix: str = "n_",
+    total_alias: str | None = "n_total",
+    num_buckets: int | None = None,
+):
+    """PIVOT: long ``(key, pivot_col)`` rows -> one wide row per key with a
+    count column per category (``SELECT key, COUNT(*) FILTER (WHERE
+    pivot_col = c) AS prefix+c ... GROUP BY key``).
+
+    The category list is fixed up front (the distributed pivot contract: an
+    unbounded category domain would make the output schema data-dependent);
+    rows whose ``pivot_col`` is outside ``categories`` count only toward
+    ``total_alias``.  Shape: per-block boolean masks cast to int64 partials
+    (wide from the start — the exchange carries one row per (block, key),
+    never per (block, key, category)), then the standard single hash-bucket
+    exchange + C++ sum per bucket.  NULL pivot values match no category but
+    do count toward the COUNT(*) total, mirroring FILTER semantics.
+    """
+    import pyarrow.compute as pc
+    import numpy as np
+
+    cols = [f"{prefix}{c}" for c in categories]
+    sum_cols = cols + ([total_alias] if total_alias else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pv = t.column(pivot_col)
+        arrs = {key: t.column(key)}
+        for c, out in zip(categories, cols):
+            arrs[out] = pc.cast(
+                pc.fill_null(pc.equal(pv, c), False), pa.int64()
+            )
+        if total_alias:
+            arrs[total_alias] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        t2 = pa.table(arrs)
+        g = t2.group_by([key]).aggregate([(o, "sum") for o in sum_cols])
+        g = g.rename_columns(
+            [n[: -len("_sum")] if n.endswith("_sum") else n for n in g.column_names]
+        )
+        return g.select([key] + sum_cols)
+
+    local = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed_sum_combine(local, [key], sum_cols, num_buckets)
+
+
+def rollup_sums(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    key_types: dict[str, pa.DataType] | None = None,
+    num_buckets: int | None = None,
+):
+    """GROUP BY ROLLUP(keys): every prefix level of ``keys`` down to the
+    grand total, rolled-up key positions NULL-filled (ANSI ROLLUP output).
+
+    Two-phase: the FINEST level pays the one real exchange (per-block
+    partials -> hash buckets -> C++ sum); every super-aggregate level then
+    re-aggregates the finest RESULT — never the input — so a 10^10-row scan
+    funds the whole lattice once.  ``sum_cols`` must be integer-encoded
+    (order-independent exact sums, cf. analogs._cents).  Key columns are
+    NULL-filled with their original Arrow types (``key_types`` overrides;
+    default string).
+    """
+    key_types = key_types or {}
+
+    rename = {f"{c}_sum": c for c in sum_cols}
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        g = g.rename_columns([rename.get(n, n) for n in g.column_names])
+        return g.select(keys + sum_cols)
+
+    local = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    finest = bucketed_sum_combine(local, keys, sum_cols, num_buckets)
+
+    def _null_fill(level_keys: list[str]):
+        """Finalize one level: emit the canonical keys+sums layout with the
+        rolled-up key columns NULL of the right type."""
+
+        def fin(t: pa.Table) -> pa.Table:
+            arrs = {}
+            for k in keys:
+                if k in level_keys:
+                    arrs[k] = t.column(k)
+                else:
+                    arrs[k] = pa.nulls(t.num_rows, key_types.get(k, pa.string()))
+            for c in sum_cols:
+                arrs[c] = t.column(c)
+            return pa.table(arrs)
+
+        return fin
+
+    levels = [
+        finest.map_batches(
+            _null_fill(keys), batch_format="pyarrow", batch_size=None
+        )
+    ]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = bucketed_sum_combine(finest, keys[:i], sum_cols, num_buckets=16)
+        levels.append(
+            lvl.map_batches(
+                _null_fill(keys[:i]), batch_format="pyarrow", batch_size=None
+            )
+        )
+
+    # grand total: constant-key reduce over the finest partials, key dropped
+    def add_const(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"__all": pa.array([0] * t.num_rows, pa.int32()),
+             **{c: t.column(c) for c in sum_cols}}
+        )
+
+    grand = bucketed_sum_combine(
+        finest.map_batches(add_const, batch_format="pyarrow", batch_size=None),
+        ["__all"],
+        sum_cols,
+        num_buckets=1,
+    )
+    levels.append(
+        grand.map_batches(_null_fill([]), batch_format="pyarrow", batch_size=None)
+    )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
