@@ -1,0 +1,73 @@
+"""Iterative graph analytics over the TPC-H FK graph.
+
+``pagerank_lineitem`` ranks the bipartite order↔part graph induced by
+lineitem (both edge directions, parallel edges counted) with 3 synchronous
+PageRank rounds in per-mille integer arithmetic — the iterative-algorithm
+operator class, exactly reproduced in SQL by unrolling the 3 rounds as CTE
+levels (integer floor division makes every round bit-deterministic).
+Companion to the BFS crawl (pipelines/crawl.py) and the connected-components
+clustering (stages/components.py) in the graph family.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from encode_ingest_ray.pipelines.analogs import _read
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.pagerank import pagerank_fixed_point
+
+_ITER_CTE = """
+s{i} AS (
+  SELECT e.dst AS id, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+  FROM edges e JOIN r{j} r ON r.id = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.id, d.deg,
+         150 + (850 * COALESCE(s{i}.s, 0)) // 1000 AS rank
+  FROM deg d LEFT JOIN s{i} ON s{i}.id = d.id
+)"""
+
+PAGERANK_SQL = (
+    """
+WITH edges AS (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, deg, CAST(1000 AS BIGINT) AS rank FROM deg),"""
+    + ",".join(_ITER_CTE.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+SELECT id, rank AS rank_milli FROM r3
+"""
+)
+
+
+@register("pagerank_lineitem", PAGERANK_SQL)
+def pagerank_lineitem(sf_dir: str):
+    """3-round fixed-point PageRank over the order↔part bipartite graph.
+
+    One lineitem scan emits both edge directions (node ids namespaced by
+    parity: orderkey*2 vs partkey*2+1); each round is two co-hashed
+    exchanges with per-bucket partial sums pushed inside the join tasks
+    (stages/pagerank.py).  Exact oracle: the same 3 rounds unrolled as CTE
+    levels in integer per-mille arithmetic.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        o = pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()), 2)
+        p = pc.add(
+            pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2), 1
+        )
+        fwd = pa.table({"src": o, "dst": p})
+        rev = pa.table({"src": p, "dst": o})
+        return pa.concat_tables([fwd, rev])
+
+    edges = ds.map_batches(
+        both_directions, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pagerank_fixed_point(edges, iterations=3)

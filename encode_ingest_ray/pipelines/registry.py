@@ -31,6 +31,7 @@ def load_all() -> None:
         analogs,
         cdc_queries,
         entity_queries,
+        graph,
         llmprep,
         relational,
         temporal,
