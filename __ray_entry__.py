@@ -79,6 +79,10 @@ _FAMILY_COVERED = {
     "rollup_pricing",        # aggregation family — q1_pricing_summary stays
     "pagerank_lineitem",     # graph family — crawl_reachability (BFS) and
                              # near_dup_clusters (components) stay
+    # round-3 continuation 4: cdc_scd2_history (a new family: history/audit
+    # materialization) enters tier 0; one covered sibling moves down:
+    "two_hop_first_customer", # J6 two-hop join — libraries_by_experiment
+                              # (J7, same two-exchange two-hop shape) stays
 }
 
 

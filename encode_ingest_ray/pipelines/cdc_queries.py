@@ -485,3 +485,76 @@ def conversation_running_totals(sf_dir: str):
         )
 
     return bucketed_groupby_apply(final, ["conv_id"], per_bucket)
+
+
+SCD2_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+v AS (
+  SELECT conv_id, turn_idx, lsn, op, text,
+         LEAD(lsn) OVER (PARTITION BY conv_id, turn_idx
+                         ORDER BY ts, lsn) AS next_lsn
+  FROM ev
+)
+SELECT conv_id, turn_idx, text,
+       lsn AS valid_from_lsn,
+       next_lsn AS valid_to_lsn,
+       (next_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'delete'
+"""
+
+
+@register("cdc_scd2_history", SCD2_SQL)
+def cdc_scd2_history(sf_dir: str):
+    """SCD-type-2 history materialization of the CDC stream: every non-delete
+    version of every ``(conv_id, turn_idx)`` becomes a row with its validity
+    interval ``[valid_from_lsn, valid_to_lsn)`` in version order ``(ts,
+    lsn)`` — the SAME order the engine's LWW kernel resolves by, so the
+    ``is_current`` slice minus tombstoned keys equals the live table.  A
+    delete closes the prior version's interval without opening one.
+
+    Shape: one hash-bucket exchange on ``conv_id`` (every version of a key
+    lands together), then a vectorized lexsort + shifted same-key lead per
+    bucket — history rows never re-shuffle.  At 10^10 events this is the
+    audit-table sibling of the upsert engine: same exchange key, one pass.
+    """
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _derived_events(sf_dir)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        conv = (
+            t.column("conv_id").combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        turn = t.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts").combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lsn = t.column("lsn").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, ts, turn, conv))
+        c, tu, l = conv[order], turn[order], lsn[order]
+        n = len(order)
+        same_next = np.zeros(n, bool)
+        if n > 1:
+            same_next[:-1] = (c[1:] == c[:-1]) & (tu[1:] == tu[:-1])
+        next_lsn = np.zeros(n, np.int64)
+        if n > 1:
+            next_lsn[:-1] = l[1:]
+        s = t.take(pa.array(order))
+        keep = pc.not_equal(s.column("op"), "delete")
+        out = pa.table(
+            {
+                "conv_id": s.column("conv_id"),
+                "turn_idx": s.column("turn_idx"),
+                "text": s.column("text"),
+                "valid_from_lsn": pa.array(l),
+                "valid_to_lsn": pa.array(next_lsn, mask=~same_next),
+                "is_current": pa.array(~same_next),
+            }
+        )
+        return out.filter(keep)
+
+    return bucketed_groupby_apply(ds, ["conv_id"], per_bucket)

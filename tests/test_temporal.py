@@ -288,3 +288,32 @@ def test_cdc_time_travel_snapshot_equals_prefix_replay(tmp_path, sf_dir):
     assert snap.equals(want)
     # and the latest view differs (later epochs really applied)
     assert not _sorted(full.final_dataset()).equals(want)
+
+
+def test_scd2_current_slice_equals_live_table(ray_session):
+    """The SCD2 history's is_current rows, minus keys whose LAST version in
+    (ts, lsn) order is a delete, must equal the LWW live table — both views
+    resolve versions by the same order, so disagreement means the history
+    intervals are wrong."""
+    import pandas as pd
+
+    from encode_ingest_ray.pipelines.cdc_queries import (
+        cdc_scd2_history,
+        cdc_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = cdc_scd2_history(sf).to_pandas()
+    live = cdc_upsert(sf).to_pandas()
+
+    cur = hist[hist["is_current"]][["conv_id", "turn_idx", "text"]]
+    # keys live in the upsert view (delete-last keys are tombstoned there and
+    # have NO current history row: their last non-delete version is closed)
+    live_k = live[["conv_id", "turn_idx", "text"]]
+    l = cur.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    r = live_k.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(l, r)
+
+    # every closed interval ends where a successor (or tombstone) begins
+    closed = hist[~hist["is_current"]]
+    assert (closed["valid_to_lsn"] > closed["valid_from_lsn"]).all()
