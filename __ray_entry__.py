@@ -79,10 +79,13 @@ _FAMILY_COVERED = {
     "rollup_pricing",        # aggregation family — q1_pricing_summary stays
     "pagerank_lineitem",     # graph family — crawl_reachability (BFS) and
                              # near_dup_clusters (components) stay
-    # round-3 continuation 4: cdc_scd2_history (a new family: history/audit
-    # materialization) enters tier 0; one covered sibling moves down:
+    # round-3 continuation 4: cdc_scd2_history (history/audit
+    # materialization) and incremental_user_totals (incremental MV
+    # maintenance) enter tier 0; two covered siblings move down:
     "two_hop_first_customer", # J6 two-hop join — libraries_by_experiment
                               # (J7, same two-exchange two-hop shape) stays
+    "conversation_running_totals",  # cumulative window — window_tumbling
+                                    # keeps the window family's driver row
 }
 
 

@@ -558,3 +558,149 @@ def cdc_scd2_history(sf_dir: str):
         return out.filter(keep)
 
     return bucketed_groupby_apply(ds, ["conv_id"], per_bucket)
+
+
+MV_TOTALS_SQL = """
+SELECT 'u' || CAST(user_id AS VARCHAR)                        AS conv_id,
+       COUNT(*)                                               AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("incremental_user_totals", MV_TOTALS_SQL)
+def incremental_user_totals(sf_dir: str):
+    """Incremental MATERIALIZED-VIEW maintenance: per-user event totals kept
+    current across arriving batches by the CDC engine.
+
+    Additive aggregates can't be LWW-replaced, so each epoch commits its own
+    PARTIAL row per user — key ``(conv_id='u'+user, turn_idx=epoch)`` — and
+    the view read folds the per-epoch partials (merge-on-read, exactly the
+    log-structured-MV design: the engine provides durable exactly-once
+    partials + replay dedup + resume; the fold is one tiny exchange over
+    users x epochs rows, never the raw events).  Each new batch therefore
+    costs ONE partial-aggregation pass over that batch alone; the oracle is
+    the from-scratch GROUP BY over all events, which the maintained view
+    must equal after the final epoch.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    path = os.path.join(sf_dir, "events.parquet")
+    blocks = max(1, min(64, os.path.getsize(path) // (8 << 20)))
+    events = ray.data.read_parquet(
+        path, columns=["event_id", "user_id", "value"], override_num_blocks=blocks
+    )
+    mid = _events_lsn_hi(sf_dir) // 2
+
+    def block_partial(t: pa.Table, lo: int, hi: int) -> pa.Table:
+        eid = t.column("event_id")
+        t = t.filter(
+            pc.and_(pc.greater(eid, lo), pc.less_equal(eid, hi))
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        pre = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+                "value_cents": cents,
+            }
+        )
+        g = pre.group_by(["user_id"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")]
+        )
+        return g.rename_columns(
+            [n[: -len("_sum")] if n.endswith("_sum") else n for n in g.column_names]
+        ).select(["user_id", "n_events", "value_cents"])
+
+    def to_mv_rows(g: pa.Table, epoch: int) -> pa.Table:
+        # ONE row per (user, epoch): the engine's LWW key is (conv_id,
+        # turn_idx), so per-block partials sharing that key would replace
+        # each other — each epoch must be FULLY combined before it becomes
+        # CDC rows (that combine is the one per-batch aggregation pass the
+        # MV design charges per arriving batch).
+        uid = g.column("user_id").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": pc.binary_join_element_wise(
+                    pa.scalar("u"), pc.cast(uid, pa.string()), ""
+                ),
+                "turn_idx": pa.array(
+                    np.full(g.num_rows, epoch, np.int32)
+                ),
+                "ts": pc.cast(
+                    pc.add(pc.multiply(uid, 1_000_000), epoch), pa.timestamp("us")
+                ),
+                "n_events": g.column("n_events"),
+                "value_cents": g.column("value_cents"),
+                "op": pa.array(["insert"] * g.num_rows, pa.string()),
+                "lsn": pc.add(pc.multiply(pa.scalar(epoch + 1, pa.int64()), 1 << 32), uid),
+            }
+        )
+
+    scratch = tempfile.mkdtemp(prefix="incr-mv-")
+    try:
+        epoch_files: list[list[str]] = []
+        for e, (lo, hi) in enumerate(((-1, mid), (mid, 1 << 62))):
+            part_dir = os.path.join(scratch, f"epoch-{e}")
+            combined = bucketed_sum_combine(
+                events.map_batches(
+                    lambda t, lo=lo, hi=hi: block_partial(t, lo, hi),
+                    batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+                ),
+                ["user_id"],
+                ["n_events", "value_cents"],
+                num_buckets=16,
+            )
+            combined.map_batches(
+                lambda g, e=e: to_mv_rows(g, e),
+                batch_format="pyarrow", batch_size=None,
+            ).write_parquet(part_dir)
+            epoch_files.append(
+                sorted(
+                    os.path.join(part_dir, f)
+                    for f in os.listdir(part_dir)
+                    if f.endswith(".parquet")
+                )
+            )
+        engine = CdcEngine(
+            os.path.join(scratch, "table"),
+            num_partitions=16,
+            num_actors=2,
+            actor_num_cpus=0,
+        )
+        engine.run(epoch_files=epoch_files)
+        state = engine.final_dataset()
+
+        def fold_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["conv_id"]).aggregate(
+                [("n_events", "sum"), ("value_cents", "sum")]
+            )
+            return g.rename_columns(
+                [n[: -len("_sum")] if n.endswith("_sum") else n for n in g.column_names]
+            ).select(["conv_id", "n_events", "value_cents"])
+
+        folded = bucketed_sum_combine(
+            state.map_batches(
+                fold_partial, batch_format="pyarrow", batch_size=None
+            ),
+            ["conv_id"],
+            ["n_events", "value_cents"],
+            num_buckets=16,
+        )
+        # materialize before the scratch dir (engine state files) disappears
+        return pa.concat_tables(
+            [b for b in folded.iter_batches(batch_size=None, batch_format="pyarrow")]
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

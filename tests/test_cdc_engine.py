@@ -211,3 +211,29 @@ def test_empty_epoch_commits_and_resumes(gen, tmp_path):
     e2 = CdcEngine(out, num_partitions=16, num_actors=4)
     s2 = e2.run(epoch_files=spliced)
     assert s2["epochs_run"] == 0 and s2["epochs_skipped"] == len(spliced)
+
+
+def test_incremental_mv_state_is_per_epoch_partials(ray_session):
+    """The maintained view must be built from ONE committed partial row per
+    (user, epoch) — if a recompute (or per-block partials surviving LWW)
+    slipped in, the state row count would differ and the fold would drift
+    from the from-scratch oracle (seen live: per-block partials sharing a
+    key replaced each other and dropped 80% of the counts at sf0.1)."""
+    import duckdb
+
+    from encode_ingest_ray.pipelines.cdc_queries import incremental_user_totals
+
+    sf = "/root/testdata/sf0.001"
+    out = incremental_user_totals(sf)
+    con = duckdb.connect()
+    truth = con.sql(
+        f"SELECT COUNT(DISTINCT user_id) AS u FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    # one folded row per user, totals equal the one-shot aggregate
+    assert out.num_rows == truth
+    oracle = con.sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    import pyarrow.compute as pc
+
+    assert pc.sum(out.column("n_events")).as_py() == oracle
