@@ -77,6 +77,7 @@ _FAMILY_COVERED = {
                              # anchor quantizer makes it exact now)
     "pivot_event_counts",    # aggregation family — q1_pricing_summary stays
     "rollup_pricing",        # aggregation family — q1_pricing_summary stays
+    "cube_pricing",          # aggregation family — q1_pricing_summary stays
     "pagerank_lineitem",     # graph family — crawl_reachability (BFS) and
                              # near_dup_clusters (components) stay
     # round-3 continuation 4: cdc_scd2_history (history/audit

@@ -99,3 +99,43 @@ def rollup_pricing(sf_dir: str):
         ["l_returnflag", "l_linestatus"],
         ["sum_qty", "sum_disc_cents", "count_order"],
     )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_pricing", CUBE_SQL)
+def cube_pricing(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): the full 2^2 grouping-set
+    lattice — per-(flag,status), per-flag, per-status, grand total — via
+    `rollup_sums(grouping_sets=...)`; the input is scanned once (finest
+    level), every other set reduces the materialized finest result.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "count_order": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    return rollup_sums(
+        pre,
+        keys,
+        ["sum_qty", "count_order"],
+        grouping_sets=[keys, ["l_returnflag"], ["l_linestatus"], []],
+    )

@@ -219,9 +219,14 @@ def rollup_sums(
     sum_cols: list[str],
     key_types: dict[str, pa.DataType] | None = None,
     num_buckets: int | None = None,
+    grouping_sets: list[list[str]] | None = None,
 ):
-    """GROUP BY ROLLUP(keys): every prefix level of ``keys`` down to the
-    grand total, rolled-up key positions NULL-filled (ANSI ROLLUP output).
+    """GROUP BY GROUPING SETS over ``keys``: default is ROLLUP (every prefix
+    level down to the grand total); pass ``grouping_sets`` explicitly for
+    CUBE or arbitrary lattices.  Rolled-up key positions are NULL-filled
+    (ANSI output).  The set containing all of ``keys`` is always computed
+    (it is the base every other level reduces from) and included only when
+    requested (it always is for ROLLUP/CUBE).
 
     Two-phase: the FINEST level pays the one real exchange (per-block
     partials -> hash buckets -> C++ sum); every super-aggregate level then
@@ -232,6 +237,8 @@ def rollup_sums(
     default string).
     """
     key_types = key_types or {}
+    if grouping_sets is None:  # ROLLUP: prefixes, finest -> grand
+        grouping_sets = [keys[:i] for i in range(len(keys), -1, -1)]
 
     rename = {f"{c}_sum": c for c in sum_cols}
 
@@ -244,6 +251,11 @@ def rollup_sums(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     finest = bucketed_sum_combine(local, keys, sum_cols, num_buckets)
+    if len(grouping_sets) > 1:
+        # every super-aggregate level consumes `finest`, and a lazy Dataset
+        # re-executes its lineage (the FULL input scan) once per consumer —
+        # checkpoint the already-aggregated finest result instead
+        finest = finest.materialize()
 
     def _null_fill(level_keys: list[str]):
         """Finalize one level: emit the canonical keys+sums layout with the
@@ -262,19 +274,6 @@ def rollup_sums(
 
         return fin
 
-    levels = [
-        finest.map_batches(
-            _null_fill(keys), batch_format="pyarrow", batch_size=None
-        )
-    ]
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = bucketed_sum_combine(finest, keys[:i], sum_cols, num_buckets=16)
-        levels.append(
-            lvl.map_batches(
-                _null_fill(keys[:i]), batch_format="pyarrow", batch_size=None
-            )
-        )
-
     # grand total: constant-key reduce over the finest partials, key dropped
     def add_const(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -282,15 +281,26 @@ def rollup_sums(
              **{c: t.column(c) for c in sum_cols}}
         )
 
-    grand = bucketed_sum_combine(
-        finest.map_batches(add_const, batch_format="pyarrow", batch_size=None),
-        ["__all"],
-        sum_cols,
-        num_buckets=1,
-    )
-    levels.append(
-        grand.map_batches(_null_fill([]), batch_format="pyarrow", batch_size=None)
-    )
+    levels = []
+    for gset in grouping_sets:
+        if list(gset) == keys:
+            lvl = finest
+        elif gset:
+            lvl = bucketed_sum_combine(finest, list(gset), sum_cols, num_buckets=16)
+        else:
+            lvl = bucketed_sum_combine(
+                finest.map_batches(
+                    add_const, batch_format="pyarrow", batch_size=None
+                ),
+                ["__all"],
+                sum_cols,
+                num_buckets=1,
+            )
+        levels.append(
+            lvl.map_batches(
+                _null_fill(list(gset)), batch_format="pyarrow", batch_size=None
+            )
+        )
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
