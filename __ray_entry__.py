@@ -87,6 +87,11 @@ _FAMILY_COVERED = {
                               # (J7, same two-exchange two-hop shape) stays
     "conversation_running_totals",  # cumulative window — window_tumbling
                                     # keeps the window family's driver row
+    # round-3 continuation 5: window_rank_orders (ranking-window family)
+    # enters tier 0; its global variant and one covered sibling move down:
+    "global_rank_orders",    # ranking family — window_rank_orders stays
+    "fingerprint_rolling",   # fingerprint family — dedup_text_exact (content
+                             # hash) and simhash (sketch) keep the rows
 }
 
 

@@ -33,6 +33,7 @@ def load_all() -> None:
         entity_queries,
         graph,
         llmprep,
+        ranking,
         relational,
         temporal,
         training,
