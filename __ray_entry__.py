@@ -92,6 +92,12 @@ _FAMILY_COVERED = {
     "global_rank_orders",    # ranking family — window_rank_orders stays
     "fingerprint_rolling",   # fingerprint family — dedup_text_exact (content
                              # hash) and simhash (sketch) keep the rows
+    # funnel_signup_purchase + cohort_retention_weekly (event-analytics
+    # family: sequential patterns, first-touch cohorts) enter tier 0;
+    # two covered siblings move down:
+    "shuffle_order",         # deterministic-order family — sequence_packing
+                             # and mixture_subsample keep the rows
+    "langid_heuristic",      # text-heuristic family — text_stats stays
 }
 
 

@@ -1,0 +1,82 @@
+"""Event-analytics queries: sequential funnel and cohort retention.
+
+The events table is the repo's stream analog (TESTDATA.md); beyond windows
+(tumbling/sliding/session, analogs.py) a production event pipeline's next
+two asks are funnels ("signup → click → purchase, strictly ordered") and
+cohort retention ("of the users whose first event fell in week W, how many
+were active in week W+k").  Both are exact: timestamps are carried as int64
+epoch-microseconds (DuckDB ``epoch_us``) and week buckets are integer floor
+divisions, so the oracles reproduce the distributed results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from encode_ingest_ray.pipelines.analogs import _read
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.funnel import cohort_retention, funnel_first_times
+
+FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t_signup
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t_click
+  GROUP BY e.user_id
+)
+SELECT s0.user_id, s0.t_signup, s1.t_click, s2.t_purchase
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+@register("funnel_signup_purchase", FUNNEL_SQL)
+def funnel_signup_purchase(sf_dir: str):
+    """Sequential funnel signup → click → purchase: per entered user, the
+    first signup time, the first click STRICTLY after it, and the first
+    purchase strictly after that (µs epochs; NULL where never reached).
+
+    One exchange on user_id, then one vectorized kernel per bucket (one
+    sort + per-stage ``np.minimum.reduceat``; stages/funnel.funnel_table) —
+    the sequential strictly-after logic never leaves the bucket task.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_first_times(
+        ds, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) // 604800000000 AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+)
+SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register("cohort_retention_weekly", RETENTION_SQL)
+def cohort_retention_weekly(sf_dir: str):
+    """Weekly cohort-retention matrix: cohort = floor(first event µs /
+    week); one row per (cohort_week, week_offset) counting distinct users
+    from that cohort active in that week.
+
+    One exchange on user_id; each bucket reduces its users to matrix-cell
+    partial counts (tiny), then one 8-bucket sum-combine folds the cells —
+    the distinct-user set never crosses the wire.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")

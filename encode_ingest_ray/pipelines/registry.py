@@ -31,6 +31,7 @@ def load_all() -> None:
         analogs,
         cdc_queries,
         entity_queries,
+        events_analytics,
         graph,
         llmprep,
         ranking,
