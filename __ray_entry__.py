@@ -98,6 +98,13 @@ _FAMILY_COVERED = {
     "shuffle_order",         # deterministic-order family — sequence_packing
                              # and mixture_subsample keep the rows
     "langid_heuristic",      # text-heuristic family — text_stats stays
+    # except_urgent_unreturned (set-op family: cross-table EXCEPT over
+    # presence-flag partials) enters tier 0; its sibling and the moments
+    # variant stay tier 1, one over-represented CDC flavor moves down:
+    "intersect_users",       # set-op family — except_urgent_unreturned stays
+    "grouped_moments",       # aggregation family — q1_pricing_summary stays
+    "cdc_tombstone_audit",   # CDC family — engine/snapshot/schema-evolution/
+                             # SCD2/incremental-MV keep five driver rows
 }
 
 

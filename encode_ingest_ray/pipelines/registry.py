@@ -36,6 +36,7 @@ def load_all() -> None:
         llmprep,
         ranking,
         relational,
+        setops_queries,
         temporal,
         training,
     )
