@@ -105,6 +105,8 @@ _FAMILY_COVERED = {
     "grouped_moments",       # aggregation family — q1_pricing_summary stays
     "cdc_tombstone_audit",   # CDC family — engine/snapshot/schema-evolution/
                              # SCD2/incremental-MV keep five driver rows
+    "triangle_count_copurchase",  # graph family — crawl_reachability and
+                                  # near_dup_clusters keep the rows
 }
 
 

@@ -71,3 +71,34 @@ def pagerank_lineitem(sf_dir: str):
         both_directions, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return pagerank_fixed_point(edges, iterations=3)
+
+
+TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@register("triangle_count_copurchase", TRIANGLES_SQL)
+def triangle_count_copurchase(sf_dir: str):
+    """Exact triangle count of the co-purchase graph (parts sharing an
+    order).  Oriented-wedge algorithm (Suri & Vassilvitskii WWW'11), three
+    bucketed exchanges: per-order pair-gen -> (u,v) distinct -> wedge build
+    per centre -> closure check co-hashed with the edge set
+    (stages/triangles.py).  Every triangle a<b<c is generated exactly once
+    at its unique oriented centre b."""
+    import pyarrow as _pa
+
+    from encode_ingest_ray.stages.triangles import group_pair_edges, triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = group_pair_edges(ds, "l_orderkey", "l_partkey")
+    n = triangle_count(edges.materialize())  # consumed twice (roles + flag)
+    return _pa.table({"n_triangles": _pa.array([n], _pa.int64())})
