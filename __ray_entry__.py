@@ -107,6 +107,16 @@ _FAMILY_COVERED = {
                              # SCD2/incremental-MV keep five driver rows
     "triangle_count_copurchase",  # graph family — crawl_reachability and
                                   # near_dup_clusters keep the rows
+    # full_outer_weekly_activity (the missing outer-join type) enters
+    # tier 0; one compositionally-covered sibling moves down:
+    "repetition_stats",      # quality family — corpus_prep composes the
+                             # repetition filter; pii_scrub/text_stats stay
+    "mode_event_type",       # argmax-per-key — topk_per_group (rank-select)
+                             # and q1 (aggregation) keep the family rows
+    "orders_price_histogram",  # aggregation family — q1_pricing_summary stays
+    "bloom_semi_join_urgent",  # semi-join family — join_semi (broadcast
+                               # path) keeps the driver row; this is its
+                               # beyond-broadcast-RAM sibling
 }
 
 

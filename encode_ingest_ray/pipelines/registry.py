@@ -28,6 +28,7 @@ def register(name: str, sql: str | None = None):
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from encode_ingest_ray.pipelines import (  # noqa: F401
+        aggregates_extra,
         analogs,
         cdc_queries,
         entity_queries,

@@ -164,3 +164,56 @@ def grouped_moments(sf_dir: str):
         {"sum_cents": "bal_cents", "sumsq_cents2": "sq"},
         count_alias="n",
     )
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("bloom_semi_join_urgent", BLOOM_SEMI_SQL)
+def bloom_semi_join_urgent(sf_dir: str):
+    """Semi-join at beyond-broadcast scale: lineitems of urgent orders via
+    a distributed-built Bloom filter (per-block partials OR-merged, ~100x
+    smaller than the exact key set) broadcast to prune the scan, then ONE
+    co-hashed exchange over only the survivors erases the false positives
+    (stages/bloomjoin.py).  Exact despite the sketch — the Bloom never
+    drops a match and the verify never keeps a non-match."""
+    from encode_ingest_ray.stages.bloomjoin import bloom_semi_join
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int32()),
+                "price_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    big = line.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey"])
+
+    keys = orders.map_batches(
+        urgent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    n_keys = max(1024, keys.count())
+    return bloom_semi_join(
+        big, "l_orderkey", keys, "o_orderkey", capacity=n_keys, fp_rate=0.01
+    )
