@@ -117,6 +117,10 @@ _FAMILY_COVERED = {
     "bloom_semi_join_urgent",  # semi-join family — join_semi (broadcast
                                # path) keeps the driver row; this is its
                                # beyond-broadcast-RAM sibling
+    # fuzzy_name_pairs (fuzzy/string-similarity join: deletion-neighborhood
+    # edit-distance blocking) enters tier 0; one covered sibling moves down:
+    "decontaminate_ngram",   # broadcast-probe family — corpus_prep composes
+                             # decontamination; incremental_dedup stays
 }
 
 

@@ -217,3 +217,30 @@ def bloom_semi_join_urgent(sf_dir: str):
     return bloom_semi_join(
         big, "l_orderkey", keys, "o_orderkey", capacity=n_keys, fp_rate=0.01
     )
+
+
+FUZZY_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("fuzzy_name_pairs", FUZZY_SQL)
+def fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy join: same-nation customer pairs whose names are within edit
+    distance 1.  Deletion-neighborhood blocking (stages/fuzzyjoin.py):
+    each name emits |s|+1 int64 variant hashes, one exchange groups equal
+    variants, run-scan pair-gen, exact distance verify erases collisions —
+    never the O(n²) distance matrix the oracle evaluates."""
+    from encode_ingest_ray.stages.fuzzyjoin import edit1_pairs
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    pairs = edit1_pairs(cust, "c_custkey", "c_name", "c_nationkey")
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["cust_a", "cust_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
