@@ -121,6 +121,10 @@ _FAMILY_COVERED = {
     # edit-distance blocking) enters tier 0; one covered sibling moves down:
     "decontaminate_ngram",   # broadcast-probe family — corpus_prep composes
                              # decontamination; incremental_dedup stays
+    # q5_local_supplier_volume (multiway star-join plan) enters tier 0;
+    # one covered sibling moves down:
+    "file_backfill_requests",  # DB-source family (S4b mapper) —
+                               # dbapi_source_scan (S4) keeps the row
 }
 
 

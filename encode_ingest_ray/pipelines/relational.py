@@ -139,3 +139,134 @@ def cube_pricing(sf_dir: str):
         ["sum_qty", "count_order"],
         grouping_sets=[keys, ["l_returnflag"], ["l_linestatus"], []],
     )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", Q5_SQL)
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the canonical star-join plan at scale: the two
+    FACT-fact joins (orders⋈customer, then ⋈lineitem) each pay ONE co-hashed
+    exchange with the local-supplier filter and the revenue partial pushed
+    INSIDE the join task; the true dimensions (region→nation, supplier→
+    nation) broadcast once as integer lookups.  Only (nationkey, partial
+    cents) rows survive the last exchange.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.joins import cohash_join
+
+    # dimensions: tiny by construction (TPC-H: |region|=5, |nation|=25,
+    # |supplier|=SF*10k) — the broadcast side of the plan
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia_key = {
+        r["r_regionkey"] for r in region.to_pylist() if r["r_name"] == "ASIA"
+    }
+    nat_rows = [r for r in nation.to_pylist() if r["n_regionkey"] in asia_key]
+    asia_nations = np.array(sorted(r["n_nationkey"] for r in nat_rows), np.int64)
+    nat_name = {r["n_nationkey"]: r["n_name"] for r in nat_rows}
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sup_keys = supplier.column("s_suppkey").to_numpy()
+    sup_nat = supplier.column("s_nationkey").to_numpy().astype(np.int64)
+    order_ = np.argsort(sup_keys)
+    sup_ref = ray.put((sup_keys[order_], sup_nat[order_]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_orders = cohash_join(
+        orders,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        map_joined=lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "c_nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+    )
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, keys)
+        pos[pos >= len(sk)] = 0
+        s_nat = np.where(sk[pos] == keys, sn[pos], -1)
+        keep = np.isin(s_nat, asia_nations)  # local-ASIA suppliers only
+        out = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "s_nat": pa.array(s_nat),
+                "disc_cents": _cents(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")),
+                    )
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    line_asia = line.map_batches(
+        prep_line, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def local_revenue(t: pa.Table) -> pa.Table:
+        # local-supplier condition + per-nation partial, inside the join task
+        t = t.filter(pc.equal(t.column("c_nat"), t.column("s_nat")))
+        g = t.group_by(["c_nat"]).aggregate([("disc_cents", "sum")])
+        return g.rename_columns(["c_nat", "revenue_cents"])
+
+    partials = cohash_join(
+        cust_orders,
+        line_asia,
+        "o_orderkey",
+        "l_orderkey",
+        map_joined=local_revenue,
+    )
+    summed = bucketed_sum_combine(
+        partials, ["c_nat"], ["revenue_cents"], num_buckets=1
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        names = [nat_name[k] for k in t.column("c_nat").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    return summed.map_batches(fin, batch_format="pyarrow", batch_size=None)
