@@ -125,6 +125,11 @@ _FAMILY_COVERED = {
     # one covered sibling moves down:
     "file_backfill_requests",  # DB-source family (S4b mapper) —
                                # dbapi_source_scan (S4) keeps the row
+    # kmeans_embeddings (iterative ML training loop: broadcast centroids +
+    # per-block allreduce partials) enters tier 0; one covered sketch
+    # sibling moves down:
+    "simhash",               # near-dup sketch family — minhash_lsh_pairs
+                             # (banded sketch) and dedup_text_exact stay
 }
 
 

@@ -1022,3 +1022,57 @@ def near_dup_clusters_q(sf_dir: str):
     return _docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# k-means is EXACTLY SQL-expressible by the same integer discipline as
+# ann_lsh: milli-quantized coordinates, integer squared distances, argmin
+# ties to the lowest cluster id (numpy first-min == ORDER BY d2, cid), and
+# integer floor-division centroid means (numpy floor_divide == DuckDB //,
+# both toward -inf) — each Lloyd round unrolls to one assignment CTE + one
+# long-form centroid CTE.
+def _kmeans_sql(k: int = 4, dim: int = 64) -> str:
+    return f"""
+WITH pos(j) AS (SELECT unnest(range(1, {dim + 1}))),
+v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+      FROM embeddings),
+c1 AS (SELECT vec_id AS cid, vq FROM v WHERE vec_id < {k}),
+d1 AS (
+  SELECT v.vec_id, c1.cid,
+         SUM((v.vq[pos.j] - c1.vq[pos.j]) * (v.vq[pos.j] - c1.vq[pos.j])) AS d2
+  FROM v CROSS JOIN c1 CROSS JOIN pos
+  GROUP BY v.vec_id, c1.cid),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1),
+c2 AS (  -- long form (cid, dim, coord): integer mean per dimension
+  SELECT a1.cid, pos.j, SUM(v.vq[pos.j]) // COUNT(*) AS w
+  FROM a1 JOIN v USING (vec_id) CROSS JOIN pos
+  GROUP BY a1.cid, pos.j),
+d2r AS (
+  SELECT v.vec_id, c2.cid,
+         SUM((v.vq[c2.j] - c2.w) * (v.vq[c2.j] - c2.w)) AS d2
+  FROM v CROSS JOIN c2
+  GROUP BY v.vec_id, c2.cid)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d2r) WHERE rn = 1
+"""
+
+
+@register("kmeans_embeddings", _kmeans_sql())
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (2 rounds, k=4, deterministic lowest-id
+    init) over the embedding corpus — the iterative ML-training loop: per
+    round the centroids broadcast once, every block emits K (cluster,
+    Σcoords, n) partial rows, and the driver folds the K×dim-int allreduce
+    (stages/kmeans.py).  No exchange; the only data-sized op is the
+    assignment scan.  Integer milli arithmetic makes the unrolled-CTE
+    oracle bit-exact."""
+    from encode_ingest_ray.stages.kmeans import kmeans_milli
+
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
+    return kmeans_milli(ds, "vec_id", "embedding", k=4, rounds=2)
