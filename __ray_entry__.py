@@ -130,6 +130,8 @@ _FAMILY_COVERED = {
     # sibling moves down:
     "simhash",               # near-dup sketch family — minhash_lsh_pairs
                              # (banded sketch) and dedup_text_exact stay
+    "cms_user_counts",       # sketch family — approx_distinct_users (HLL)
+                             # and grouped_quantiles_exact keep the rows
 }
 
 

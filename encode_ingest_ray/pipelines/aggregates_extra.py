@@ -186,3 +186,23 @@ def orders_price_histogram(sf_dir: str):
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return bucketed_sum_combine(local, ["bin"], ["n"], num_buckets=8)
+
+
+def _cms_sql():
+    from encode_ingest_ray.stages.cms import cms_oracle_sql
+
+    return cms_oracle_sql("user_id", "events", d=4, w=512, seed=41)
+
+
+@register("cms_user_counts", _cms_sql())
+def cms_user_counts(sf_dir: str):
+    """Count-Min sketch estimates per user (d=4, w=512, Carter-Wegman
+    integer hashes): every block emits its own 16 KB (d×w) partial matrix
+    — the sketch allreduce, nothing data-sized moves — and estimates are
+    the row-wise MIN via the broadcast merged matrix.  The deterministic
+    integer hashes let the SQL oracle rebuild the identical matrix, so
+    even the over-estimates match bit-for-bit (stages/cms.py)."""
+    from encode_ingest_ray.stages.cms import cms_estimates
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return cms_estimates(ds, "user_id", d=4, w=512, seed=41)
