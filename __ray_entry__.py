@@ -132,6 +132,9 @@ _FAMILY_COVERED = {
                              # (banded sketch) and dedup_text_exact stay
     "cms_user_counts",       # sketch family — approx_distinct_users (HLL)
                              # and grouped_quantiles_exact keep the rows
+    "zorder_orders_layout",  # layout family — shuffle_order (deterministic
+                             # permutation) was this family's demoted rep;
+                             # sequence_packing keeps the layout-ish row
 }
 
 

@@ -270,3 +270,44 @@ def q5_local_supplier_volume(sf_dir: str):
         )
 
     return summed.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def _zorder_sql():
+    from encode_ingest_ray.stages.zorder import zorder_oracle_sql
+
+    return zorder_oracle_sql(
+        "orders",
+        "o_custkey",
+        "epoch_us(o_orderdate) // 86400000000",
+        ["o_orderkey"],
+    )
+
+
+@register("zorder_orders_layout", _zorder_sql())
+def zorder_orders_layout(sf_dir: str):
+    """Z-order clustering keys over (custkey, order day) — the lakehouse
+    OPTIMIZE ZORDER primitive: a Morton-interleaved key + its partition
+    prefix per row, so files written partitioned by `zpart` prune for
+    range predicates on EITHER dimension (stages/zorder.py).  Pure
+    vectorized bit arithmetic at the scan; no shuffle at all."""
+    import pyarrow.compute as _pc
+
+    from encode_ingest_ray.stages.zorder import zorder_keys
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "day": _pc.divide(
+                    _pc.cast(t.column("o_orderdate"), pa.int64()), 86400000000
+                ),
+            }
+        )
+
+    pre = ds.map_batches(
+        day, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return zorder_keys(pre, "o_custkey", "day", ["o_orderkey"])
