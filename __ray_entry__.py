@@ -135,6 +135,12 @@ _FAMILY_COVERED = {
     "zorder_orders_layout",  # layout family — shuffle_order (deterministic
                              # permutation) was this family's demoted rep;
                              # sequence_packing keeps the layout-ish row
+    # interval_coverage_user (gaps-and-islands) enters tier 0; one of the
+    # three temporal reps moves down:
+    "event_lag_gaps",        # lag-window family — asof_latest_order and
+                             # range_join_window keep the temporal rows
+    "frequent_part_pairs",   # pair-mining family — triangle siblings and
+                             # token_freq_topk keep the co-occurrence rows
 }
 
 

@@ -11,6 +11,8 @@ divisions, so the oracles reproduce the distributed results bit-for-bit.
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from encode_ingest_ray.pipelines.analogs import _read
 from encode_ingest_ray.pipelines.registry import register
 from encode_ingest_ray.stages.funnel import cohort_retention, funnel_first_times
@@ -80,3 +82,61 @@ def cohort_retention_weekly(sf_dir: str):
     """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     return cohort_retention(ds, "user_id", "ts")
+
+
+COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT user_id, CAST(SUM(island_len) AS BIGINT) AS covered
+FROM (
+  SELECT user_id, island, MAX(e) - MIN(s) AS island_len
+  FROM isl GROUP BY user_id, island
+)
+GROUP BY user_id
+"""
+
+
+@register("interval_coverage_user", COVERAGE_SQL)
+def interval_coverage_user(sf_dir: str):
+    """Gaps-and-islands: total merged activity time per user, treating each
+    event as a 5-minute window and counting overlaps once.  One user_id
+    exchange, then a single vectorized pass per bucket — the per-key
+    running max runs loop-free by lifting each key's interval ends into a
+    disjoint numeric band before one global maximum.accumulate
+    (stages/intervals.py)."""
+    from encode_ingest_ray.stages.intervals import interval_coverage
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": s,
+                "e": pc.add(s, 300_000_000),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return interval_coverage(pre, "user_id", "s", "e")

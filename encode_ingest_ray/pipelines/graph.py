@@ -102,3 +102,47 @@ def triangle_count_copurchase(sf_dir: str):
     edges = group_pair_edges(ds, "l_orderkey", "l_partkey")
     n = triangle_count(edges.materialize())  # consumed twice (roles + flag)
     return _pa.table({"n_triangles": _pa.array([n], _pa.int64())})
+
+
+FREQ_PAIRS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT u, v, COUNT(*) AS n
+FROM pairs GROUP BY u, v
+ORDER BY n DESC, u, v LIMIT 20
+"""
+
+
+@register("frequent_part_pairs", FREQ_PAIRS_SQL)
+def frequent_part_pairs(sf_dir: str):
+    """Frequent-itemset mining (the Apriori pair step): top-20 part pairs
+    by co-purchase support.  Per-order distinct pairs via the vectorized
+    distance-d run scan (stages/triangles.pairs_within_groups), per-block
+    count partials, one (u, v) sum exchange, deterministic
+    (n desc, u, v) top-k."""
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+    from encode_ingest_ray.stages.triangles import pairs_within_groups
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        return pairs_within_groups(t, "l_orderkey", "l_partkey")
+
+    raw = bucketed_groupby_apply(ds, ["l_orderkey"], gen)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "v"]).aggregate([("u", "count")])
+        return g.rename_columns(["u", "v", "n"])
+
+    local = raw.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    counts = bucketed_sum_combine(local, ["u", "v"], ["n"])
+    return counts.sort(["n", "u", "v"], descending=[True, False, False]).limit(20)
