@@ -56,6 +56,13 @@ BENCH_QUERIES = [
     # round-3 continuation 3: temporal joins (as-of, pure range join)
     "asof_latest_order",
     "range_join_window",
+    # round-3 continuation 5: window ranking, event funnel,
+    # gaps-and-islands, star join, k-means allreduce
+    "window_rank_orders",
+    "funnel_signup_purchase",
+    "interval_coverage_user",
+    "q5_local_supplier_volume",
+    "kmeans_embeddings",
 ]
 
 
