@@ -45,16 +45,30 @@ def coverage_table(
     # into a disjoint numeric band (segment index × span), one global
     # maximum.accumulate, shift back
     seg = np.cumsum(bound) - 1
-    span = np.int64(max(int(e.max() - s.min()) + 1, 1))
+    span = int(max(int(e.max() - s.min()) + 1, 1))
     base = np.int64(s.min())
-    lifted = (e - base) + seg * span
-    run_max = np.maximum.accumulate(lifted)
-    # prev_max relative to the CURRENT row's segment; first row of a segment
-    # sees the previous segment's band -> always "new island"
-    prev = np.empty(n, np.int64)
-    prev[0] = -1
-    prev[1:] = run_max[:-1]
-    new_island = bound | (((s - base) + seg * span) > prev)
+    n_segs = int(seg[-1]) + 1
+    if n_segs * span < 2**62:  # lift stays inside int64
+        lifted = (e - base) + seg * np.int64(span)
+        run_max = np.maximum.accumulate(lifted)
+        # prev_max relative to the CURRENT row's segment; a segment's first
+        # row sees the previous segment's band -> always "new island"
+        prev = np.empty(n, np.int64)
+        prev[0] = -1
+        prev[1:] = run_max[:-1]
+        new_island = bound | (((s - base) + seg * np.int64(span)) > prev)
+    else:
+        # overflow guard (many keys × a huge time span in ONE bucket): the
+        # exact per-segment reset, one numpy pass per segment run — hit only
+        # on extreme buckets, never changes results
+        new_island = bound.copy()
+        for lo, hi in zip(
+            np.flatnonzero(bound),
+            np.append(np.flatnonzero(bound)[1:], n),
+        ):
+            if hi - lo > 1:
+                run = np.maximum.accumulate(e[lo : hi - 1])
+                new_island[lo + 1 : hi] = s[lo + 1 : hi] > run
 
     isl = np.cumsum(new_island) - 1
     starts = np.flatnonzero(new_island)

@@ -46,3 +46,33 @@ def test_coverage_key_boundary_does_not_leak(ray_session):
         ).take_all()
     }
     assert out == {1: 100, 2: 15}
+
+
+def test_coverage_overflow_guard_path_matches_fast_path():
+    # force the guarded path with a span x segment product past 2^62 and
+    # assert it agrees with the fast path on the same (rescaled) intervals
+    import numpy as np
+
+    from encode_ingest_ray.stages.intervals import coverage_table
+
+    rng = np.random.RandomState(3)
+    small = [
+        {"k": int(k), "s": int(s), "e": int(s + d)}
+        for k, s, d in zip(
+            rng.randint(0, 5, 40), rng.randint(0, 500, 40), rng.randint(1, 60, 40)
+        )
+    ]
+    fast = {
+        r["k"]: r["covered"]
+        for r in coverage_table(_iv(small), "k", "s", "e").to_pylist()
+    }
+    big_unit = 10**15  # 5 segs x ~5e17 span > 2^62 -> guarded path
+    scaled = [
+        {"k": r["k"], "s": r["s"] * big_unit, "e": r["e"] * big_unit}
+        for r in small
+    ]
+    slow = {
+        r["k"]: r["covered"] // big_unit
+        for r in coverage_table(_iv(scaled), "k", "s", "e").to_pylist()
+    }
+    assert fast == slow
