@@ -86,6 +86,12 @@ def kmeans_milli(
 
         def partial(t: pa.Table) -> pa.Table:
             c, ids_ = ray.get(cents_ref)
+            if t.num_rows == 0:  # empty block: no partials
+                return pa.table(
+                    {"cid": pa.array([], pa.int64()),
+                     "vsum": pa.array([], pa.list_(pa.int64())),
+                     "n": pa.array([], pa.int64())}
+                )
             vq = _quantize(t.column(vec_col))
             a = _assign(vq, c)
             out_cid, out_sum, out_n = [], [], []
@@ -133,6 +139,11 @@ def kmeans_milli(
 
     def final_assign(t: pa.Table) -> pa.Table:
         c, ids_ = ray.get(cents_ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
         vq = _quantize(t.column(vec_col))
         a = _assign(vq, c)
         return pa.table(
