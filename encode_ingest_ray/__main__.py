@@ -125,6 +125,18 @@ def main(argv=None) -> int:
     s = sub.add_parser("status", help="print the latest manifest summary")
     s.add_argument("--out", required=True)
 
+    q = sub.add_parser(
+        "query",
+        help="run a registered analytics query over a table directory "
+        "(list names with --list)",
+    )
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--sf", default="/root/testdata/sf0.01", help="table dir")
+    q.add_argument("--dest", help="write result parquet here instead of printing")
+    q.add_argument("--limit", type=int, default=20, help="rows to print")
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -179,6 +191,44 @@ def main(argv=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "query":
+        from encode_ingest_ray.pipelines import registry
+
+        registry.load_all()
+        if args.list or not args.name:
+            for n in sorted(registry.QUERIES):
+                kind = "exact " if n in registry.ORACLE else "rows  "
+                print(f"{kind} {n}")
+            return 0
+        if args.name not in registry.QUERIES:
+            raise SystemExit(f"unknown query {args.name!r} (use --list)")
+        _init_ray(args.num_cpus, None)
+        import ray
+
+        try:
+            res = registry.QUERIES[args.name](args.sf)
+            if isinstance(res, ray.data.Dataset):
+                if args.dest:
+                    res.write_parquet(args.dest)
+                    print(json.dumps({"query": args.name, "dest": args.dest}))
+                else:  # never materialize more than the printed head
+                    print(res.limit(args.limit).to_pandas().to_string())
+            else:  # pa.Table / pandas result
+                df = res.to_pandas() if hasattr(res, "to_pandas") else res
+                if args.dest:
+                    import pyarrow as pa
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(
+                        pa.Table.from_pandas(df, preserve_index=False), args.dest
+                    )
+                    print(json.dumps({"query": args.name, "dest": args.dest}))
+                else:
+                    print(df.head(args.limit).to_string())
+        finally:
+            ray.shutdown()
         return 0
 
     _init_ray(args.num_cpus, getattr(args, "object_store_gb", None))
