@@ -141,6 +141,23 @@ _FAMILY_COVERED = {
                              # range_join_window keep the temporal rows
     "frequent_part_pairs",   # pair-mining family — triangle siblings and
                              # token_freq_topk keep the co-occurrence rows
+    # round-3 continuation 6: four statistical-analytics families enter
+    # tier 0 (moving_sum_orders = ROWS-frame window, ohlc_user_daily =
+    # mergeable downsampling, outlier_zscore_events = two-pass broadcast
+    # anomaly filter, profile_orders_columns = ANALYZE statistics); four
+    # covered siblings move down, and the regression partials ride as a
+    # tier-1 sibling of the moments family:
+    "cohort_retention_weekly",  # event-analytics — funnel_signup_purchase
+                                # keeps the family's driver row
+    "token_freq_topk",       # corpus-stats family — tf_idf_topk composes
+                             # the same token-frequency reduction
+    "mixture_subsample",     # training-assembly family — sequence_packing
+                             # keeps the row
+    "dedup_first_event",     # per-key-first dedup — dedup_text_exact
+                             # carries the same distinct-by shape
+    "grouped_regression_supplier",  # moments/covariance family —
+                                    # q1_pricing_summary (aggregation) and
+                                    # outlier_zscore_events (stats) stay
 }
 
 

@@ -38,6 +38,7 @@ def load_all() -> None:
         ranking,
         relational,
         setops_queries,
+        stats_queries,
         temporal,
         training,
     )

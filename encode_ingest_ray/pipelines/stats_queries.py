@@ -1,0 +1,340 @@
+"""Statistical-analytics queries: ROWS-frame moving aggregate, OHLC
+downsampling, z-score anomaly detection, grouped regression partials, and
+ANALYZE-style column profiling.
+
+All five are exact: values are integer-encoded (cents / milli-units, µs
+epochs), the outlier boundary is an integer inequality, and profiling
+extrema are VARCHAR casts of native-typed min/max — so each DuckDB oracle
+reproduces the distributed result bit-for-bit.  Kernels in stages/stats.py;
+scale shapes documented there.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from encode_ingest_ray.pipelines.analogs import _cents, _read
+from encode_ingest_ray.pipelines.registry import register
+from encode_ingest_ray.stages.aggregate import partial_groupby_sum
+from encode_ingest_ray.stages.stats import (
+    grouped_outlier,
+    moving_sum,
+    ohlc,
+    profile_dataset,
+)
+
+
+def _milli(col):
+    return pc.cast(
+        pc.round(pc.multiply(col, 1000.0), 0, round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+MOVING_SUM_SQL = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents,
+       CAST(SUM(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving4_cents
+FROM t
+"""
+
+
+@register("moving_sum_orders", MOVING_SUM_SQL)
+def moving_sum_orders(sf_dir: str):
+    """ROWS-frame window aggregate: per customer, the moving 4-order price
+    sum in orderkey sequence (3 PRECEDING..CURRENT ROW).  One hash exchange
+    on o_custkey, then one vectorized sort + clamped cumulative-sum
+    difference per bucket (stages/stats.moving_sum_table) — no
+    per-customer Python calls."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return moving_sum(
+        pre,
+        partition_keys=["o_custkey"],
+        order_cols=["o_orderkey"],
+        value_col="price_cents",
+        preceding=3,
+        out_col="moving4_cents",
+    )
+
+
+OHLC_SQL = """
+WITH t AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts_us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM t
+)
+SELECT user_id, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_milli,
+       CAST(MAX(v) AS BIGINT) AS high_milli,
+       CAST(MIN(v) AS BIGINT) AS low_milli,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_milli,
+       COUNT(*) AS n
+FROM w
+GROUP BY user_id, day
+"""
+
+
+@register("ohlc_user_daily", OHLC_SQL)
+def ohlc_user_daily(sf_dir: str):
+    """Telemetry downsampling: per (user, day) OHLC bars — first (open) /
+    max (high) / min (low) / last (close) event value, (ts, event_id)
+    tie-broken.  MERGEABLE partials: each block folds to one row per
+    (block, key); only partials cross the one exchange
+    (stages/stats.ohlc).  Raw events never shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": us,
+                "day": pc.divide(us, 86400000000),
+                "v": _milli(t.column("value")),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    bars = ohlc(pre, ["user_id", "day"], "ts_us", "event_id", "v")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": t.column("day"),
+                "open_milli": t.column("open_v"),
+                "high_milli": t.column("max_v"),
+                "low_milli": t.column("min_v"),
+                "close_milli": t.column("close_v"),
+                "n": t.column("n"),
+            }
+        )
+
+    return bars.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+OUTLIER_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 1000) AS BIGINT) AS value_milli
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(value_milli) AS BIGINT) AS s1,
+         CAST(SUM(value_milli * value_milli) AS BIGINT) AS s2
+  FROM t GROUP BY user_id
+)
+SELECT t.event_id, t.user_id, t.value_milli
+FROM t JOIN s USING (user_id)
+WHERE s.n >= 2
+  AND (s.n * t.value_milli - s.s1) * (s.n * t.value_milli - s.s1)
+      > 4 * (s.n * s.s2 - s.s1 * s.s1)
+"""
+
+
+@register("outlier_zscore_events", OUTLIER_SQL)
+def outlier_zscore_events(sf_dir: str):
+    """Anomaly detection: events whose value sits more than 2 population
+    standard deviations from the user's mean.  Two passes: per-user
+    (n, Σx, Σx²) integer partials reduce, broadcast once, then the fact
+    stream is flagged by the exact integer inequality (n·x − S1)² >
+    4·(n·S2 − S1²) — no float sqrt, no boundary drift
+    (stages/stats.grouped_outlier; scale contracts documented there)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_milli": _milli(t.column("value")),
+            }
+        )
+
+    def rd():
+        return _read(sf_dir, "events", ["event_id", "user_id", "value"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    stats_in = rd().select_columns(["user_id", "value_milli"])
+    return grouped_outlier(
+        rd(), stats_in, key="user_id", value_col="value_milli", k=2, min_n=2
+    )
+
+
+REGRESSION_SQL = """
+WITH t AS (
+  SELECT l_suppkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+), g AS (
+  SELECT l_suppkey, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS sx,
+         CAST(SUM(p) AS BIGINT) AS sy,
+         CAST(SUM(q * p) AS BIGINT) AS sxy,
+         CAST(SUM(q * q) AS BIGINT) AS sxx
+  FROM t GROUP BY l_suppkey
+)
+SELECT l_suppkey, n, sx, sy, sxy, sxx,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM g
+"""
+
+
+@register("grouped_regression_supplier", REGRESSION_SQL)
+def grouped_regression_supplier(sf_dir: str):
+    """Per-supplier least-squares regression of line price on quantity,
+    kept in exact integer partials: (n, Σx, Σy, Σxy, Σx²) merge
+    associatively across blocks (the covariance extension of
+    grouped_moments); slope = slope_num/slope_den is a driver-side float
+    epilogue while the partials are bit-exact.
+
+    Overflow contract: n·Σxy < 2^63 needs n·Σ(q·p) bounded — with q ≤ 50
+    and p ≤ ~10^7 cents that is ~10^5 rows per supplier; salt or
+    milli→centi re-encode beyond."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(t.column("l_quantity"), 0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        p = _cents(t.column("l_extendedprice"))
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "q": q,
+                "p": p,
+                "qp": pc.multiply_checked(q, p),
+                "qq": pc.multiply_checked(q, q),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    g = partial_groupby_sum(
+        pre,
+        ["l_suppkey"],
+        {"sx": "q", "sy": "p", "sxy": "qp", "sxx": "qq"},
+        count_alias="n",
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        num = pc.subtract_checked(
+            pc.multiply_checked(n, t.column("sxy")),
+            pc.multiply_checked(t.column("sx"), t.column("sy")),
+        )
+        den = pc.subtract_checked(
+            pc.multiply_checked(n, t.column("sxx")),
+            pc.multiply_checked(t.column("sx"), t.column("sx")),
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "n": n,
+                "sx": t.column("sx"),
+                "sy": t.column("sy"),
+                "sxy": t.column("sxy"),
+                "sxx": t.column("sxx"),
+                "slope_num": num,
+                "slope_den": den,
+            }
+        )
+
+    return g.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+PROFILE_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderstatus, o_orderpriority
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM t
+UNION ALL
+SELECT 'price_cents', COUNT(*),
+       CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR)
+FROM t
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM t
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM t
+"""
+
+
+@register("profile_orders_columns", PROFILE_SQL)
+def profile_orders_columns(sf_dir: str):
+    """ANALYZE-style column profiling of orders (row count, per-column null
+    count, native-typed min/max cast to VARCHAR) in ONE streaming pass:
+    per-block fixed-size partial rows, a repartition(1) reduce over one
+    tiny row per block, tall reshape (stages/stats.profile_dataset) — the
+    statistics-collection primitive a query optimizer or data-quality
+    monitor runs over every table."""
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": _cents(t.column("o_totalprice")),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return profile_dataset(
+        pre, ["o_orderkey", "price_cents", "o_orderstatus", "o_orderpriority"]
+    )

@@ -1,0 +1,357 @@
+"""Statistical-analytics kernels: window-frame moving aggregates, OHLC
+downsampling, broadcast-stats outlier filtering, and column profiling.
+
+The reference's aggregation surface is fold-style only (SURVEY.md §2.5);
+these are the next operators a warehouse/telemetry consumer of the same
+tables reaches for.  All four are exact (integer-encoded values, integer
+comparisons), so each registered query carries a bit-exact DuckDB oracle.
+
+Distributed shapes, per operator:
+
+* ``moving_sum`` — ``SUM(x) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN p
+  PRECEDING AND CURRENT ROW)``: one hash exchange on the partition key,
+  then ONE vectorized pass per bucket (Arrow sort + cumulative-sum
+  difference with per-partition clamping) — no per-partition Python calls,
+  same scaling contract as stages/ranking.window_rank.
+
+* ``ohlc`` — per-key first/open, max/high, min/low, last/close telemetry
+  downsampling with MERGEABLE partials: every block folds to one row per
+  (block, key) carrying (open_ts, open_id, open_v, close_ts, close_id,
+  close_v, min_v, max_v, n); only those partials cross the one exchange,
+  and the merge re-applies the same argmin/argmax fold.  Raw rows never
+  shuffle — the classic OHLC/downsample combiner.
+
+* ``grouped_outlier`` — two-pass anomaly detection: pass 1 reduces per-key
+  integer moment partials (n, Σx, Σx²); pass 2 broadcasts them (``ray.put``
+  once, ``ray.get`` once per actor) and flags rows by the INTEGER
+  inequality (n·x − S1)² > k²·(n·S2 − S1²) ⟺ |z| > k — no float sqrt, so
+  the boundary is exact.  The fact table streams; only group stats move.
+
+* ``profile_dataset`` — ANALYZE-style column statistics in one pass:
+  per-block partials (count, null count, min, max per column, reduced in
+  the column's NATIVE type) merge to one row, reshaped to a tall
+  (col, n_rows, n_null, min_val, max_val) table.  The reduce ships one
+  tiny row per block.
+
+Overflow contracts are documented per entry point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from encode_ingest_ray.stages.aggregate import (
+    bucketed_groupby_apply,
+    partial_groupby_sum,
+)
+from encode_ingest_ray.stages.ranking import _as_np, _boundaries
+
+
+def _i64(col: pa.ChunkedArray) -> np.ndarray:
+    return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+# ---------------------------------------------------------------- moving sum
+
+
+def moving_sum_table(
+    t: pa.Table,
+    partition_keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    preceding: int,
+    out_col: str,
+) -> pa.Table:
+    """Single-node kernel: append ``SUM(value) OVER (PARTITION BY keys ORDER
+    BY order_cols ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)``.
+
+    Every partition in ``t`` must be complete, ``value_col`` integer and
+    non-null, and ``order_cols`` a total order within each partition (ANSI
+    ROWS frames are only deterministic under a total order).  One Arrow
+    sort + O(n) numpy: cumulative sum, window start clamped to the
+    partition start, frame sum = cs[i] − cs[start−1].
+    """
+    n = t.num_rows
+    t = t.sort_by([(k, "ascending") for k in partition_keys + order_cols])
+    if n == 0:
+        return t.append_column(out_col, pa.array([], pa.int64()))
+    part = _boundaries([_as_np(t.column(k)) for k in partition_keys], n)
+    x = _i64(t.column(value_col))
+    cs = np.cumsum(x)
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(part, idx, 0))
+    win_start = np.maximum(idx - preceding, seg_start)
+    prev = np.where(win_start > 0, cs[np.maximum(win_start - 1, 0)], 0)
+    return t.append_column(out_col, pa.array(cs - prev))
+
+
+def moving_sum(
+    ds,
+    partition_keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    preceding: int,
+    out_col: str = "moving_sum",
+    num_buckets: int | None = None,
+):
+    """Distributed ROWS-frame moving sum: one exchange on the partition
+    key, one vectorized ``moving_sum_table`` per bucket.  Sum overflow
+    bound: the running cumulative sum per bucket must stay under 2^63 —
+    at cent encoding that is ~9×10^16 dollars per bucket."""
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        return moving_sum_table(
+            t, partition_keys, order_cols, value_col, preceding, out_col
+        )
+
+    return bucketed_groupby_apply(ds, partition_keys, bucket_fn, num_buckets)
+
+
+# --------------------------------------------------------------------- OHLC
+
+_OHLC_FIELDS = (
+    "open_ts", "open_id", "open_v", "close_ts", "close_id", "close_v",
+    "min_v", "max_v", "n",
+)
+
+
+def _empty_ohlc(t: pa.Table, keys: list[str]) -> pa.Table:
+    cols = {k: t.column(k) for k in keys}
+    for f in _OHLC_FIELDS:
+        cols[f] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def ohlc_partial(
+    t: pa.Table, keys: list[str], ts_col: str, id_col: str, value_col: str
+) -> pa.Table:
+    """Raw rows -> one OHLC partial row per key present in this block.
+    open/close pick the row with the min/max (ts, id) — the id tie-break
+    makes duplicated timestamps deterministic."""
+    n = t.num_rows
+    t = t.sort_by(
+        [(k, "ascending") for k in keys]
+        + [(ts_col, "ascending"), (id_col, "ascending")]
+    )
+    if n == 0:
+        return _empty_ohlc(t, keys)
+    part = _boundaries([_as_np(t.column(k)) for k in keys], n)
+    starts = np.flatnonzero(part)
+    ends = np.append(starts[1:], n) - 1
+    ts = _i64(t.column(ts_col))
+    ids = _i64(t.column(id_col))
+    v = _i64(t.column(value_col))
+    cols = {k: t.column(k).take(pa.array(starts)) for k in keys}
+    cols.update(
+        open_ts=pa.array(ts[starts]), open_id=pa.array(ids[starts]),
+        open_v=pa.array(v[starts]), close_ts=pa.array(ts[ends]),
+        close_id=pa.array(ids[ends]), close_v=pa.array(v[ends]),
+        min_v=pa.array(np.minimum.reduceat(v, starts)),
+        max_v=pa.array(np.maximum.reduceat(v, starts)),
+        n=pa.array(np.diff(np.append(starts, n)).astype(np.int64)),
+    )
+    return pa.table(cols)
+
+
+def ohlc_merge(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Merge OHLC partials (all partials of a key co-located): two sorts —
+    ascending (keys, open_ts, open_id) picks each key's earliest open at
+    the segment start; ascending (keys, close_ts, close_id) picks the
+    latest close at the segment end.  Both sorts see the keys in the same
+    ascending order, so the two per-key frames align positionally."""
+    n = t.num_rows
+    if n == 0:
+        return _empty_ohlc(t, keys)
+    ta = t.sort_by(
+        [(k, "ascending") for k in keys]
+        + [("open_ts", "ascending"), ("open_id", "ascending")]
+    )
+    part = _boundaries([_as_np(ta.column(k)) for k in keys], n)
+    starts = np.flatnonzero(part)
+    cols = {k: ta.column(k).take(pa.array(starts)) for k in keys}
+    for f in ("open_ts", "open_id", "open_v"):
+        cols[f] = ta.column(f).take(pa.array(starts))
+    cols["min_v"] = pa.array(np.minimum.reduceat(_i64(ta.column("min_v")), starts))
+    cols["max_v"] = pa.array(np.maximum.reduceat(_i64(ta.column("max_v")), starts))
+    cols["n"] = pa.array(np.add.reduceat(_i64(ta.column("n")), starts))
+
+    tb = t.sort_by(
+        [(k, "ascending") for k in keys]
+        + [("close_ts", "ascending"), ("close_id", "ascending")]
+    )
+    part_b = _boundaries([_as_np(tb.column(k)) for k in keys], n)
+    ends_b = np.append(np.flatnonzero(part_b)[1:], n) - 1
+    for f in ("close_ts", "close_id", "close_v"):
+        cols[f] = tb.column(f).take(pa.array(ends_b))
+    return pa.table({k: cols[k] for k in keys + list(_OHLC_FIELDS)})
+
+
+def ohlc(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+):
+    """Distributed OHLC downsample: per-block ``ohlc_partial`` combiner,
+    ONE exchange of the per-(block, key) partials, ``ohlc_merge`` per
+    bucket.  ``ts_col``/``id_col``/``value_col`` must be integer-encoded
+    and non-null (epoch-µs timestamps, milli/cent values)."""
+
+    local = ds.map_batches(
+        lambda t: ohlc_partial(t, keys, ts_col, id_col, value_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return bucketed_groupby_apply(
+        local, keys, lambda t: ohlc_merge(t, keys), num_buckets
+    )
+
+
+# ----------------------------------------------------------------- outliers
+
+
+class _OutlierFlagger:
+    """Per-batch probe against broadcast (key -> n, Σx, Σx²) arrays.
+
+    Flags rows where (n·x − S1)² > k²·(n·S2 − S1²), i.e. |x − μ| > k·σ with
+    both sides kept in exact integer arithmetic (population σ).  The stats
+    handle is resolved ONCE per actor (state-loaded-once rule)."""
+
+    def __init__(self, stats_ref, key: str, value_col: str, k: int, min_n: int):
+        import ray
+
+        self.keys, self.n, self.s1, self.s2 = (
+            ray.get(stats_ref) if not isinstance(stats_ref, tuple) else stats_ref
+        )
+        self.key = key
+        self.value_col = value_col
+        self.k = k
+        self.min_n = min_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        kv = _i64(batch.column(self.key))
+        x = _i64(batch.column(self.value_col))
+        pos = np.searchsorted(self.keys, kv)
+        pos = np.minimum(pos, max(len(self.keys) - 1, 0))
+        hit = self.keys[pos] == kv if len(self.keys) else np.zeros(len(kv), bool)
+        n = np.where(hit, self.n[pos], 0)
+        s1 = np.where(hit, self.s1[pos], 0)
+        s2 = np.where(hit, self.s2[pos], 0)
+        lhs = n * x - s1
+        flag = hit & (n >= self.min_n) & (lhs * lhs > self.k * self.k * (n * s2 - s1 * s1))
+        return batch.filter(pa.array(flag))
+
+
+def grouped_outlier(
+    fact_ds,
+    stats_ds,
+    key: str,
+    value_col: str,
+    k: int = 2,
+    min_n: int = 2,
+):
+    """Two-pass z-score outlier filter.  ``stats_ds``/``fact_ds`` are two
+    reads of the same table projected to (key, value) — pass 1 reduces the
+    integer moment partials via ``partial_groupby_sum``, pass 2 broadcasts
+    the (sorted-key) stat arrays and streams the fact table through the
+    integer inequality.
+
+    Scale contracts: (a) the broadcast is one row per GROUP — beyond
+    broadcast RAM (~10^8 groups) route pass 2 through ``cohash_join``
+    instead; (b) int64 exactness needs n·max|x| < 2^31.5·√1 — at milli
+    encoding with |x| ≤ 10^6, groups up to ~10^3.5 rows; re-encode to centi
+    (10^4) for ~10^5.5-row groups.  Both bounds hold for the registered
+    query's per-user groups (≤ ~10^2 rows)."""
+    import ray
+
+    def prep_sq(t: pa.Table) -> pa.Table:
+        x = t.column(value_col)
+        return pa.table(
+            {key: t.column(key), value_col: x, "sq": pc.multiply_checked(x, x)}
+        )
+
+    stats = partial_groupby_sum(
+        stats_ds.map_batches(
+            prep_sq, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        [key],
+        {"s1": value_col, "s2": "sq"},
+        count_alias="n",
+    )
+    rows = stats.take_all()  # one row per group (size-guarded by contract)
+    order = np.argsort(np.array([r[key] for r in rows], dtype=np.int64), kind="stable")
+    keys = np.array([rows[i][key] for i in order], dtype=np.int64)
+    n = np.array([rows[i]["n"] for i in order], dtype=np.int64)
+    s1 = np.array([rows[i]["s1"] for i in order], dtype=np.int64)
+    s2 = np.array([rows[i]["s2"] for i in order], dtype=np.int64)
+    ref = ray.put((keys, n, s1, s2))
+    return fact_ds.map_batches(
+        _OutlierFlagger,
+        fn_constructor_args=(ref, key, value_col, k, min_n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def profile_dataset(ds, cols: list[str]):
+    """ANALYZE-style statistics for ``cols``: one streaming pass emitting a
+    per-block partial row (count, per-column null count / native-typed
+    min / max), one tiny repartition(1) reduce, reshaped to a tall
+    ``(col, n_rows, n_null, min_val, max_val)`` table with VARCHAR-cast
+    extrema (bit-equal to SQL ``CAST(MIN(c) AS VARCHAR)``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        data: dict[str, pa.Array] = {
+            "n_rows": pa.array([t.num_rows], pa.int64())
+        }
+        for c in cols:
+            col = t.column(c)
+            data[f"{c}__nulls"] = pa.array([col.null_count], pa.int64())
+            if t.num_rows - col.null_count > 0:
+                mm = pc.min_max(col)
+                mn, mx = mm["min"], mm["max"]
+            else:
+                mn = mx = pa.scalar(None, col.type)
+            data[f"{c}__min"] = pa.array([mn.as_py()], col.type)
+            data[f"{c}__max"] = pa.array([mx.as_py()], col.type)
+        return pa.table(data)
+
+    def final(t: pa.Table) -> pa.Table:
+        names, n_rows, n_null, mn_s, mx_s = [], [], [], [], []
+        total = pc.sum(t.column("n_rows")).as_py() or 0
+        for c in cols:
+            names.append(c)
+            n_rows.append(total)
+            n_null.append(pc.sum(t.column(f"{c}__nulls")).as_py() or 0)
+            mn = pc.min(t.column(f"{c}__min"))
+            mx = pc.max(t.column(f"{c}__max"))
+            mn_s.append(None if not mn.is_valid else pc.cast(mn, pa.string()).as_py())
+            mx_s.append(None if not mx.is_valid else pc.cast(mx, pa.string()).as_py())
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_null": pa.array(n_null, pa.int64()),
+                "min_val": pa.array(mn_s, pa.string()),
+                "max_val": pa.array(mx_s, pa.string()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,225 @@
+"""Kernel + end-to-end tests for the statistical-analytics family
+(stages/stats.py): ROWS-frame moving sum, OHLC mergeable downsampling,
+integer z-score outlier filtering, and column profiling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from encode_ingest_ray.stages.stats import (
+    grouped_outlier,
+    moving_sum,
+    moving_sum_table,
+    ohlc,
+    ohlc_merge,
+    ohlc_partial,
+    profile_dataset,
+)
+
+
+def _naive_moving(keys, order, vals, preceding):
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, o, v in zip(keys, order, vals):
+        by_k[k].append((o, v))
+    out = {}
+    for k, rows in by_k.items():
+        rows.sort()
+        for i, (o, _) in enumerate(rows):
+            out[(k, o)] = sum(v for _, v in rows[max(0, i - preceding) : i + 1])
+    return out
+
+
+def test_moving_sum_table_matches_naive():
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = rng.integers(0, 12, n)
+    order = rng.permutation(n)
+    vals = rng.integers(-50, 200, n)
+    t = pa.table({"k": keys, "o": order, "v": vals})
+    got = moving_sum_table(t, ["k"], ["o"], "v", 3, "ms")
+    expect = _naive_moving(keys.tolist(), order.tolist(), vals.tolist(), 3)
+    for r in got.to_pylist():
+        assert r["ms"] == expect[(r["k"], r["o"])]
+
+
+def test_moving_sum_table_empty_and_single():
+    t = pa.table({"k": pa.array([], pa.int64()), "o": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    assert moving_sum_table(t, ["k"], ["o"], "v", 3, "ms").num_rows == 0
+    t1 = pa.table({"k": [5], "o": [1], "v": [42]})
+    assert moving_sum_table(t1, ["k"], ["o"], "v", 3, "ms")["ms"].to_pylist() == [42]
+
+
+def test_moving_sum_distributed_matches_kernel(ray_session):
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 50, n),
+            "o": rng.permutation(n),
+            "v": rng.integers(0, 1000, n),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = pa.concat_tables(
+        [pa.Table.from_pandas(b.to_pandas()) for b in
+         moving_sum(ds, ["k"], ["o"], "v", 3, "ms").iter_batches(batch_format="pyarrow")],
+        promote_options="permissive",
+    ).sort_by([("k", "ascending"), ("o", "ascending")])
+    want = moving_sum_table(t, ["k"], ["o"], "v", 3, "ms").sort_by(
+        [("k", "ascending"), ("o", "ascending")]
+    )
+    assert got.select(["k", "o", "v", "ms"]).equals(want.select(["k", "o", "v", "ms"]))
+
+
+def _naive_ohlc(rows):
+    # rows: (key, ts, id, v) -> key: (open, high, low, close, n)
+    out = {}
+    for k, ts, i, v in rows:
+        cur = out.get(k)
+        if cur is None:
+            out[k] = [(ts, i, v), v, v, (ts, i, v), 1]
+        else:
+            if (ts, i) < cur[0][:2]:
+                cur[0] = (ts, i, v)
+            if (ts, i) > cur[3][:2]:
+                cur[3] = (ts, i, v)
+            cur[1] = max(cur[1], v)
+            cur[2] = min(cur[2], v)
+            cur[4] += 1
+    return {
+        k: (c[0][2], c[1], c[2], c[3][2], c[4]) for k, c in out.items()
+    }
+
+
+def test_ohlc_partial_then_merge_matches_naive():
+    rng = np.random.default_rng(3)
+    n = 600
+    rows = [
+        (int(k), int(ts), int(i), int(v))
+        for k, ts, i, v in zip(
+            rng.integers(0, 20, n),
+            rng.integers(0, 40, n),  # many ts collisions -> tie-breaks matter
+            rng.permutation(n),
+            rng.integers(-100, 100, n),
+        )
+    ]
+    t = pa.table(
+        {
+            "k": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "id": [r[2] for r in rows],
+            "v": [r[3] for r in rows],
+        }
+    )
+    # split into 3 chunks, partial each, merge
+    parts = [
+        ohlc_partial(t.slice(i * 200, 200), ["k"], "ts", "id", "v")
+        for i in range(3)
+    ]
+    merged = ohlc_merge(pa.concat_tables(parts), ["k"])
+    want = _naive_ohlc(rows)
+    assert merged.num_rows == len(want)
+    for r in merged.to_pylist():
+        o, h, lo, c, cnt = want[r["k"]]
+        assert (r["open_v"], r["max_v"], r["min_v"], r["close_v"], r["n"]) == (
+            o, h, lo, c, cnt,
+        )
+
+
+def test_ohlc_merge_idempotent_and_empty():
+    empty = pa.table(
+        {"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+         "id": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+    p = ohlc_partial(empty, ["k"], "ts", "id", "v")
+    assert p.num_rows == 0
+    assert ohlc_merge(p, ["k"]).num_rows == 0
+    one = pa.table({"k": [1, 1], "ts": [5, 5], "id": [2, 1], "v": [10, 20]})
+    p1 = ohlc_partial(one, ["k"], "ts", "id", "v")
+    m1 = ohlc_merge(p1, ["k"])
+    m2 = ohlc_merge(m1, ["k"])  # merging a merged partial changes nothing
+    assert m1.to_pylist() == m2.to_pylist()
+    # ts tie broken by id: open is id=1 (v=20), close id=2 (v=10)
+    r = m1.to_pylist()[0]
+    assert (r["open_v"], r["close_v"]) == (20, 10)
+
+
+def test_ohlc_distributed(ray_session):
+    rng = np.random.default_rng(9)
+    n = 4000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 30, n),
+            "ts": rng.integers(0, 100, n),
+            "id": rng.permutation(n),
+            "v": rng.integers(0, 10_000, n),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = {
+        r["k"]: (r["open_v"], r["max_v"], r["min_v"], r["close_v"], r["n"])
+        for r in ohlc(ds, ["k"], "ts", "id", "v").take_all()
+    }
+    rows = list(zip(*[t.column(c).to_pylist() for c in ["k", "ts", "id", "v"]]))
+    assert got == _naive_ohlc(rows)
+
+
+def test_grouped_outlier_flags_exact_boundary(ray_session):
+    # group 1: values 0,0,0,100 -> mean 25, sigma = sqrt((4*10000-10000*... )
+    # integer check: n=4, s1=100, s2=10000; row x=100: (400-100)^2=90000 vs
+    # 4*(40000-10000)=120000 -> NOT an outlier at k=2 (z^2 = 3 < 4).
+    # group 2: 0,0,0,0,100 -> n=5,s1=100,s2=10000; x=100: (500-100)^2=160000
+    # vs 4*(50000-10000)=160000 -> strict > fails AT the boundary (z^2==4).
+    # group 3: 0,0,0,0,0,100 -> n=6: (600-100)^2=250000 > 4*(60000-10000)
+    # =200000 -> outlier.
+    t = pa.table(
+        {
+            "g": [1] * 4 + [2] * 5 + [3] * 6,
+            "x": [0, 0, 0, 100, 0, 0, 0, 0, 100, 0, 0, 0, 0, 0, 100],
+            "rid": list(range(15)),
+        }
+    )
+    fact = ray.data.from_arrow(t).repartition(3)
+    stats = ray.data.from_arrow(t.select(["g", "x"])).repartition(3)
+    got = grouped_outlier(fact, stats, key="g", value_col="x", k=2, min_n=2).take_all()
+    assert [(r["g"], r["x"]) for r in got] == [(3, 100)]
+
+
+def test_profile_dataset_nulls_and_strings(ray_session):
+    t = pa.table(
+        {
+            "a": pa.array([3, None, 1, 9, None], pa.int64()),
+            "s": pa.array(["b", "a", None, "z", "a"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)  # some blocks all-null / empty
+    rows = {r["col"]: r for r in profile_dataset(ds, ["a", "s"]).take_all()}
+    assert rows["a"] == {
+        "col": "a", "n_rows": 5, "n_null": 2, "min_val": "1", "max_val": "9"
+    }
+    assert rows["s"] == {
+        "col": "s", "n_rows": 5, "n_null": 1, "min_val": "a", "max_val": "z"
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "moving_sum_orders",
+        "ohlc_user_daily",
+        "outlier_zscore_events",
+        "grouped_regression_supplier",
+        "profile_orders_columns",
+    ],
+)
+def test_registered_stats_queries_run(ray_session, sf_dir, name):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    ds = registry.QUERIES[name](sf_dir)
+    assert ds.count() >= 0
+    assert name in registry.ORACLE
