@@ -158,6 +158,11 @@ _FAMILY_COVERED = {
     "grouped_regression_supplier",  # moments/covariance family —
                                     # q1_pricing_summary (aggregation) and
                                     # outlier_zscore_events (stats) stay
+    "skyline_parts",         # dominance/top-k selection family —
+                             # topk_per_group keeps the rank-select row
+    "stratified_sample_docs",  # per-group rank-bounded sampling —
+                               # topk_per_group (rank-select) and
+                               # sequence_packing (assembly) keep the rows
 }
 
 

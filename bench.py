@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "interval_coverage_user",
     "q5_local_supplier_volume",
     "kmeans_embeddings",
+    # round-3 continuation 6: statistical analytics (ROWS-frame window,
+    # mergeable OHLC downsample, two-pass broadcast outlier filter)
+    "moving_sum_orders",
+    "ohlc_user_daily",
+    "outlier_zscore_events",
 ]
 
 

@@ -22,6 +22,7 @@ from encode_ingest_ray.stages.stats import (
     moving_sum,
     ohlc,
     profile_dataset,
+    skyline,
 )
 
 
@@ -276,6 +277,107 @@ def grouped_regression_supplier(sf_dir: str):
         )
 
     return g.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+
+SKYLINE_SQL = """
+WITH t AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_partkey, a.p_size, a.price_cents
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.p_size <= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size < a.p_size OR b.price_cents < a.price_cents)
+)
+"""
+
+
+@register("skyline_parts", SKYLINE_SQL)
+def skyline_parts(sf_dir: str):
+    """2-D Pareto skyline of parts (minimize size AND price, strict
+    dominance; duplicate points all survive).  The oracle's O(n²) NOT
+    EXISTS becomes a per-block local skyline + one tiny merge — the local
+    pass can never drop a global survivor (stages/stats.skyline)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_size": t.column("p_size"),
+                "price_cents": _cents(t.column("p_retailprice")),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return skyline(pre, "p_size", "price_cents")
+
+
+SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn FROM r WHERE rn <= 5
+"""
+
+
+@register("stratified_sample_docs", SAMPLE_SQL)
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sampling: exactly 5 documents per language,
+    picked by md5-of-id rank (a seeded uniform draw that SQL replays).
+    Per-block local top-5 per stratum BEFORE the exchange (a block
+    contributes at most 5 rows per language), then one bucketed final rank
+    — the class-balancing primitive of training-set assembly.
+
+    The md5 evaluation is per-row by construction (it IS the sample's
+    randomness, same documented trade as shuffle_order/train_val_split)."""
+    import hashlib
+
+    import pyarrow.compute as _pc
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+    from encode_ingest_ray.stages.ranking import rank_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    def top5(t: pa.Table, keep_rn: bool) -> pa.Table:
+        r = rank_table(t, ["lang"], [("h", False)], ["doc_id"])
+        r = r.filter(_pc.less_equal(r.column("rn"), 5))
+        return (
+            r.select(["doc_id", "lang", "rn"])
+            if keep_rn
+            else r.select(["doc_id", "lang", "h"])
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    capped = pre.map_batches(
+        lambda t: top5(t, keep_rn=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return bucketed_groupby_apply(capped, ["lang"], lambda t: top5(t, keep_rn=True))
 
 
 PROFILE_SQL = """

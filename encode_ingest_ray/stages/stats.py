@@ -302,6 +302,63 @@ def grouped_outlier(
     )
 
 
+# ------------------------------------------------------------------ skyline
+
+
+def skyline_table(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Single-node 2-D Pareto skyline (minimize both columns, STRICT
+    dominance: a point is dropped iff another point is ≤ in both and < in
+    at least one; duplicated points all survive).
+
+    One sort by (x asc, y asc) + O(n) numpy: within an x-group only the
+    min-y rows survive, and a row is dominated by an earlier group iff
+    that group's min y is ≤ its y — an exclusive running minimum."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    t = t.sort_by([(x_col, "ascending"), (y_col, "ascending")])
+    x = _i64(t.column(x_col))
+    y = _i64(t.column(y_col))
+    newx = np.zeros(n, dtype=bool)
+    newx[0] = True
+    newx[1:] = x[1:] != x[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    first_y = y[np.maximum.accumulate(np.where(newx, idx, 0))]
+    starts = np.flatnonzero(newx)
+    gmin = y[starts]
+    excl = np.empty(len(starts), dtype=np.int64)
+    excl[0] = np.iinfo(np.int64).max
+    if len(starts) > 1:
+        excl[1:] = np.minimum.accumulate(gmin)[:-1]
+    sizes = np.diff(np.append(starts, n))
+    excl_row = np.repeat(excl, sizes)
+    keep = (y == first_y) & (excl_row > y)
+    return t.filter(pa.array(keep))
+
+
+def skyline(ds, x_col: str, y_col: str):
+    """Distributed Pareto skyline: per-block local skyline (any globally
+    non-dominated point is locally non-dominated, so the local pass never
+    loses a survivor), then one merge pass re-applying the same kernel over
+    the concatenated local skylines.
+
+    The merge is repartition(1) — correct because 2-D skylines are tiny in
+    practice (≤ #distinct x values that improve y).  For adversarially
+    anti-correlated data where local skylines stay large, insert a
+    bucketed-by-x-range intermediate merge; the kernel composes unchanged."""
+    local = ds.map_batches(
+        lambda t: skyline_table(t, x_col, y_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return local.repartition(1).map_batches(
+        lambda t: skyline_table(t.combine_chunks(), x_col, y_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 # ---------------------------------------------------------------- profiling
 
 

@@ -206,6 +206,54 @@ def test_profile_dataset_nulls_and_strings(ray_session):
     }
 
 
+def _naive_skyline(pts):
+    out = []
+    for a in pts:
+        dominated = any(
+            b[0] <= a[0] and b[1] <= a[1] and (b[0] < a[0] or b[1] < a[1])
+            for b in pts
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_skyline_table_matches_naive_with_duplicates():
+    from encode_ingest_ray.stages.stats import skyline_table
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 15, 300)
+    y = rng.integers(0, 15, 300)  # small domain -> duplicates + ties
+    t = pa.table({"x": x, "y": y, "id": np.arange(300)})
+    got = sorted(zip(*[skyline_table(t, "x", "y").column(c).to_pylist() for c in ["x", "y"]]))
+    assert got == _naive_skyline(list(zip(x.tolist(), y.tolist())))
+    # duplicates of a skyline point must ALL survive
+    t2 = pa.table({"x": [1, 1, 2], "y": [1, 1, 0], "id": [1, 2, 3]})
+    from encode_ingest_ray.stages.stats import skyline_table as sk
+    assert sk(t2, "x", "y").num_rows == 3  # (1,1)x2 and (2,0) are all Pareto
+
+
+def test_skyline_distributed_local_merge(ray_session):
+    from encode_ingest_ray.stages.stats import skyline, skyline_table
+
+    rng = np.random.default_rng(17)
+    t = pa.table(
+        {
+            "x": rng.integers(0, 1000, 6000),
+            "y": rng.integers(0, 1000, 6000),
+            "id": np.arange(6000),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = sorted(
+        (r["x"], r["y"], r["id"]) for r in skyline(ds, "x", "y").take_all()
+    )
+    want = sorted(
+        zip(*[skyline_table(t, "x", "y").column(c).to_pylist() for c in ["x", "y", "id"]])
+    )
+    assert got == want
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -214,6 +262,8 @@ def test_profile_dataset_nulls_and_strings(ray_session):
         "outlier_zscore_events",
         "grouped_regression_supplier",
         "profile_orders_columns",
+        "skyline_parts",
+        "stratified_sample_docs",
     ],
 )
 def test_registered_stats_queries_run(ray_session, sf_dir, name):
