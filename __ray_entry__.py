@@ -163,6 +163,12 @@ _FAMILY_COVERED = {
     "stratified_sample_docs",  # per-group rank-bounded sampling —
                                # topk_per_group (rank-select) and
                                # sequence_packing (assembly) keep the rows
+    "grouped_mad_orders",    # rank-selection family — grouped_quantiles_exact
+                             # and outlier_zscore_events keep the rows
+    "bfs_hops_copurchase",   # iterative-graph family — pagerank_lineitem
+                             # keeps the row
+    "event_transition_counts",  # lag-window/sequence family —
+                                # funnel_signup_purchase keeps the row
 }
 
 

@@ -146,3 +146,47 @@ def frequent_part_pairs(sf_dir: str):
     )
     counts = bucketed_sum_combine(local, ["u", "v"], ["n"])
     return counts.sort(["n", "u", "v"], descending=[True, False, False]).limit(20)
+
+
+BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+),
+bfs(id, hop) AS (
+  SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.hop < 4
+)
+SELECT id, CAST(MIN(hop) AS BIGINT) AS hop FROM bfs GROUP BY id
+"""
+
+
+@register("bfs_hops_copurchase", BFS_SQL)
+def bfs_hops_copurchase(sf_dir: str):
+    """4-round BFS hop labels from part 1 (node id 3) over the same
+    order↔part bipartite graph pagerank_lineitem ranks.  Each round is one
+    broadcast-frontier edge probe (no exchange) + one (id, hop) min-merge
+    exchange; the oracle is DuckDB's WITH RECURSIVE with the identical hop
+    bound (stages/bfs.py)."""
+    from encode_ingest_ray.stages.bfs import bfs_hops
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        o = pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()), 2)
+        p = pc.add(
+            pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2), 1
+        )
+        return pa.concat_tables(
+            [pa.table({"src": o, "dst": p}), pa.table({"src": p, "dst": o})]
+        )
+
+    edges = ds.map_batches(
+        both_directions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return bfs_hops(edges, source=3, rounds=4)

@@ -18,6 +18,7 @@ from encode_ingest_ray.pipelines.analogs import _cents, _read
 from encode_ingest_ray.pipelines.registry import register
 from encode_ingest_ray.stages.aggregate import partial_groupby_sum
 from encode_ingest_ray.stages.stats import (
+    grouped_mad,
     grouped_outlier,
     moving_sum,
     ohlc,
@@ -378,6 +379,50 @@ def stratified_sample_docs(sf_dir: str):
         batch_size=None,
     )
     return bucketed_groupby_apply(capped, ["lang"], lambda t: top5(t, keep_rn=True))
+
+
+MAD_SQL = """
+WITH v AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+m AS (
+  SELECT o_custkey,
+         (list(c ORDER BY c))[((COUNT(*) - 1) // 2) + 1] AS median_cents
+  FROM v GROUP BY o_custkey
+),
+d AS (
+  SELECT v.o_custkey, m.median_cents, ABS(v.c - m.median_cents) AS ad
+  FROM v JOIN m ON v.o_custkey = m.o_custkey
+)
+SELECT o_custkey, median_cents,
+       (list(ad ORDER BY ad))[((COUNT(*) - 1) // 2) + 1] AS mad_cents
+FROM d GROUP BY o_custkey, median_cents
+"""
+
+
+@register("grouped_mad_orders", MAD_SQL)
+def grouped_mad_orders(sf_dir: str):
+    """Robust per-customer location/scale: lower median of the order price
+    and the median absolute deviation around it — the outlier baseline a
+    few extreme orders cannot drag (unlike outlier_zscore_events' moment
+    stats).  Both rank selections are discrete (element (n-1)//2), so the
+    oracle's list-indexing reproduces them exactly; distributed shape is
+    ONE co-hash exchange with both selections chained in-bucket
+    (stages/stats.grouped_mad — co-hashing replaces the broadcast a
+    two-phase median→deviation plan would need)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    pre = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "c": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return grouped_mad(pre, "o_custkey", "c", "median_cents", "mad_cents")
 
 
 PROFILE_SQL = """

@@ -171,3 +171,61 @@ def event_lag_gaps(sf_dir: str):
         )
 
     return bucketed_groupby_apply(ds, ["user_id"], per_bucket)
+
+
+TRANSITIONS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("event_transition_counts", TRANSITIONS_SQL)
+def event_transition_counts(sf_dir: str):
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair in each user's (ts, event_id) order, count
+    (prev_type → next_type) — the sequence-mining sibling of
+    event_lag_gaps (same one-exchange lag shape, but the per-bucket pass
+    reduces pairs to |types|² count partials, so only tiny partial rows
+    leave the buckets; a final single-task sum folds them)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = t.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = np.zeros(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        prev_c = np.empty(len(c), np.int64)
+        prev_c[1:] = c[:-1]
+        pc_, nc_ = prev_c[same], c[same]
+        k = len(et.dictionary)
+        pair, n = np.unique(pc_ * k + nc_, return_counts=True)
+        names = et.dictionary
+        return pa.table(
+            {
+                "prev_type": names.take(pa.array(pair // k, pa.int64())),
+                "next_type": names.take(pa.array(pair % k, pa.int64())),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    partials = bucketed_groupby_apply(ds, ["user_id"], per_bucket)
+    return bucketed_sum_combine(partials, ["prev_type", "next_type"], ["n"], 1)

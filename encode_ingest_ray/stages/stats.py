@@ -359,6 +359,70 @@ def skyline(ds, x_col: str, y_col: str):
     )
 
 
+# --------------------------------------------------------------- robust MAD
+
+
+def grouped_mad_table(
+    t: pa.Table, key_col: str, val_col: str, out_med: str, out_mad: str
+) -> pa.Table:
+    """Per-key (lower median, median absolute deviation) of an integer
+    column — the robust location/scale pair (the outlier primitive that,
+    unlike grouped_outlier's z-score, a few extreme rows cannot drag).
+
+    Both are DISCRETE rank selections (element at (n-1)//2 of the sorted
+    group), so the result is integer-exact and tie-invariant.  One
+    vectorized pass: lexsort by (key, val) → segment medians → absolute
+    deviations → a second lexsort of the deviations within the SAME
+    key segments → segment medians again.  No per-group Python calls.
+    """
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], t.schema.field(key_col).type),
+                out_med: pa.array([], pa.int64()),
+                out_mad: pa.array([], pa.int64()),
+            }
+        )
+    keys = _as_np(t.column(key_col))
+    vals = _i64(t.column(val_col))
+    order = np.lexsort((vals, keys))
+    k, v = keys[order], vals[order]
+    newgrp = np.zeros(n, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(newgrp)
+    ends = np.append(starts[1:], n)
+    med = v[starts + (ends - starts - 1) // 2]
+    ad = np.abs(v - np.repeat(med, ends - starts))
+    # keys are already grouped contiguously; a stable sort of (group ordinal,
+    # deviation) re-sorts each segment by deviation without another key pass
+    gid = np.cumsum(newgrp) - 1
+    order2 = np.lexsort((ad, gid))
+    mad = ad[order2][starts + (ends - starts - 1) // 2]
+    return pa.table(
+        {
+            key_col: pa.array(k[starts]),
+            out_med: pa.array(med, pa.int64()),
+            out_mad: pa.array(mad, pa.int64()),
+        }
+    )
+
+
+def grouped_mad(ds, key_col: str, val_col: str, out_med: str, out_mad: str):
+    """Distributed grouped median + MAD: ONE hash exchange on the key
+    (every key's rows co-located in a bucket), then the two chained
+    rank selections run entirely in-bucket — the per-group median never
+    needs a broadcast because co-hashing already aligned pass 1 and
+    pass 2.  Group count is unbounded; a single group's rows must fit a
+    worker (same contract as every rank-selection kernel here)."""
+    return bucketed_groupby_apply(
+        ds,
+        [key_col],
+        lambda t: grouped_mad_table(t, key_col, val_col, out_med, out_mad),
+    )
+
+
 # ---------------------------------------------------------------- profiling
 
 

@@ -55,3 +55,52 @@ def test_pagerank_single_iteration(ray_session):
     )
     # each node receives the other's full rank: 150 + 850*1000//1000 = 1000
     assert out == {1: 1000, 2: 1000}
+
+
+# --------------------------------------------------------------------- BFS
+
+
+def _brute_bfs(edge_list, source, rounds):
+    hops = {source: 0}
+    frontier = {source}
+    for k in range(1, rounds + 1):
+        nxt = {v for u, v in edge_list if u in frontier} - hops.keys()
+        for v in nxt:
+            hops[v] = k
+        frontier = nxt
+    return hops
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    from encode_ingest_ray.stages.bfs import bfs_hops
+
+    # chain + branch + cycle back, plus an unreachable island (7, 8)
+    edges = [(1, 2), (2, 3), (2, 4), (3, 1), (4, 5), (5, 6), (7, 8)]
+    t = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], pa.int64()),
+            "dst": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    for rounds in (1, 3, 10):
+        out = (
+            bfs_hops(ray.data.from_arrow(t), source=1, rounds=rounds)
+            .to_pandas().set_index("id")["hop"].to_dict()
+        )
+        assert out == _brute_bfs(edges, 1, rounds)
+
+
+def test_bfs_hops_cohash_fallback_matches_broadcast(ray_session):
+    from encode_ingest_ray.stages.bfs import bfs_hops
+
+    rng = __import__("numpy").random.default_rng(11)
+    src = rng.integers(0, 200, 2000)
+    dst = rng.integers(0, 200, 2000)
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = bfs_hops(ds, source=0, rounds=3).to_pandas().set_index("id")["hop"].to_dict()
+    b = (
+        bfs_hops(ds, source=0, rounds=3, broadcast_limit=0)  # force cohash path
+        .to_pandas().set_index("id")["hop"].to_dict()
+    )
+    assert a == b == _brute_bfs(list(zip(src.tolist(), dst.tolist())), 0, 3)

@@ -264,6 +264,7 @@ def test_skyline_distributed_local_merge(ray_session):
         "profile_orders_columns",
         "skyline_parts",
         "stratified_sample_docs",
+        "grouped_mad_orders",
     ],
 )
 def test_registered_stats_queries_run(ray_session, sf_dir, name):
@@ -273,3 +274,20 @@ def test_registered_stats_queries_run(ray_session, sf_dir, name):
     ds = registry.QUERIES[name](sf_dir)
     assert ds.count() >= 0
     assert name in registry.ORACLE
+
+
+def test_grouped_mad_table_matches_naive():
+    from encode_ingest_ray.stages.stats import grouped_mad_table
+
+    rng = np.random.default_rng(23)
+    k = rng.integers(0, 20, 500)
+    v = rng.integers(-100, 100, 500)
+    got = grouped_mad_table(
+        pa.table({"k": k, "v": v}), "k", "v", "med", "mad"
+    ).to_pandas().set_index("k")
+    for key in np.unique(k):
+        vals = np.sort(v[k == key])
+        med = vals[(len(vals) - 1) // 2]
+        ad = np.sort(np.abs(v[k == key] - med))
+        assert got.loc[key, "med"] == med
+        assert got.loc[key, "mad"] == ad[(len(ad) - 1) // 2]
