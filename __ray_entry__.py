@@ -169,6 +169,8 @@ _FAMILY_COVERED = {
                              # keeps the row
     "event_transition_counts",  # lag-window/sequence family —
                                 # funnel_signup_purchase keeps the row
+    "json_props_stats",      # projection+mergeable-aggregate family —
+                             # q1_pricing_summary keeps the row
 }
 
 

@@ -140,3 +140,62 @@ def interval_coverage_user(sf_dir: str):
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return interval_coverage(pre, "user_id", "s", "e")
+
+
+JSON_PROPS_SQL = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM j GROUP BY event_type
+"""
+
+
+@register("json_props_stats", JSON_PROPS_SQL)
+def json_props_stats(sf_dir: str):
+    """Semi-structured projection + aggregate: extract the integer ``$.k``
+    field of the props JSON payload (vectorized Rust path kernel,
+    stages/jsoncol.py — never a Python row loop) and reduce per event type
+    with MERGEABLE (count, sum, min, max) partials: one tiny row per
+    (block, type) crosses the single-task final merge; raw payloads never
+    shuffle."""
+    import pyarrow.compute as pc_
+
+    from encode_ingest_ray.stages.jsoncol import json_extract_int64
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract_partial(t: pa.Table) -> pa.Table:
+        j = json_extract_int64(t, "props", "k", "k")
+        g = j.select(["event_type", "k"]).group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate(
+            [("n_k", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        g = g.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_k": pc_.cast(g.column("n_k"), pa.int64()),
+                "sum_k": g.column("sum_k"),
+                "min_k": g.column("min_k"),
+                "max_k": g.column("max_k"),
+            }
+        )
+
+    partials = ds.map_batches(
+        extract_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )

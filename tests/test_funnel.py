@@ -83,3 +83,23 @@ def test_cohort_partials_first_touch_and_offsets():
         for r in cohort_partials(t, "u", "ts").to_pylist()
     }
     assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_json_extract_int64_nulls_and_missing():
+    import pyarrow as pa
+
+    from encode_ingest_ray.stages.jsoncol import json_extract_int64
+
+    t = pa.table({"props": ['{"k": 69}', '{"k": -2, "x": 1}', None, "{}"]})
+    out = json_extract_int64(t, "props", "k", "k")
+    assert out.column("k").to_pylist() == [69, -2, None, None]
+    assert out.column("k").type == pa.int64()
+
+
+def test_json_props_stats_runs(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    out = registry.QUERIES["json_props_stats"](sf_dir)
+    assert out.count() == 5
+    assert "json_props_stats" in registry.ORACLE
