@@ -171,6 +171,8 @@ _FAMILY_COVERED = {
                                 # funnel_signup_purchase keeps the row
     "json_props_stats",      # projection+mergeable-aggregate family —
                              # q1_pricing_summary keeps the row
+    "unpivot_event_counts",  # reshape family — pivot_event_counts keeps
+                             # the row
 }
 
 

@@ -311,3 +311,40 @@ def zorder_orders_layout(sf_dir: str):
         day, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return zorder_keys(pre, "o_custkey", "day", ["o_orderkey"])
+
+
+UNPIVOT_SQL = """
+WITH p AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+         COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM p
+UNPIVOT (n FOR event_type IN (
+  n_click AS 'click', n_error AS 'error', n_purchase AS 'purchase',
+  n_signup AS 'signup', n_view AS 'view'))
+"""
+
+
+@register("unpivot_event_counts", UNPIVOT_SQL)
+def unpivot_event_counts(sf_dir: str):
+    """UNPIVOT: the pivoted per-user count matrix melted back to
+    (user_id, event_type, n) long form — zero rows included, proving the
+    reshape family round-trips.  The melt itself is block-local column
+    slicing (stages/explode.melt_table, no exchange); the only exchange is
+    the pivot's own."""
+    from encode_ingest_ray.stages.explode import melt_table
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    wide = pivot_count_columns(ds, "user_id", "event_type", EVENT_TYPES)
+    value_cols = {f"n_{e}": e for e in EVENT_TYPES}
+    return wide.map_batches(
+        lambda t: melt_table(t, ["user_id"], value_cols, "event_type", "n"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -64,3 +64,32 @@ def split_by_predicate(
         ds.map_batches(
             lambda t: t.filter(pc.invert(predicate_fn(t))), batch_format="pyarrow", batch_size=None),
     )
+
+
+def melt_table(
+    t: pa.Table,
+    id_cols: list[str],
+    value_cols: dict[str, str],
+    var_name: str,
+    value_name: str,
+) -> pa.Table:
+    """UNPIVOT/melt: wide columns back to (id…, var, value) long form.
+
+    ``value_cols`` maps source column -> emitted category label.  Pure
+    column slicing + one concat per value column (zero-copy id columns, a
+    constant dictionary-ish label array per slice) — no exchange; melt is
+    embarrassingly block-local, the inverse of the pivot whose exchange
+    already happened.
+    """
+    pieces = []
+    for col, label in value_cols.items():
+        pieces.append(
+            pa.table(
+                {c: t.column(c) for c in id_cols}
+                | {
+                    var_name: pa.array([label] * t.num_rows, pa.string()),
+                    value_name: pc.cast(t.column(col), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(pieces)

@@ -188,3 +188,18 @@ def test_wire_pack_roundtrip_property():
         assert unpack_table(pack_table(sl)) == sl
 
     check()
+
+
+def test_melt_table_roundtrips_pivot():
+    from encode_ingest_ray.stages.explode import melt_table
+
+    wide = pa.table(
+        {
+            "k": [1, 2],
+            "n_a": pa.array([3, 0], pa.int64()),
+            "n_b": pa.array([0, 7], pa.int64()),
+        }
+    )
+    out = melt_table(wide, ["k"], {"n_a": "a", "n_b": "b"}, "cat", "n")
+    rows = sorted(zip(*[out.column(c).to_pylist() for c in ["k", "cat", "n"]]))
+    assert rows == [(1, "a", 3), (1, "b", 0), (2, "a", 0), (2, "b", 7)]
