@@ -173,6 +173,9 @@ _FAMILY_COVERED = {
                              # q1_pricing_summary keeps the row
     "unpivot_event_counts",  # reshape family — pivot_event_counts keeps
                              # the row
+    "rolling_active_users",  # window/distinct family — window_tumbling and
+                             # interval_coverage_user keep the rows
+    "filtered_ann_search",   # ANN family — ann_brute_force stays
 }
 
 

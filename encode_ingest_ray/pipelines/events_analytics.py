@@ -199,3 +199,119 @@ def json_props_stats(sf_dir: str):
     return partials.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     )
+
+
+_DAY_US = 86_400 * 10**6
+
+ROLLING_DAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS rolling7_users
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@register("rolling_active_users", ROLLING_DAU_SQL)
+def rolling_active_users(sf_dir: str):
+    """Rolling 7-day DISTINCT active users per observed day — the rolling
+    window nobody can pre-aggregate with plain sums because DISTINCT does
+    not decompose.  Exact decomposition that never re-counts: per user, the
+    days covered by "active within the trailing week" form merged islands
+    ([first, last+6] for runs of active days ≤ 6 apart), so each user
+    contributes ±1 DELTA rows at island boundaries; summing deltas by day
+    and prefix-scanning yields the exact distinct count.
+
+    Shape: one user-key exchange (distinct days, island detection, delta
+    emission all in-bucket), per-day delta partials combined, then ONE
+    final task sorts the ~|distinct days| delta rows and evaluates the
+    prefix sum at each observed day — the final is domain-bounded (days,
+    not users or events), documented per the custom-operator guidance."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        us = pc_.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc_.divide(us, _DAY_US),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        day = t.column("day").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        # distinct (user, day)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        # island break: new user, or gap > 6 days (a 7-day-apart pair is two
+        # adjacent non-overlapping intervals — separate deltas cancel exactly)
+        brk = np.ones(len(u), bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 6)
+        starts = d[brk]
+        last = np.append(brk[1:], True)  # last member of each island
+        ends = d[last] + 7               # exclusive delta position
+        obs = np.unique(d)
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([starts, ends, obs]), pa.int64()
+                ),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(starts), np.int64),
+                            -np.ones(len(ends), np.int64),
+                            np.zeros(len(obs), np.int64),
+                        ]
+                    )
+                ),
+                "is_obs": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(starts), np.int64),
+                            np.zeros(len(ends), np.int64),
+                            np.ones(len(obs), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    days = ds.map_batches(
+        to_days, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    deltas = bucketed_groupby_apply(days, ["user_id"], per_bucket)
+    combined = bucketed_sum_combine(deltas, ["day"], ["delta", "is_obs"], 4)
+
+    def final(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.sort_by([("day", "ascending")])
+        d = s.column("day").to_numpy(zero_copy_only=False)
+        run = np.cumsum(s.column("delta").to_numpy(zero_copy_only=False))
+        obs = s.column("is_obs").to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "day": pa.array(d[obs], pa.int64()),
+                "rolling7_users": pa.array(run[obs], pa.int64()),
+            }
+        )
+
+    return combined.repartition(1).map_batches(
+        lambda t: final(t.combine_chunks()), batch_format="pyarrow", batch_size=None
+    )

@@ -1076,3 +1076,84 @@ def kmeans_embeddings(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
     )
     return kmeans_milli(ds, "vec_id", "embedding", k=4, rounds=2)
+
+
+FILTERED_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+),
+allowed AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(1000 * list_cosine_similarity(e.embedding, q.embedding))
+              AS BIGINT) AS cos_milli
+  FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
+)
+SELECT query_id, neighbor_id, cos_milli
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_milli DESC, neighbor_id) AS rn
+  FROM sims
+)
+WHERE rn <= 5
+"""
+
+
+@register("filtered_ann_search", FILTERED_ANN_SQL)
+def filtered_ann_search(sf_dir: str):
+    """Metadata-filtered vector search — the vector-DB composition
+    (`WHERE lang = 'de'` + cosine top-k).  The allowed-id side streams from
+    the documents scan with the predicate pushed into the parquet read and
+    CO-HASH semi-joins the embedding corpus on id (scale-honest: neither
+    side is broadcast — at 100 TB a metadata filter's id set outgrows
+    worker RAM; the broadcast variant is semi_join_filter for small sets);
+    survivors run the identical per-block top-k + per-query reduce as
+    ann_brute_force, so the oracle parity argument carries over.
+
+    Acero joins reject list<float> payloads, so the vector rides through
+    the exchange as FixedSizeBinary (zero-copy numpy pack/unpack around
+    the join; float32 bit patterns unchanged, cosine identical)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from encode_ingest_ray.stages.joins import cohash_join
+
+    emb = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        dim = len(col[0])
+        flat = np.asarray(col.flatten(), dtype=np.float32)
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim * 4), t.num_rows, [None, pa.py_buffer(flat.tobytes())]
+        )
+        return pa.table({"vec_id": t.column("vec_id"), "emb": fsb})
+
+    def unpack(j: pa.Table) -> pa.Table:
+        arr = j.column("emb").combine_chunks()
+        if len(arr) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        dim = arr.type.byte_width // 4
+        a = np.frombuffer(arr.buffers()[1], dtype=np.float32)
+        off = arr.offset * dim
+        vals = a[off : off + len(arr) * dim]
+        fsl = pa.FixedSizeListArray.from_arrays(pa.array(vals, pa.float32()), dim)
+        return pa.table({"vec_id": j.column("vec_id"), "embedding": fsl})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"],
+        filter=(pads.field("lang") == "de"),
+    )
+    packed = emb.map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    joined = cohash_join(packed, docs, "vec_id", "doc_id", map_joined=unpack)
+    return brute_force_topk(joined, _queries_table(sf_dir), k=5)

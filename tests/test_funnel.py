@@ -103,3 +103,23 @@ def test_json_props_stats_runs(ray_session, sf_dir):
     out = registry.QUERIES["json_props_stats"](sf_dir)
     assert out.count() == 5
     assert "json_props_stats" in registry.ORACLE
+
+
+def test_rolling_active_users_matches_naive(ray_session, sf_dir):
+    import duckdb
+
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    out = registry.QUERIES["rolling_active_users"](sf_dir)
+    got = {
+        (r["day"], r["rolling7_users"]) for r in out.take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = set(
+        map(tuple, con.execute(registry.ORACLE["rolling_active_users"]).fetchall())
+    )
+    assert got == want

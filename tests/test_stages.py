@@ -203,3 +203,35 @@ def test_melt_table_roundtrips_pivot():
     out = melt_table(wide, ["k"], {"n_a": "a", "n_b": "b"}, "cat", "n")
     rows = sorted(zip(*[out.column(c).to_pylist() for c in ["k", "cat", "n"]]))
     assert rows == [(1, "a", 3), (1, "b", 0), (2, "a", 0), (2, "b", 7)]
+
+
+def test_filtered_ann_search_subset_of_allowed(ray_session, sf_dir):
+    import duckdb
+
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    out = registry.QUERIES["filtered_ann_search"](sf_dir)
+    if isinstance(out, pa.Table):
+        t = out
+    else:
+        blocks = [
+            b for b in __import__("ray").get(out.to_arrow_refs()) if b.num_rows
+        ]
+        t = pa.concat_tables(blocks)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    allowed = {
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM documents WHERE lang = 'de'"
+        ).fetchall()
+    }
+    neigh = set(t.column("neighbor_id").to_pylist())
+    assert neigh and neigh <= allowed
+    # every query returns exactly k=5 ranked neighbors
+    import collections
+
+    c = collections.Counter(t.column("query_id").to_pylist())
+    assert set(c) == set(range(8)) and all(v == 5 for v in c.values())
