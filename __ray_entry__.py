@@ -176,6 +176,8 @@ _FAMILY_COVERED = {
     "rolling_active_users",  # window/distinct family — window_tumbling and
                              # interval_coverage_user keep the rows
     "filtered_ann_search",   # ANN family — ann_brute_force stays
+    "q3_shipping_priority",  # star-join family — q5_local_supplier_volume
+                             # stays
 }
 
 

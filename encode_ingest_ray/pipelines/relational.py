@@ -348,3 +348,125 @@ def unpivot_event_counts(sf_dir: str):
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       epoch_us(o_orderdate) AS o_date_us,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_date_us, o_orderpriority
+ORDER BY revenue_cents DESC, o_date_us, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_SQL)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the join→aggregate→global-ordered-top-k plan:
+    both date predicates and the segment filter push into the parquet
+    reads (only qualifying row groups decode), the two fact joins each pay
+    one co-hashed exchange, the revenue aggregation completes INSIDE the
+    second join task (orderkey is the bucket key, so groups never split),
+    and each bucket forwards only its local ordered top-10 to the final
+    reduce — the global sort touches num_buckets×10 rows, not the
+    aggregate."""
+    import datetime
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from encode_ingest_ray.stages.joins import cohash_join
+
+    cutoff = datetime.datetime(1998, 6, 1)
+
+    # size-aware block counts (the M10/filtered-read pattern): without
+    # override_num_blocks Ray splits the filtered read into 64 tiny blocks
+    # and both joins inherit a 64-bucket exchange of near-empty groups
+    # (measured 9.9 s -> 1.5 s at sf0.01)
+    def _blocks(name: str) -> int:
+        sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        return max(1, min(64, sz // (8 << 20)))
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"),
+        override_num_blocks=_blocks("customer"),
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cutoff),
+        override_num_blocks=_blocks("orders"),
+    )
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") > cutoff),
+        override_num_blocks=_blocks("lineitem"),
+    )
+    num_buckets = max(2, _blocks("lineitem"))
+
+    cust_orders = cohash_join(
+        orders,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        num_buckets=num_buckets,
+        map_joined=lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+    )
+
+    def agg_topk(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(1.0, t.column("l_discount")),
+            )
+        )
+        t2 = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_date_us": t.column("o_date_us"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "rev": rev,
+            }
+        )
+        g = t2.group_by(["l_orderkey", "o_date_us", "o_orderpriority"]).aggregate(
+            [("rev", "sum")]
+        )
+        g = g.rename_columns(
+            ["l_orderkey", "o_date_us", "o_orderpriority", "revenue_cents"]
+        )
+        g = g.sort_by(
+            [
+                ("revenue_cents", "descending"),
+                ("o_date_us", "ascending"),
+                ("l_orderkey", "ascending"),
+            ]
+        ).slice(0, 10)
+        return g.select(
+            ["l_orderkey", "revenue_cents", "o_date_us", "o_orderpriority"]
+        )
+
+    joined = cohash_join(
+        line, cust_orders, "l_orderkey", "o_orderkey",
+        num_buckets=num_buckets, map_joined=agg_topk,
+    )
+    return joined.sort(
+        ["revenue_cents", "o_date_us", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)

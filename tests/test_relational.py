@@ -61,3 +61,14 @@ def test_rollup_levels_and_nulls(ray_session):
     assert perf == {"A": 7, "B": 8}
     grand = [v for (f, s), v in by.items() if f is None and s is None]
     assert grand == [15]
+
+
+def test_q3_shipping_priority_runs(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    out = registry.QUERIES["q3_shipping_priority"](sf_dir)
+    rows = out.take_all()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue_cents"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
