@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "moving_sum_orders",
     "ohlc_user_daily",
     "outlier_zscore_events",
+    # round-3 continuation 7/8: robust rank-selection + rolling DISTINCT
+    "grouped_mad_orders",
+    "rolling_active_users",
 ]
 
 
