@@ -178,6 +178,27 @@ _FAMILY_COVERED = {
     "filtered_ann_search",   # ANN family — ann_brute_force stays
     "q3_shipping_priority",  # star-join family — q5_local_supplier_volume
                              # stays
+    # round-3 continuation 9: four new families enter tier 0
+    # (substring_dup_stats = substring-level dedup, heavy_hitters_users =
+    # guaranteed-exact two-pass Misra-Gries, gap_fill_daily = resample/LOCF
+    # imputation, inverted_index = search-index build); their siblings ride
+    # tier 1 and four covered representatives move down:
+    "last_touch_attribution",  # temporal family — asof_latest_order
+                               # (cross-table as-of) keeps the row
+    "proportional_allocation", # training-mixture arithmetic —
+                               # sequence_packing keeps the assembly row
+    "conversation_text",     # sorted-collect family — inverted_index
+                             # (postings CSV, same kernel at vocabulary
+                             # cardinality) takes the row; CDC keeps
+                             # engine/snapshot/evolution/SCD2/MV rows
+    "cdc_schema_evolution",  # CDC family — engine/snapshot/SCD2/
+                             # incremental-MV keep four driver rows
+    "ohlc_user_daily",       # time-series-grid family — gap_fill_daily
+                             # (resample + imputation) takes the row;
+                             # moving_sum_orders keeps the frame-window row
+    "moving_sum_orders",     # window-frame family — window_rank_orders
+                             # (partitioned window) and interval_coverage_user
+                             # (running max) keep the rows
 }
 
 

@@ -35,6 +35,7 @@ def load_all() -> None:
         events_analytics,
         graph,
         llmprep,
+        mining,
         ranking,
         relational,
         setops_queries,

@@ -229,3 +229,104 @@ def event_transition_counts(sf_dir: str):
 
     partials = bucketed_groupby_apply(ds, ["user_id"], per_bucket)
     return bucketed_sum_combine(partials, ["prev_type", "next_type"], ["n"], 1)
+
+
+GAP_FILL_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS ts_us, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY user_id),
+g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+cnt AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM d GROUP BY user_id, day),
+lastd AS (
+  SELECT user_id, day, event_type FROM d
+  QUALIFY row_number() OVER (PARTITION BY user_id, day
+                             ORDER BY ts_us DESC, event_id DESC) = 1
+)
+SELECT g.user_id, g.day, COALESCE(cnt.n_events, 0) AS n_events,
+       last_value(lastd.event_type IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+FROM g LEFT JOIN cnt USING (user_id, day) LEFT JOIN lastd USING (user_id, day)
+"""
+
+
+@register("gap_fill_daily", GAP_FILL_SQL)
+def gap_fill_daily(sf_dir: str):
+    """Time-series resample + LOCF imputation: densify each user's event
+    stream to one row per calendar day (first..last event day), zero-filling
+    ``n_events`` on gap days and forward-filling ``last_type`` (latest
+    event's type at or before each day's end, (ts, event_id) tie-broken).
+    One hash exchange on the key; the dense grid is generated INSIDE the
+    bucket task (stages/temporal.gap_fill_daily_bucket) so gap rows never
+    cross the wire — the missing-data-imputation family's representative
+    beside the downsampling (ohlc_user_daily) and windowed shapes."""
+    from encode_ingest_ray.stages.temporal import gap_fill_daily_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed_groupby_apply(pre, ["user_id"], gap_fill_daily_bucket)
+
+
+LAST_TOUCH_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+t AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         s.event_id AS touch_id, s.event_type AS touch_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY s.ts_us DESC, s.event_id DESC) AS rn
+  FROM e p JOIN e s
+    ON s.user_id = p.user_id
+   AND s.event_type IN ('click', 'view')
+   AND (s.ts_us < p.ts_us OR (s.ts_us = p.ts_us AND s.event_id < p.event_id))
+   AND p.ts_us - s.ts_us <= 1800000000
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, user_id, touch_id, touch_type FROM t WHERE rn = 1
+"""
+
+
+@register("last_touch_attribution", LAST_TOUCH_SQL)
+def last_touch_attribution(sf_dir: str):
+    """Marketing-attribution operator: each purchase is attributed to the
+    nearest strictly-preceding click/view by the same user within 30
+    minutes (stream order (ts, event_id)).  Same one-exchange lag-window
+    shape as event_lag_gaps, but the per-bucket kernel is a masked
+    ``np.maximum.accumulate`` carry (stages/temporal.last_touch_bucket) —
+    the self-table sibling of the asof join."""
+    from encode_ingest_ray.stages.temporal import last_touch_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed_groupby_apply(pre, ["user_id"], last_touch_bucket)

@@ -227,3 +227,36 @@ def grouped_approx_quantiles(
         )
 
     return bucketed_groupby_apply(partials, [key], merge_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeability per Agarwal
+# et al., "Mergeable Summaries", PODS 2012)
+# ---------------------------------------------------------------------------
+def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Compress a (key, count) frequency vector to at most ``k`` counters by
+    subtracting the (k+1)-th largest count from every counter and dropping
+    the non-positive ones — the batch form of the Misra-Gries decrement.
+
+    Guarantee: each surviving count under-reports its input by at most the
+    subtracted value ``d``, and ``d * (k + 1) <= sum(counts)`` — so across
+    blocks the total per-key undercount is at most ``N / (k + 1)``.
+    """
+    if len(keys) <= k:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    adj = counts - kth
+    keep = adj > 0
+    return keys[keep], adj[keep]
+
+
+def mg_block_partial(values: np.ndarray, k: int):
+    """One block's Misra-Gries summary: exact ``np.unique`` counts (the block
+    fits in the task by construction) compressed to ``k`` counters.  Returns
+    ``(keys, counts, n)`` with ``n`` the block's row count — partials are
+    merged by plain per-key summation (no re-compression needed: summed
+    undercount stays <= N/(k+1), see :func:`mg_compress`), so they ride the
+    repo's standard partial-sum exchange."""
+    u, c = np.unique(values, return_counts=True)
+    ku, kc = mg_compress(u, c, k)
+    return ku, kc, len(values)

@@ -281,3 +281,121 @@ def interval_count_join(
         _count_bucket, batch_format="pyarrow"
     )
     return bucketed_sum_combine(partials, [iv_id], [out_count])
+
+
+_DAY_US = 86_400_000_000
+
+
+def gap_fill_daily_bucket(
+    t: pa.Table,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    id_col: str = "event_id",
+    label: str = "event_type",
+) -> pa.Table:
+    """Per-bucket kernel for the daily resample + forward-fill operator: for
+    every key, emit one row per calendar day from its first to its last
+    event day — ``n_events`` that day (0 on gap days) and ``last_type``, the
+    label of the latest event at or before the day's end ((ts, id)
+    tie-broken).  The time-series gap-fill / LOCF-imputation shape: the
+    dense grid is GENERATED (np.repeat + arange), counts and carry-forward
+    indices come from two ``searchsorted`` probes over the sorted events —
+    no per-key loop, no row ever crosses another bucket (each key's whole
+    series is co-hashed here by construction)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "last_type": pa.array([], pa.string()),
+            }
+        )
+    eid = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+    uid = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    tus = t.column(ts).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, tus, uid))
+    u, s = uid[order], tus[order]
+    day = s // _DAY_US
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], len(u)]
+    lo, hi = day[starts], day[ends - 1]
+    span = (hi - lo + 1).astype(np.int64)
+    # dense (key, day) grid, one row per key-day
+    grid_key = np.repeat(u[starts], span)
+    base = np.repeat(lo, span)
+    offs = np.arange(span.sum(), dtype=np.int64) - np.repeat(
+        np.r_[0, np.cumsum(span)[:-1]], span
+    )
+    grid_day = base + offs
+    # encode (key, day) pairs on one axis so a single searchsorted serves
+    # every key; day spans ~2^20 << 2^40 so key*2^40 + day never collides
+    enc_ev = u * (1 << 40) + day
+    enc_grid = grid_key * (1 << 40) + grid_day
+    right = np.searchsorted(enc_ev, enc_grid, side="right")
+    left = np.searchsorted(enc_ev, enc_grid, side="left")
+    n_events = (right - left).astype(np.int64)
+    # carry-forward: latest event at-or-before day end; grid starts at each
+    # key's first event day, so right >= 1 within the key — never underflows
+    # into the previous key
+    labels = t.column(label).combine_chunks().take(pa.array(order, pa.int64()))
+    last_type = labels.take(pa.array(right - 1, pa.int64()))
+    return pa.table(
+        {
+            key: pa.array(grid_key, pa.int64()),
+            "day": pa.array(grid_day, pa.int64()),
+            "n_events": pa.array(n_events),
+            "last_type": last_type,
+        }
+    )
+
+
+def last_touch_bucket(
+    t: pa.Table,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    target_type: str = "purchase",
+    window_us: int = 30 * 60 * 1_000_000,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """Per-bucket last-touch attribution: each ``target_type`` event is
+    attributed to the nearest strictly-preceding (stream order: (ts, id))
+    event of a ``touch_types`` type by the same key within ``window_us``.
+    One ``np.maximum.accumulate`` over touch positions in the sorted bucket
+    — the cross-key guard is positional (a carried index from another key
+    fails the ``key[idx] == key[i]`` check because the sort groups keys)."""
+    eid = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+    uid = t.column(key).combine_chunks().to_numpy(zero_copy_only=False)
+    tus = t.column(ts).combine_chunks().to_numpy(zero_copy_only=False)
+    et = t.column(type_col).combine_chunks()
+    order = np.lexsort((eid, tus, uid))
+    u, s, e = uid[order], tus[order], eid[order]
+    types = et.take(pa.array(order, pa.int64()))
+    is_touch = pc.is_in(types, value_set=pa.array(touch_types)).to_numpy(
+        zero_copy_only=False
+    )
+    is_target = pc.equal(types, target_type).to_numpy(zero_copy_only=False)
+    n = len(u)
+    pos = np.arange(n, dtype=np.int64)
+    touch_pos = np.where(is_touch, pos, -1)
+    # exclusive accumulate: shift so a target never attributes to itself
+    carried = np.maximum.accumulate(touch_pos)
+    prev = np.empty(n, np.int64)
+    prev[0] = -1
+    prev[1:] = carried[:-1]
+    ti = np.flatnonzero(is_target)
+    cand = prev[ti]
+    ok = cand >= 0
+    ok &= np.where(ok, u[np.maximum(cand, 0)] == u[ti], False)
+    ok &= np.where(ok, s[ti] - s[np.maximum(cand, 0)] <= window_us, False)
+    ti, cand = ti[ok], cand[ok]
+    return pa.table(
+        {
+            "purchase_id": pa.array(e[ti]),
+            key: pa.array(u[ti]),
+            "touch_id": pa.array(e[cand]),
+            "touch_type": types.take(pa.array(cand, pa.int64())),
+        }
+    )

@@ -1,0 +1,201 @@
+"""Kernel tests for the mining family: Misra-Gries heavy hitters,
+duplicated-substring spans, inverted index, gap-fill/LOCF, last-touch
+attribution, largest-remainder allocation."""
+
+import numpy as np
+import pyarrow as pa
+
+from encode_ingest_ray.stages.dupspans import dup_doc_partials, gram_position_partials
+from encode_ingest_ray.stages.sketch import mg_block_partial, mg_compress
+from encode_ingest_ray.stages.temporal import gap_fill_daily_bucket, last_touch_bucket
+
+_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: the survival guarantee under blockwise summaries + plain sums
+# ---------------------------------------------------------------------------
+def test_mg_zipf_guarantee():
+    rng = np.random.default_rng(7)
+    # zipf stream over ~10k distinct keys — far above k, real decrements
+    vals = rng.zipf(1.3, size=200_000)
+    vals = vals[vals < 50_000]
+    k = 16
+    n_total = len(vals)
+    true_u, true_c = np.unique(vals, return_counts=True)
+    heavy = set(true_u[true_c * k > n_total].tolist())
+    assert heavy, "test setup must produce at least one heavy key"
+
+    # blockwise partials merged by plain per-key summation
+    sums: dict = {}
+    for blk in np.array_split(vals, 37):
+        ku, kc, _ = mg_block_partial(blk, k)
+        assert len(ku) <= k
+        for key, c in zip(ku.tolist(), kc.tolist()):
+            sums[key] = sums.get(key, 0) + c
+    # undercount bound: summed sketch count >= true - N/(k+1)
+    for key, c in zip(true_u.tolist(), true_c.tolist()):
+        assert sums.get(key, 0) >= c - n_total // (k + 1) - 1
+    # candidate rule keeps every true heavy hitter
+    cands = {key for key, c in sums.items() if c * k * (k + 1) > n_total}
+    assert heavy <= cands
+    # sketch never over-counts
+    for key, c in sums.items():
+        assert c <= true_c[np.searchsorted(true_u, key)]
+
+
+def test_mg_compress_bound():
+    keys = np.arange(100)
+    counts = np.arange(1, 101)
+    ku, kc, = mg_compress(keys, counts, 10)
+    assert len(ku) <= 10
+    d = counts.sum() - kc.sum()
+    # subtracted mass respects d * (k+1) <= n per counter dropped
+    kth = np.partition(counts, len(counts) - 11)[len(counts) - 11]
+    assert np.all(kc == counts[np.isin(keys, ku)] - kth)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring spans vs brute force
+# ---------------------------------------------------------------------------
+def _brute_dup_stats(docs: dict, L: int = 8):
+    from collections import Counter
+
+    grams_by_doc = {}
+    for d, text in docs.items():
+        ws = text.split()
+        if len(ws) < L:
+            grams_by_doc[d] = [" ".join(ws)]
+        else:
+            grams_by_doc[d] = [
+                " ".join(ws[i : i + L]) for i in range(len(ws) - L + 1)
+            ]
+    total = Counter(g for gs in grams_by_doc.values() for g in gs)
+    out = {}
+    for d, gs in grams_by_doc.items():
+        out[d] = (len(gs), sum(1 for g in gs if total[g] >= 2))
+    return out
+
+
+def test_dupspans_kernel_matches_brute_force():
+    docs = {
+        1: "a b c d e f g h i j",          # shares the 8-gram a..h with doc 2
+        2: "a b c d e f g h x y",
+        3: "unique words only here now",    # short doc -> whole-doc gram
+        4: "unique words only here now",    # exact short-dup of doc 3
+        5: "z " * 20,                        # within-doc repeated grams
+        6: "",                               # empty doc -> one empty gram... paired with 7
+        7: "",
+    }
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in docs], pa.string()),
+        }
+    )
+    parts = gram_position_partials(batch, L=8)
+    reduced = dup_doc_partials(parts)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"]) for r in reduced.to_pylist()
+    }
+    assert got == _brute_dup_stats({k: v for k, v in docs.items()})
+
+
+def test_dupspans_split_blocks_equal_single_block():
+    docs = ["w x y z " * 4, "w x y z " * 4, "p q r s t u v w x"]
+    full = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(docs)}
+    )
+    parts_full = gram_position_partials(full, L=8)
+    blocks = [full.slice(0, 2), full.slice(2, 1)]
+    parts_split = pa.concat_tables([gram_position_partials(b, L=8) for b in blocks])
+    # the gram-bucket reduce sees the union either way
+    a = dup_doc_partials(parts_full).sort_by("doc_id").to_pylist()
+    b = dup_doc_partials(parts_split).sort_by("doc_id").to_pylist()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# gap fill / LOCF
+# ---------------------------------------------------------------------------
+def test_gap_fill_bucket():
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([10, 10, 10, 20, 20], pa.int64()),
+            "ts_us": pa.array(
+                [0, 2 * _DAY + 5, 2 * _DAY + 5, _DAY, 4 * _DAY], pa.int64()
+            ),
+            "event_type": pa.array(["a", "b", "c", "x", "y"]),
+        }
+    )
+    out = gap_fill_daily_bucket(t)
+    rows = {(r["user_id"], r["day"]): (r["n_events"], r["last_type"]) for r in out.to_pylist()}
+    assert rows == {
+        (10, 0): (1, "a"),
+        (10, 1): (0, "a"),          # gap day, carried forward
+        (10, 2): (2, "c"),          # tie on ts -> higher event_id wins
+        (20, 1): (1, "x"),
+        (20, 2): (0, "x"),
+        (20, 3): (0, "x"),
+        (20, 4): (1, "y"),
+    }
+    # empty bucket keeps schema
+    assert gap_fill_daily_bucket(t.slice(0, 0)).column_names == [
+        "user_id", "day", "n_events", "last_type",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+def test_last_touch_bucket():
+    m = 60 * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts_us": pa.array(
+                [0, 10 * m, 40 * m + 1, 41 * m, 0, 30 * m, 5 * m, 5 * m],
+                pa.int64(),
+            ),
+            "event_type": pa.array(
+                ["click", "view", "purchase", "purchase",
+                 "click", "purchase", "purchase", "click"]
+            ),
+        }
+    )
+    out = last_touch_bucket(t)
+    rows = {r["purchase_id"]: (r["touch_id"], r["touch_type"]) for r in out.to_pylist()}
+    # purchase 3 at 40m+1: view(2)@10m is 30m+1 ago -> OUTSIDE the window
+    # purchase 4 at 41m: also outside
+    # purchase 6 at exactly 30m after click(5): inclusive boundary -> attributed
+    # purchase 7 at same ts as click(8) but LOWER event_id -> click is after in
+    #   stream order -> no attribution
+    assert rows == {6: (5, "click")}
+
+
+def test_last_touch_same_ts_earlier_id_attributes():
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts_us": pa.array([100, 100], pa.int64()),
+            "event_type": pa.array(["click", "purchase"]),
+        }
+    )
+    rows = last_touch_bucket(t).to_pylist()
+    assert len(rows) == 1 and rows[0]["touch_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder allocation (via the registered query on real data)
+# ---------------------------------------------------------------------------
+def test_proportional_allocation_sums_to_budget(sf_dir):
+    from encode_ingest_ray.pipelines.mining import _BUDGET, proportional_allocation
+
+    rows = proportional_allocation(sf_dir).take_all()
+    assert sum(r["alloc"] for r in rows) == _BUDGET
+    total = sum(r["n"] for r in rows)
+    for r in rows:  # every group within 1 of its exact proportional share
+        assert abs(r["alloc"] - _BUDGET * r["n"] / total) < 1
