@@ -199,6 +199,14 @@ _FAMILY_COVERED = {
     "moving_sum_orders",     # window-frame family — window_rank_orders
                              # (partitioned window) and interval_coverage_user
                              # (running max) keep the rows
+    # debounce_events (stateful stream throttle — the greedy kept-chain no
+    # lag/session window expresses) enters tier 0; one temporal-join
+    # sibling moves down, and the NTILE histogram rides the ranking family:
+    "range_join_window",     # temporal-join family — asof_latest_order
+                             # keeps the row
+    "equi_depth_prices",     # global-total-order family — window_rank_orders
+                             # stays; global_rank_orders is the demoted
+                             # sibling this composes
 }
 
 

@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # round-3 continuation 7/8: robust rank-selection + rolling DISTINCT
     "grouped_mad_orders",
     "rolling_active_users",
+    # round-3 continuation 9: mining family (two-pass Misra-Gries heavy
+    # hitters, substring-level dup spans, gap-fill/LOCF resample)
+    "heavy_hitters_events",
+    "substring_dup_stats",
+    "gap_fill_daily",
 ]
 
 

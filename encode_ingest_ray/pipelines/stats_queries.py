@@ -485,3 +485,86 @@ def profile_orders_columns(sf_dir: str):
     return profile_dataset(
         pre, ["o_orderkey", "price_cents", "o_orderstatus", "o_orderpriority"]
     )
+
+
+_NTILES = 16
+
+EQUI_DEPTH_SQL = f"""
+WITH r AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+), t AS (
+  SELECT cents, NTILE({_NTILES}) OVER (ORDER BY cents, o_orderkey) AS bucket
+  FROM r
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM t GROUP BY bucket
+"""
+
+
+@register("equi_depth_prices", EQUI_DEPTH_SQL)
+def equi_depth_prices(sf_dir: str):
+    """Equal-frequency (equi-depth) histogram of order prices: global
+    NTILE(16) boundaries + per-bucket counts and [lo, hi] cents ranges —
+    the quantile-binning feature-engineering op (and the stats a
+    cost-based optimizer's equi-depth histograms are built from).  Rides
+    the distributed total-order machinery (stages/ranking.global_rank:
+    strided sample → DISTINCT range splits → local rank + exclusive
+    prefix-sum offsets); the NTILE assignment is a closed-form function of
+    (rn, N) applied per block, and only 16-row (bucket, n, lo, hi)
+    partials leave — raw prices shuffle exactly once, inside global_rank's
+    range exchange."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.ranking import global_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_total = ds.count()  # parquet metadata count, no scan
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "cents": _cents(t.column("o_totalprice"))}
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    ranked = global_rank(pre, "cents", "o_orderkey", descending=False)
+    q, r = divmod(n_total, _NTILES)
+    thr = r * (q + 1)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        rn = t.column("rn").combine_chunks().to_numpy(zero_copy_only=False)
+        # exact SQL NTILE: the first (N % b) buckets hold ceil(N/b) rows
+        b = np.where(
+            rn <= thr,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - thr - 1) // max(q, 1) + 1,
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                "bucket": pa.array(b),
+                "n": pa.array(np.ones(len(b), np.int64)),
+                "lo_cents": t.column("cents"),
+                "hi_cents": t.column("cents"),
+            }
+        )
+        g = part.group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("lo_cents", "min"), ("hi_cents", "max")]
+        )
+        return g.rename_columns(["bucket", "n", "lo_cents", "hi_cents"])
+
+    parts = ranked.map_batches(
+        bucket_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("lo_cents", "min"), ("hi_cents", "max")]
+        )
+        return g.rename_columns(["bucket", "n", "lo_cents", "hi_cents"])
+
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

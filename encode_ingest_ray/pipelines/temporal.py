@@ -330,3 +330,59 @@ def last_touch_attribution(sf_dir: str):
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return bucketed_groupby_apply(pre, ["user_id"], last_touch_bucket)
+
+
+_DEBOUNCE_US = 86_400_000_000  # 1 day
+
+DEBOUNCE_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+keep AS (
+  (SELECT user_id, event_type, ts_us, event_id FROM e
+   QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) = 1)
+  UNION ALL
+  SELECT n.user_id, n.event_type, n.ts_us, n.event_id
+  FROM keep k, LATERAL (
+    SELECT e.user_id, e.event_type, e.ts_us, e.event_id FROM e
+    WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+      AND e.ts_us > k.ts_us + {_DEBOUNCE_US}
+    ORDER BY e.ts_us, e.event_id LIMIT 1) n
+)
+SELECT user_id, event_type, ts_us, event_id FROM keep
+"""
+
+
+@register("debounce_events", DEBOUNCE_SQL)
+def debounce_events(sf_dir: str):
+    """Stateful stream throttle: per (user, event_type), keep an event only
+    if it is more than 1 day after the last KEPT event of that key — the
+    debounce / notification-rate-limit op.  The kept set is a greedy chain
+    no lag or session window can express (each decision depends on the
+    previous KEPT row), so it's the brief's stateful-streaming
+    custom-operator class: one hash exchange co-locates each key, then a
+    sequential-by-construction searchsorted-jump walk per key
+    (stages/temporal.debounce_bucket; O(kept·log n), keys parallel).  The
+    oracle is the same chain as a recursive LATERAL nearest-successor
+    CTE."""
+    from encode_ingest_ray.stages.temporal import debounce_bucket
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed_groupby_apply(
+        pre, ["user_id"], lambda t: debounce_bucket(t, _DEBOUNCE_US)
+    )

@@ -399,3 +399,52 @@ def last_touch_bucket(
             "touch_type": types.take(pa.array(cand, pa.int64())),
         }
     )
+
+
+def debounce_bucket(
+    t: pa.Table,
+    window_us: int,
+    keys: tuple[str, str] = ("user_id", "event_type"),
+    ts: str = "ts_us",
+    id_col: str = "event_id",
+) -> pa.Table:
+    """Per-bucket debounce/throttle: within each key, keep an event iff its
+    timestamp is more than ``window_us`` after the last KEPT event (first
+    event always kept; ties ordered by (ts, id)).  The kept set is a greedy
+    chain — inherently sequential per key (each decision depends on the
+    previous KEPT row, which no lag/session window expresses), so the
+    kernel walks kept events with ``searchsorted`` jumps: O(kept · log n)
+    per key, keys independent and parallel across buckets.  This is the
+    stateful stream-selection op (throttle, notification rate-limit,
+    alarm-suppression) the brief's "stateful streaming" custom-operator
+    class calls for."""
+    if t.num_rows == 0:
+        return t
+    k1 = t.column(keys[0]).combine_chunks().to_numpy(zero_copy_only=False)
+    k2d = t.column(keys[1]).combine_chunks().dictionary_encode()
+    k2 = k2d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tus = t.column(ts).combine_chunks().to_numpy(zero_copy_only=False)
+    eid = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, tus, k2, k1))
+    u1, u2, s = k1[order], k2[order], tus[order]
+    n = len(s)
+    runs = np.flatnonzero(np.r_[True, (u1[1:] != u1[:-1]) | (u2[1:] != u2[:-1])])
+    bounds = np.r_[runs, n]
+    keep = np.zeros(n, bool)
+    for ri in range(len(runs)):
+        lo, hi = int(bounds[ri]), int(bounds[ri + 1])
+        i = lo
+        seg = s[lo:hi]
+        while i < hi:
+            keep[i] = True
+            # first strictly-later-than-window event in this key's segment
+            i = lo + int(np.searchsorted(seg, s[i] + window_us, side="right"))
+    sel = pa.array(order[keep], pa.int64())
+    return pa.table(
+        {
+            keys[0]: t.column(keys[0]).combine_chunks().take(sel),
+            keys[1]: t.column(keys[1]).combine_chunks().take(sel),
+            ts: t.column(ts).combine_chunks().take(sel),
+            id_col: t.column(id_col).combine_chunks().take(sel),
+        }
+    )

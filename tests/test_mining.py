@@ -199,3 +199,70 @@ def test_proportional_allocation_sums_to_budget(sf_dir):
     total = sum(r["n"] for r in rows)
     for r in rows:  # every group within 1 of its exact proportional share
         assert abs(r["alloc"] - _BUDGET * r["n"] / total) < 1
+
+
+# ---------------------------------------------------------------------------
+# debounce: greedy kept-chain vs brute force (and vs the session-gap trap)
+# ---------------------------------------------------------------------------
+def test_debounce_bucket_chain_not_session():
+    from encode_ingest_ray.stages.temporal import debounce_bucket
+
+    # events at 0, 3, 6 with T=5: a session-gap grouping (gaps 3,3 < 5)
+    # would keep only t=0; the debounce chain keeps 0 AND 6.
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts_us": pa.array([0, 3, 6], pa.int64()),
+            "event_type": pa.array(["a", "a", "a"]),
+        }
+    )
+    kept = sorted(r["event_id"] for r in debounce_bucket(t, 5).to_pylist())
+    assert kept == [1, 3]
+
+
+def test_debounce_bucket_matches_brute_force():
+    from encode_ingest_ray.stages.temporal import debounce_bucket
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "event_type": pa.array(rng.choice(["x", "y"], n)),
+        }
+    )
+    T = 40
+    got = sorted(r["event_id"] for r in debounce_bucket(t, T).to_pylist())
+    # brute force: per key, walk (ts, id)-sorted events keeping gap > T
+    rows = sorted(
+        zip(*(t.column(c).to_pylist() for c in ("user_id", "event_type", "ts_us", "event_id"))),
+        key=lambda r: (r[0], r[1], r[2], r[3]),
+    )
+    want, last = [], {}
+    for u, e, ts, eid in rows:
+        k = (u, e)
+        if k not in last or ts > last[k] + T:
+            want.append(eid)
+            last[k] = ts
+    assert got == sorted(want)
+
+
+def test_ntile_formula_matches_duckdb():
+    import duckdb
+
+    for n_rows in (5, 16, 18, 100, 97):
+        q, r = divmod(n_rows, 16)
+        thr = r * (q + 1)
+        rn = np.arange(1, n_rows + 1)
+        ours = np.where(rn <= thr, (rn - 1) // (q + 1) + 1,
+                        r + (rn - thr - 1) // max(q, 1) + 1)
+        want = [
+            row[0]
+            for row in duckdb.sql(
+                f"SELECT NTILE(16) OVER (ORDER BY i) FROM range(1, {n_rows + 1}) t(i)"
+            ).fetchall()
+        ]
+        assert ours.tolist() == want, n_rows
