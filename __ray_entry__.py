@@ -207,6 +207,9 @@ _FAMILY_COVERED = {
     "equi_depth_prices",     # global-total-order family — window_rank_orders
                              # stays; global_rank_orders is the demoted
                              # sibling this composes
+    "chi2_event_dow",        # statistical-test/crosstab — outlier_zscore
+                             # (anomaly) and profile_orders_columns
+                             # (ANALYZE) keep the stats rows
 }
 
 

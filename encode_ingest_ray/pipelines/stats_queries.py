@@ -568,3 +568,93 @@ def equi_depth_prices(sf_dir: str):
     return parts.repartition(1).map_batches(
         merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+CHI2_SQL = """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow FROM events
+),
+o AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY event_type, dow),
+r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n FROM o GROUP BY event_type),
+c AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS col_n FROM o GROUP BY dow),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n FROM o)
+SELECT o.event_type, o.dow, o.n,
+       CAST((2000 * (CAST(o.n AS HUGEINT) * tot_n - CAST(row_n AS HUGEINT) * col_n)
+                  * (CAST(o.n AS HUGEINT) * tot_n - CAST(row_n AS HUGEINT) * col_n)
+             + CAST(row_n AS HUGEINT) * col_n * tot_n)
+            // (2 * CAST(row_n AS HUGEINT) * col_n * tot_n) AS BIGINT) AS contrib_milli
+FROM o JOIN r USING (event_type) JOIN c USING (dow), tot
+"""
+
+
+@register("chi2_event_dow", CHI2_SQL)
+def chi2_event_dow(sf_dir: str):
+    """Chi-square independence crosstab (event_type x day-of-week): each
+    cell's Pearson contribution (obs - exp)^2 / exp in round-half-up milli
+    units, computed as PURE INTEGER arithmetic — (o*N - r*c)^2 / (r*c*N)
+    scaled by 1000 — so the distributed result is bit-identical to the
+    HUGEINT oracle (the statistical-hypothesis-test op a float chi2 could
+    never oracle exactly).  Count partials cross one tiny exchange; the
+    |types|x7 contingency table and all marginals live in ONE final task
+    with Python ints (the squared numerators overflow int64 past ~100k
+    rows; arbitrary-precision on 35 cells is free)."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        us = (
+            pc.cast(t.column("ts"), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        dow = (us // 86400000000) % 7
+        part = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dow": pa.array(dow, pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = part.group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "dow", "n"])
+
+    counts = bucketed_sum_combine(
+        ds.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["event_type", "dow"],
+        ["n"],
+        1,
+    )
+
+    def chi2(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        dow = t.column("dow").to_pylist()
+        n = t.column("n").to_pylist()
+        row_n: dict = {}
+        col_n: dict = {}
+        for e, d, c in zip(et, dow, n):
+            row_n[e] = row_n.get(e, 0) + c
+            col_n[d] = col_n.get(d, 0) + c
+        tot = sum(n)
+        contrib = []
+        for e, d, c in zip(et, dow, n):
+            num = c * tot - row_n[e] * col_n[d]
+            den = row_n[e] * col_n[d] * tot
+            contrib.append((2000 * num * num + den) // (2 * den))
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "dow": pa.array(dow, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "contrib_milli": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        chi2, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

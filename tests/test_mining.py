@@ -266,3 +266,20 @@ def test_ntile_formula_matches_duckdb():
             ).fetchall()
         ]
         assert ours.tolist() == want, n_rows
+
+
+def test_chi2_contributions_match_float_reference(sf_dir):
+    from encode_ingest_ray.pipelines.stats_queries import chi2_event_dow
+
+    rows = chi2_event_dow(sf_dir).take_all()
+    assert rows
+    tot = sum(r["n"] for r in rows)
+    row_n, col_n = {}, {}
+    for r in rows:
+        row_n[r["event_type"]] = row_n.get(r["event_type"], 0) + r["n"]
+        col_n[r["dow"]] = col_n.get(r["dow"], 0) + r["n"]
+    for r in rows:
+        exp = row_n[r["event_type"]] * col_n[r["dow"]] / tot
+        ref = 1000 * (r["n"] - exp) ** 2 / exp
+        assert abs(r["contrib_milli"] - ref) <= 1  # integer half-up vs float
+        assert r["contrib_milli"] >= 0
