@@ -210,6 +210,9 @@ _FAMILY_COVERED = {
     "chi2_event_dow",        # statistical-test/crosstab — outlier_zscore
                              # (anomaly) and profile_orders_columns
                              # (ANALYZE) keep the stats rows
+    "trimmed_mean_orders",   # robust-stats rank-selection —
+                             # grouped_quantiles_exact keeps the row
+                             # (grouped_mad_orders is its demoted sibling)
 }
 
 

@@ -658,3 +658,82 @@ def chi2_event_dow(sf_dir: str):
     return counts.repartition(1).map_batches(
         chi2, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+w AS (
+  SELECT o_custkey, cents,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM r
+),
+k AS (SELECT o_custkey, cents, n FROM w WHERE rn > n // 20 AND rn <= n - n // 20)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS kept_n,
+       CAST(SUM(cents) AS BIGINT) AS kept_sum_cents,
+       CAST((2000 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS trimmed_avg_milli
+FROM k GROUP BY o_custkey
+"""
+
+
+@register("trimmed_mean_orders", TRIMMED_MEAN_SQL)
+def trimmed_mean_orders(sf_dir: str):
+    """Robust 5%-trimmed mean of order prices per customer: drop the n//20
+    lowest and highest ranked cents values ((cents, orderkey)-deterministic
+    ranks), average the rest in half-up milli — integer-exact end to end.
+    Same one-co-hash-exchange rank-selection shape as grouped_mad: per
+    bucket ONE vectorized sort, run boundaries, then kept sums are
+    prefix-sum differences (no per-key loop, raw rows shuffle once)."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("cents", "ascending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        g = t.take(idx)
+        cust = g.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = g.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        ends = np.r_[starts[1:], len(cust)]
+        n = ends - starts
+        trim = n // 20
+        lo, hi = starts + trim, ends - trim
+        P = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        kept_sum = P[hi] - P[lo]
+        kept_n = hi - lo
+        avg = (2000 * kept_sum + kept_n) // (2 * kept_n)
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[starts], pa.int64()),
+                "kept_n": pa.array(kept_n.astype(np.int64)),
+                "kept_sum_cents": pa.array(kept_sum),
+                "trimmed_avg_milli": pa.array(avg.astype(np.int64)),
+            }
+        )
+
+    return bucketed_groupby_apply(pre, ["o_custkey"], bucket)

@@ -283,3 +283,26 @@ def test_chi2_contributions_match_float_reference(sf_dir):
         ref = 1000 * (r["n"] - exp) ** 2 / exp
         assert abs(r["contrib_milli"] - ref) <= 1  # integer half-up vs float
         assert r["contrib_milli"] >= 0
+
+
+def test_trimmed_mean_matches_brute_force(sf_dir):
+    import duckdb
+
+    from encode_ingest_ray.pipelines.stats_queries import trimmed_mean_orders
+
+    rows = {r["o_custkey"]: r for r in trimmed_mean_orders(sf_dir).take_all()}
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents, o_orderkey
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()
+    by_key: dict = {}
+    for k, c, o in want:
+        by_key.setdefault(k, []).append((c, o))
+    for k, vals in by_key.items():
+        vals.sort()
+        t = len(vals) // 20
+        kept = [c for c, _ in vals[t : len(vals) - t]]
+        assert rows[k]["kept_n"] == len(kept)
+        assert rows[k]["kept_sum_cents"] == sum(kept)
+        assert rows[k]["trimmed_avg_milli"] == (2000 * sum(kept) + len(kept)) // (2 * len(kept))
