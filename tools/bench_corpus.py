@@ -49,6 +49,8 @@ BENCH = [
     "doc_chunking",
     "near_dup_clusters",
     "corpus_prep",
+    "substring_dup_stats",
+    "inverted_index",
 ]
 
 
