@@ -329,9 +329,14 @@ def gap_fill_daily_bucket(
     )
     grid_day = base + offs
     # encode (key, day) pairs on one axis so a single searchsorted serves
-    # every key; day spans ~2^20 << 2^40 so key*2^40 + day never collides
-    enc_ev = u * (1 << 40) + day
-    enc_grid = grid_key * (1 << 40) + grid_day
+    # every key: day < 2^20 (epoch-days reach 2^20 in year 4840), leaving
+    # keys 43 bits before int64 overflow — both bounds enforced, not assumed
+    if len(day) and (int(day.max()) >= (1 << 20) or int(day.min()) < 0):
+        raise ValueError("gap_fill: day out of the 20-bit encode domain")
+    if int(u.max()) >= (1 << 43) or int(u.min()) < 0:
+        raise ValueError("gap_fill: key out of the 43-bit encode domain")
+    enc_ev = u * (1 << 20) + day
+    enc_grid = grid_key * (1 << 20) + grid_day
     right = np.searchsorted(enc_ev, enc_grid, side="right")
     left = np.searchsorted(enc_ev, enc_grid, side="left")
     n_events = (right - left).astype(np.int64)
