@@ -213,6 +213,8 @@ _FAMILY_COVERED = {
     "trimmed_mean_orders",   # robust-stats rank-selection —
                              # grouped_quantiles_exact keeps the row
                              # (grouped_mad_orders is its demoted sibling)
+    "twap_user_value",       # lag-window family — asof_latest_order and
+                             # debounce_events keep the temporal rows
 }
 
 

@@ -386,3 +386,99 @@ def debounce_events(sf_dir: str):
     return bucketed_groupby_apply(
         pre, ["user_id"], lambda t: debounce_bucket(t, _DEBOUNCE_US)
     )
+
+
+TWAP_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, v,
+         (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+             // 1000000 AS gap_s
+  FROM t
+),
+g AS (
+  SELECT user_id, CAST(SUM(v * gap_s) AS BIGINT) AS num,
+         CAST(SUM(gap_s) AS BIGINT) AS den
+  FROM w WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, num, den, (2 * num + den) // (2 * den) AS twap_milli
+FROM g WHERE den > 0
+"""
+
+
+@register("twap_user_value", TWAP_SQL)
+def twap_user_value(sf_dir: str):
+    """Time-weighted average (TWAP): per user, each event's value held
+    until the next event and weighted by the held duration in WHOLE SECONDS
+    (second-granularity weights keep every product and sum inside int64 —
+    µs weights overflow past ~70 events/user at this value range), final
+    half-up milli division — integer-exact against the lead-window oracle.
+    Same one-exchange lag shape as event_lag_gaps; per-user sums complete
+    in-bucket (the key is co-hashed), so only one row per user leaves."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "v": pc.cast(
+                    pc.round(
+                        pc.multiply(t.column("value"), 1000.0),
+                        0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        us = t.column("us").combine_chunks().to_numpy(zero_copy_only=False)
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, s, vv = uid[order], us[order], v[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.int64()),
+                    "twap_milli": pa.array([], pa.int64()),
+                }
+            )
+        gap_s = np.zeros(n, np.int64)
+        gap_s[:-1] = (s[1:] - s[:-1]) // 1_000_000
+        same = np.zeros(n, bool)
+        same[:-1] = u[1:] == u[:-1]
+        w = np.where(same, gap_s, 0)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        Pnum = np.concatenate(([0], np.cumsum(vv * w, dtype=np.int64)))
+        Pden = np.concatenate(([0], np.cumsum(w, dtype=np.int64)))
+        num = Pnum[ends] - Pnum[starts]
+        den = Pden[ends] - Pden[starts]
+        keep = den > 0
+        num, den = num[keep], den[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts][keep], pa.int64()),
+                "num": pa.array(num),
+                "den": pa.array(den),
+                "twap_milli": pa.array((2 * num + den) // (2 * den)),
+            }
+        )
+
+    return bucketed_groupby_apply(pre, ["user_id"], bucket)
