@@ -215,6 +215,9 @@ _FAMILY_COVERED = {
                              # (grouped_mad_orders is its demoted sibling)
     "twap_user_value",       # lag-window family — asof_latest_order and
                              # debounce_events keep the temporal rows
+    "rolling_median_user",   # sliding order-statistic — grouped_mad's
+                             # tier-0 reps (grouped_quantiles_exact,
+                             # window_rank_orders) keep the rows
 }
 
 

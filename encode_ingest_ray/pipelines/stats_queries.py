@@ -737,3 +737,89 @@ def trimmed_mean_orders(sf_dir: str):
         )
 
     return bucketed_groupby_apply(pre, ["o_custkey"], bucket)
+
+
+ROLLING_MEDIAN_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_id, user_id, v AS value_milli,
+       CAST(quantile_disc(v, 0.5) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med7_milli
+FROM t
+"""
+
+
+@register("rolling_median_user", ROLLING_MEDIAN_SQL)
+def rolling_median_user(sf_dir: str):
+    """Sliding ORDER-STATISTIC window: per user, the discrete (lower)
+    median of the trailing 7 event values — the robust denoising sibling of
+    moving_sum (a sum decomposes into cumsums; an order statistic doesn't,
+    so the kernel pads each key's series with 6 +inf sentinels, takes ONE
+    C-level np.sort over the (rows x 7) sliding-window view, and picks
+    index (k-1)//2 per row for the ragged warm-up prefixes).  One hash
+    exchange; windows never cross keys by construction."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "v": _milli(t.column("value")),
+            }
+        )
+
+    pre = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    W = 7
+    SENTINEL = np.iinfo(np.int64).max
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "value_milli": pa.array([], pa.int64()),
+                    "med7_milli": pa.array([], pa.int64()),
+                }
+            )
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        us = t.column("us").combine_chunks().to_numpy(zero_copy_only=False)
+        v = t.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, vv = uid[order], v[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        # ordinal of each row's key and position within its key's run
+        key_ord = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        within = np.arange(n) - starts[key_ord]
+        # pad each key's series with W-1 sentinels so every window is W wide
+        padded = np.full(n + (W - 1) * len(starts), SENTINEL, np.int64)
+        pos = np.arange(n) + (W - 1) * (key_ord + 1)
+        padded[pos] = vv
+        windows = np.lib.stride_tricks.sliding_window_view(padded, W)[pos - (W - 1)]
+        swin = np.sort(windows, axis=1)
+        k = np.minimum(within + 1, W)
+        med = swin[np.arange(n), (k - 1) // 2]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(u),
+                "value_milli": pa.array(vv),
+                "med7_milli": pa.array(med),
+            }
+        )
+
+    return bucketed_groupby_apply(pre, ["user_id"], bucket)

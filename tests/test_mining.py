@@ -306,3 +306,28 @@ def test_trimmed_mean_matches_brute_force(sf_dir):
         assert rows[k]["kept_n"] == len(kept)
         assert rows[k]["kept_sum_cents"] == sum(kept)
         assert rows[k]["trimmed_avg_milli"] == (2000 * sum(kept) + len(kept)) // (2 * len(kept))
+
+
+def test_rolling_median_kernel_ragged_prefix():
+    import duckdb
+
+    from encode_ingest_ray.pipelines.stats_queries import rolling_median_user
+
+    rows = rolling_median_user("/root/testdata/sf0.001").take_all()
+    assert rows
+    # brute-force a couple of users against python sorting
+    by_user: dict = {}
+    con = duckdb.connect()
+    ev = con.execute(
+        """SELECT user_id, epoch_us(ts), event_id, CAST(ROUND(value*1000) AS BIGINT)
+           FROM '/root/testdata/sf0.001/events.parquet' ORDER BY user_id, 2, 3"""
+    ).fetchall()
+    for u, us, eid, v in ev:
+        by_user.setdefault(u, []).append((eid, v))
+    got = {r["event_id"]: r["med7_milli"] for r in rows}
+    for u, seq in list(by_user.items())[:5]:
+        vals = []
+        for eid, v in seq:
+            vals.append(v)
+            win = sorted(vals[-7:])
+            assert got[eid] == win[(len(win) - 1) // 2]
