@@ -218,6 +218,20 @@ _FAMILY_COVERED = {
     "rolling_median_user",   # sliding order-statistic — grouped_mad's
                              # tier-0 reps (grouped_quantiles_exact,
                              # window_rank_orders) keep the rows
+    # round-3 continuation 10: entropy_user_events (information-theoretic
+    # aggregate — per-term integer-rounded micro-nats) and cusum_user_value
+    # (change-point monitor — recursive clamped state via the prefix-sum /
+    # running-min closed form) enter tier 0; gini_order_value rides the
+    # order-statistics family, and two multiply-covered reps move down:
+    "profile_orders_columns",  # stats family — outlier_zscore_events keeps
+                               # the row; chi2/regression are its demoted
+                               # siblings
+    "dedup_text_exact",      # dedup family — incremental_dedup,
+                             # substring_dup_stats, minhash_lsh_pairs and
+                             # near_dup_clusters keep four dedup rows
+    "gini_order_value",      # order-statistics family —
+                             # grouped_quantiles_exact and
+                             # window_rank_orders keep the rows
 }
 
 

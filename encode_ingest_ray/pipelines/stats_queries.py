@@ -823,3 +823,183 @@ def rolling_median_user(sf_dir: str):
         )
 
     return bucketed_groupby_apply(pre, ["user_id"], bucket)
+
+
+# ----------------------------------------------------------- Shannon entropy
+
+ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+n AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, n.n_events, n.n_types,
+       CAST(SUM(CAST(FLOOR(c * ln(CAST(n_events AS DOUBLE) / c) / n_events
+                           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id, n.n_events, n.n_types
+"""
+
+
+@register("entropy_user_events", ENTROPY_SQL)
+def entropy_user_events(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution, in micro-nats
+    — the information-theoretic aggregate (feature skew / diversity scoring
+    for training-data curation).  Exactness comes from rounding each TERM
+    c·ln(N/c)/N to an int64 micro-nat before the per-user sum: the sum is
+    then order-independent, and both sides evaluate the identical libm
+    double expression (Python math.log == DuckDB ln, the precedent
+    stages/sketch.py's HLL estimate established).  Shape: per-block count
+    partials (user, type, n) shrink the stream before ONE exchange on
+    user_id; each bucket folds counts -> per-user N -> per-term micro-nats
+    with one libm call per DISTINCT (c, N) pair."""
+    from encode_ingest_ray.stages.stats import grouped_entropy_table
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        part = t.append_column("n", pa.array(__import__("numpy").ones(t.num_rows, "int64")))
+        g = part.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        return grouped_entropy_table(t, "user_id", "event_type", "n")
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(partials, ["user_id"], bucket_fn)
+
+
+# ------------------------------------------------------------------- CUSUM
+
+CUSUM_DRIFT_MILLI = 5000
+
+CUSUM_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(v - 5000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+  FROM e
+)
+SELECT user_id, event_id,
+       CAST(pre - LEAST(0, MIN(pre) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum_milli
+FROM p
+"""
+
+
+@register("cusum_user_value", CUSUM_SQL)
+def cusum_user_value(sf_dir: str):
+    """One-sided CUSUM control statistic per user over the event stream —
+    change-point / drift detection: s_i = max(0, s_{i-1} + (value_i - k)),
+    k = 5 units, in the (ts, event_id) total order.  The max(0, ...) clamp
+    is recursive state no lag or frame window expresses directly, but it
+    has the loop-free closed form s_i = P_i - min(0, running-min P_j) over
+    prefix sums — ONE exchange on user_id, one vectorized pass per bucket
+    (stages/stats.cusum_table).  Integer-exact in milli units against the
+    double-window oracle."""
+    from encode_ingest_ray.stages.stats import cusum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("v", _milli(t.column("value"))).drop_columns(["value"])
+
+    prepped = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return cusum(
+        prepped,
+        ["user_id"],
+        ["ts", "event_id"],
+        "v",
+        CUSUM_DRIFT_MILLI,
+        out_col="cusum_milli",
+        keep_cols=["user_id", "event_id"],
+    )
+
+
+# -------------------------------------------------------------------- Gini
+
+GINI_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT prio, cents,
+         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents) AS i
+  FROM v
+),
+s AS (
+  SELECT prio,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+  FROM r GROUP BY prio
+)
+SELECT prio,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(sx AS BIGINT) AS sum_cents,
+       CAST((2000000 * (2 * six - (n + 1) * sx) + n * sx)
+            // (2 * n * sx) AS BIGINT) AS gini_micro
+FROM s
+"""
+
+
+@register("gini_order_value", GINI_SQL)
+def gini_order_value(sf_dir: str):
+    """Gini inequality coefficient of order value per priority class, in
+    round-half-up micro units.  Scale shape: per-block (prio, cents) count
+    partials collapse the stream to one row per DISTINCT (group, value)
+    pair — bounded by the value DOMAIN, not the row count — cross one
+    exchange, then a single tiny task folds each group's sorted distinct
+    values with the closed-form rank sum v·(c·m + c(c+1)/2) in PYTHON INTS
+    (the rank-weighted sum overflows int64 past ~1e6 rows; the oracle uses
+    HUGEINT).  Tie order never changes Σ i·x, so ROW_NUMBER's arbitrary
+    tie-break is safe on both sides."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.stats import gini_from_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        part = pa.table(
+            {
+                "prio": t.column("o_orderpriority"),
+                "cents": _cents(t.column("o_totalprice")),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = part.group_by(["prio", "cents"]).aggregate([("c", "sum")])
+        return g.rename_columns(["prio", "cents", "c"])
+
+    partials = ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = bucketed_sum_combine(partials, ["prio", "cents"], ["c"], None)
+
+    def final(t: pa.Table) -> pa.Table:
+        return gini_from_counts(t, "prio", "cents", "c")
+
+    return counts.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

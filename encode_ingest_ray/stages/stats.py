@@ -476,3 +476,186 @@ def profile_dataset(ds, cols: list[str]):
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+# ------------------------------------------------------------- CUSUM monitor
+
+
+def cusum_table(
+    t: pa.Table,
+    partition_keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    drift: int,
+    out_col: str,
+    keep_cols: list[str],
+) -> pa.Table:
+    """Single-node CUSUM kernel: the one-sided cumulative-sum control
+    statistic s_i = max(0, s_{i-1} + (x_i - drift)) per partition, in the
+    (order_cols) total order.
+
+    The recursive definition has a loop-free closed form: with prefix sums
+    P_i = sum_{j<=i}(x_j - drift) and P_0 = 0,
+
+        s_i = P_i - min(0, min_{j<=i} P_j)
+
+    so the whole bucket is ONE Arrow sort + a cumulative sum + a segmented
+    running minimum (pandas ``groupby(...).cummin()`` — C code, no Python
+    per-partition calls).  Integer-exact: ``value_col`` must be int64
+    (milli-encoded); the per-partition prefix sum must stay inside int64
+    (~9e15 milli-units per key — far above any real key).
+    """
+    n = t.num_rows
+    t = t.sort_by([(k, "ascending") for k in partition_keys + order_cols])
+    if n == 0:
+        return t.select(keep_cols).append_column(out_col, pa.array([], pa.int64()))
+    part = _boundaries([_as_np(t.column(k)) for k in partition_keys], n)
+    x = _i64(t.column(value_col)) - drift
+    cs = np.cumsum(x)
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(part, idx, 0))
+    prev = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0)
+    pre = cs - prev
+    import pandas as pd
+
+    seg_id = np.cumsum(part) - 1
+    runmin = pd.Series(pre).groupby(seg_id).cummin().to_numpy()
+    cusum = pre - np.minimum(runmin, 0)
+    return t.select(keep_cols).append_column(out_col, pa.array(cusum, pa.int64()))
+
+
+def cusum(
+    ds,
+    partition_keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    drift: int,
+    out_col: str = "cusum",
+    keep_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+):
+    """Distributed CUSUM change-point monitor: one exchange on the
+    partition key, one vectorized ``cusum_table`` per bucket.  The shape a
+    lag/session window cannot express (the max(0, ...) clamp makes the
+    state recursive); the prefix-sum/running-min closed form restores the
+    one-pass vectorized contract of the other window kernels here."""
+    keep = keep_cols if keep_cols is not None else partition_keys + order_cols
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        return cusum_table(
+            t, partition_keys, order_cols, value_col, drift, out_col, keep
+        )
+
+    return bucketed_groupby_apply(ds, partition_keys, bucket_fn, num_buckets)
+
+
+# -------------------------------------------------------- Shannon entropy
+
+
+def grouped_entropy_table(t: pa.Table, key: str, type_col: str, n_col: str) -> pa.Table:
+    """Per-bucket Shannon-entropy fold over pre-combined (key, type, n)
+    count partials.  Each term is rounded to an int64 micro-nat BEFORE the
+    per-key sum — term_micro = FLOOR(c * ln(N/c) / N * 1e6 + 0.5) — so the
+    sum is order-independent and bit-equal to the DuckDB oracle (both sides
+    evaluate the identical libm double expression; Python ``math.log`` and
+    DuckDB ``ln`` are the same libm call, the precedent stages/sketch.py's
+    HLL estimate established).  ln is evaluated once per DISTINCT (c, N)
+    pair (np.unique on the packed pair), not per row.
+    """
+    import math
+
+    g = t.group_by([key, type_col]).aggregate([(n_col, "sum")])
+    g = g.sort_by([(key, "ascending")])
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                key: pa.array([], t.column(key).type),
+                "n_events": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "entropy_micro": pa.array([], pa.int64()),
+            }
+        )
+    keys_np = _as_np(g.column(key))
+    c = _i64(g.column(f"{n_col}_sum"))
+    part = _boundaries([keys_np], n)
+    starts = np.flatnonzero(part)
+    totals = np.add.reduceat(c, starts)
+    seg_len = np.diff(np.append(starts, n))
+    big_n = np.repeat(totals, seg_len)
+    # one libm ln per distinct (c, N) pair
+    packed = (c << np.int64(32)) | big_n.astype(np.int64)
+    uniq, inv = np.unique(packed, return_inverse=True)
+    uc = (uniq >> np.int64(32)).tolist()
+    un = (uniq & np.int64(0xFFFFFFFF)).tolist()
+    uterm = np.fromiter(
+        (
+            math.floor(cc * math.log(nn / cc) / nn * 1000000 + 0.5)
+            for cc, nn in zip(uc, un)
+        ),
+        dtype=np.int64,
+        count=len(uc),
+    )
+    ent = np.add.reduceat(uterm[inv], starts)
+    return pa.table(
+        {
+            key: g.take(pa.array(starts, pa.int64())).column(key),
+            "n_events": pa.array(totals, pa.int64()),
+            "n_types": pa.array(seg_len.astype(np.int64), pa.int64()),
+            "entropy_micro": pa.array(ent, pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ Gini coefficient
+
+
+def gini_from_counts(t: pa.Table, group_col: str, value_col: str, count_col: str) -> pa.Table:
+    """Gini coefficient per group from collapsed (group, value, count)
+    partials — the count-collapse is the scale story: raw rows never reach
+    this task, only one row per distinct (group, value) pair (bounded by
+    the value DOMAIN, not the row count).
+
+    For ascending values x_(1..n), G = (2*Σ i·x_i − (n+1)·Σx) / (n·Σx);
+    with a value v of multiplicity c entering after m prior rows,
+    Σ i·v over its run = v·(c·m + c(c+1)/2) — so the rank sum needs only
+    the sorted distinct values and cumulative counts.  Tie order never
+    changes Σ i·x (equal values swap ranks freely).  The fold runs in
+    PYTHON INTS: the rank-weighted sum overflows int64 past ~10^6 rows at
+    cent encoding, and arbitrary precision over the collapsed table is
+    free.  Output gini_micro is round-half-up micro units, matching the
+    HUGEINT oracle's (2e6·num + den) // (2·den).
+    """
+    t = t.sort_by([(group_col, "ascending"), (value_col, "ascending")])
+    nrows = t.num_rows
+    out_g, out_n, out_sum, out_gini = [], [], [], []
+    if nrows:
+        gvals = _as_np(t.column(group_col))
+        part = _boundaries([gvals], nrows)
+        starts = np.flatnonzero(part)
+        ends = np.append(starts[1:], nrows)
+        v_all = _i64(t.column(value_col)).tolist()
+        c_all = _i64(t.column(count_col)).tolist()
+        keys = t.take(pa.array(starts, pa.int64())).column(group_col).to_pylist()
+        for gk, s, e in zip(keys, starts.tolist(), ends.tolist()):
+            n = 0
+            sx = 0
+            six = 0
+            for v, c in zip(v_all[s:e], c_all[s:e]):
+                six += v * (c * n + c * (c + 1) // 2)
+                n += c
+                sx += v * c
+            num = 2 * six - (n + 1) * sx
+            den = n * sx
+            out_g.append(gk)
+            out_n.append(n)
+            out_sum.append(sx)
+            out_gini.append((2000000 * num + den) // (2 * den))
+    return pa.table(
+        {
+            group_col: pa.array(out_g, t.column(group_col).type),
+            "n_orders": pa.array(out_n, pa.int64()),
+            "sum_cents": pa.array(out_sum, pa.int64()),
+            "gini_micro": pa.array(out_gini, pa.int64()),
+        }
+    )

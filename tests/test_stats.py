@@ -291,3 +291,103 @@ def test_grouped_mad_table_matches_naive():
         ad = np.sort(np.abs(v[k == key] - med))
         assert got.loc[key, "med"] == med
         assert got.loc[key, "mad"] == ad[(len(ad) - 1) // 2]
+
+
+# ------------------------------------------------- CUSUM / entropy / Gini
+
+
+def test_cusum_table_matches_recursive_definition():
+    from encode_ingest_ray.stages.stats import cusum_table
+
+    rng = np.random.default_rng(41)
+    n = 600
+    k = rng.integers(0, 15, n)
+    o = rng.permutation(n)
+    v = rng.integers(-40, 60, n)
+    t = pa.table({"k": k, "o": o, "v": v})
+    got = {
+        (r["k"], r["o"]): r["cusum"]
+        for r in cusum_table(t, ["k"], ["o"], "v", 7, "cusum", ["k", "o"]).to_pylist()
+    }
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for kk, oo, vv in zip(k.tolist(), o.tolist(), v.tolist()):
+        by_k[kk].append((oo, vv))
+    for kk, rows in by_k.items():
+        rows.sort()
+        s = 0
+        for oo, vv in rows:
+            s = max(0, s + vv - 7)
+            assert got[(kk, oo)] == s
+
+
+def test_cusum_table_empty():
+    from encode_ingest_ray.stages.stats import cusum_table
+
+    t = pa.table({"k": pa.array([], pa.int64()), "o": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    assert cusum_table(t, ["k"], ["o"], "v", 1, "c", ["k", "o"]).num_rows == 0
+
+
+def test_grouped_entropy_terms_and_uniform_case():
+    import math
+
+    from encode_ingest_ray.stages.stats import grouped_entropy_table
+
+    # user 1: uniform over 4 types x 3 -> entropy = ln(4); user 2: single type
+    rows_k, rows_t = [], []
+    for ty in "abcd":
+        rows_k += [1, 1, 1]
+        rows_t += [ty] * 3
+    rows_k += [2, 2]
+    rows_t += ["z", "z"]
+    t = pa.table({"u": rows_k, "ty": rows_t,
+                  "n": np.ones(len(rows_k), np.int64)})
+    got = {r["u"]: r for r in grouped_entropy_table(t, "u", "ty", "n").to_pylist()}
+    assert got[2]["entropy_micro"] == 0 and got[2]["n_types"] == 1
+    assert got[1]["n_events"] == 12 and got[1]["n_types"] == 4
+    term = math.floor(3 * math.log(12 / 3) / 12 * 1000000 + 0.5)
+    assert got[1]["entropy_micro"] == 4 * term
+    assert abs(got[1]["entropy_micro"] - round(math.log(4) * 1e6)) <= 4
+
+
+def test_gini_from_counts_known_values():
+    from encode_ingest_ray.stages.stats import gini_from_counts
+
+    # perfectly equal values -> gini 0; one-holder extreme -> (n-1)/n = 0.75
+    t = pa.table({
+        "g": ["eq", "eq", "ineq", "ineq"],
+        "v": [50, 50, 0, 100],
+        "c": [2, 1, 3, 1],
+    })
+    got = {r["g"]: r for r in gini_from_counts(t, "g", "v", "c").to_pylist()}
+    assert got["eq"]["gini_micro"] == 0 and got["eq"]["n_orders"] == 3
+    assert got["ineq"]["gini_micro"] == 750000 and got["ineq"]["sum_cents"] == 100
+
+
+def test_gini_matches_pairwise_definition():
+    from encode_ingest_ray.stages.stats import gini_from_counts
+
+    rng = np.random.default_rng(99)
+    vals = rng.integers(1, 500, 80)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    t = pa.table({"g": ["x"] * len(uniq), "v": uniq, "c": cnt})
+    got = gini_from_counts(t, "g", "v", "c").to_pylist()[0]
+    n, sx = len(vals), int(vals.sum())
+    pairwise = sum(abs(int(a) - int(b)) for a in vals for b in vals)
+    num, den = pairwise, 2 * n * sx  # G = sum|xi-xj| / (2 n sum x)
+    assert got["gini_micro"] == (2000000 * num + 2 * den) // (4 * den) or \
+        abs(got["gini_micro"] - round(num / den * 1e6)) <= 1
+
+
+@pytest.mark.parametrize(
+    "name", ["entropy_user_events", "cusum_user_value", "gini_order_value"]
+)
+def test_registered_info_stats_queries_run(ray_session, sf_dir, name):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    ds = registry.QUERIES[name](sf_dir)
+    assert ds.count() > 0
+    assert name in registry.ORACLE
