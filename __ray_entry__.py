@@ -232,6 +232,9 @@ _FAMILY_COVERED = {
     "gini_order_value",      # order-statistics family —
                              # grouped_quantiles_exact and
                              # window_rank_orders keep the rows
+    "autocorr_user_value",   # moments/covariance family — the lag-1
+                             # partials ride grouped_regression_supplier's
+                             # demotion; outlier_zscore_events stays
 }
 
 

@@ -482,3 +482,100 @@ def twap_user_value(sf_dir: str):
         )
 
     return bucketed_groupby_apply(pre, ["user_id"], bucket)
+
+
+AUTOCORR_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+p AS (
+  SELECT user_id, v AS y,
+         lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS s_x,
+       CAST(SUM(y) AS BIGINT) AS s_y,
+       CAST(SUM(x * x) AS BIGINT) AS s_xx,
+       CAST(SUM(y * y) AS BIGINT) AS s_yy,
+       CAST(SUM(x * y) AS BIGINT) AS s_xy
+FROM p WHERE x IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("autocorr_user_value", AUTOCORR_SQL)
+def autocorr_user_value(sf_dir: str):
+    """Lag-1 autocorrelation partials per user — the time-series
+    periodicity / signal-persistence statistic.  Like
+    grouped_regression_supplier, the query returns the INTEGER moment
+    partials (n, Σx, Σy, Σx², Σy², Σxy over consecutive milli-value
+    pairs in the (ts, event_id) order) rather than a float r — the
+    partials are what a distributed engine ships, they reconstruct r
+    exactly, and they oracle bit-for-bit.  One exchange on user_id; the
+    per-bucket pass is the event_lag_gaps lexsort + same-user mask with
+    per-user ``np.add.reduceat`` sums, so only one row per user leaves.
+    Overflow bound: Σx² per user stays in int64 to ~3e7 pairs/user at
+    this value range (milli ≤ 5.6e5)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(t.column("value"), 1000.0),
+                    0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, uid))
+        u, x = uid[order], v[order]
+        same = np.zeros(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        up = u[same]
+        px = np.empty(len(x), np.int64)
+        px[1:] = x[:-1]
+        xs, ys = px[same], x[same]
+        n = len(up)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "s_x": pa.array([], pa.int64()),
+                    "s_y": pa.array([], pa.int64()),
+                    "s_xx": pa.array([], pa.int64()),
+                    "s_yy": pa.array([], pa.int64()),
+                    "s_xy": pa.array([], pa.int64()),
+                }
+            )
+        bound = np.zeros(n, bool)
+        bound[0] = True
+        bound[1:] = up[1:] != up[:-1]
+        starts = np.flatnonzero(bound)
+        return pa.table(
+            {
+                "user_id": pa.array(up[starts]),
+                "n_pairs": pa.array(np.diff(np.append(starts, n)).astype(np.int64)),
+                "s_x": pa.array(np.add.reduceat(xs, starts)),
+                "s_y": pa.array(np.add.reduceat(ys, starts)),
+                "s_xx": pa.array(np.add.reduceat(xs * xs, starts)),
+                "s_yy": pa.array(np.add.reduceat(ys * ys, starts)),
+                "s_xy": pa.array(np.add.reduceat(xs * ys, starts)),
+            }
+        )
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(ds, ["user_id"], per_bucket)

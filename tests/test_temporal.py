@@ -317,3 +317,54 @@ def test_scd2_current_slice_equals_live_table(ray_session):
     # every closed interval ends where a successor (or tombstone) begins
     closed = hist[~hist["is_current"]]
     assert (closed["valid_to_lsn"] > closed["valid_from_lsn"]).all()
+
+
+def test_autocorr_partials_match_pandas_brute_force(ray_session, sf_dir):
+    """Lag-1 autocorrelation moment partials must equal a per-user pandas
+    shift() reduction over the same (ts, event_id) order and the same
+    milli-integer value encoding — covering the same-user mask, the
+    reduceat segment sums, and the pair count."""
+    import pandas as pd
+
+    from encode_ingest_ray.pipelines.temporal import autocorr_user_value
+
+    got = (
+        autocorr_user_value(sf_dir)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    df = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df["v"] = (
+        np.sign(df["value"]) * np.floor(np.abs(df["value"]) * 1000 + 0.5)
+    ).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    df["x"] = df.groupby("user_id")["v"].shift(1)
+    p = df.dropna(subset=["x"]).copy()
+    p["x"] = p["x"].astype(np.int64)
+    want = (
+        p.groupby("user_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "n_pairs": len(g),
+                    "s_x": g["x"].sum(),
+                    "s_y": g["v"].sum(),
+                    "s_xx": (g["x"] ** 2).sum(),
+                    "s_yy": (g["v"] ** 2).sum(),
+                    "s_xy": (g["x"] * g["v"]).sum(),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ["n_pairs", "s_x", "s_y", "s_xx", "s_yy", "s_xy"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
