@@ -235,6 +235,15 @@ _FAMILY_COVERED = {
     "autocorr_user_value",   # moments/covariance family — the lag-1
                              # partials ride grouped_regression_supplier's
                              # demotion; outlier_zscore_events stays
+    # round-3 continuation 10 (cont.): dq_checks_orders (declarative
+    # data-quality gate — the deequ shape) and spatial_pairs_customers
+    # (grid-cell distance join) enter tier 0; two multiply-covered reps
+    # move down:
+    "inverted_index",        # corpus-stats family — tf_idf_topk composes
+                             # the same document-frequency reduction
+    "substring_dup_stats",   # dedup family — incremental_dedup,
+                             # minhash_lsh_pairs and near_dup_clusters
+                             # keep three dedup rows
 }
 
 

@@ -31,6 +31,7 @@ def load_all() -> None:
         aggregates_extra,
         analogs,
         cdc_queries,
+        dq_queries,
         entity_queries,
         events_analytics,
         graph,
@@ -39,6 +40,7 @@ def load_all() -> None:
         ranking,
         relational,
         setops_queries,
+        spatial_queries,
         stats_queries,
         temporal,
         training,
