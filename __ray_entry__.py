@@ -244,6 +244,9 @@ _FAMILY_COVERED = {
     "substring_dup_stats",   # dedup family — incremental_dedup,
                              # minhash_lsh_pairs and near_dup_clusters
                              # keep three dedup rows
+    "merge_into_orders",     # upsert/merge family — cdc_upsert_engine and
+                             # incremental_user_totals keep the rows; this
+                             # is the conditional-action MERGE sibling
 }
 
 

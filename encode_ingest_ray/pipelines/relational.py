@@ -470,3 +470,109 @@ def q3_shipping_priority(sf_dir: str):
         ["revenue_cents", "o_date_us", "l_orderkey"],
         descending=[True, False, False],
     ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO — conditional matched/not-matched actions (stages/merge.py)
+# ---------------------------------------------------------------------------
+
+MERGE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+ch AS (
+  SELECT o_orderkey AS key, 'delete' AS action, CAST(NULL AS BIGINT) AS new_val
+  FROM t WHERE o_orderkey % 11 = 3
+  UNION ALL
+  SELECT o_orderkey, 'update', price_cents + price_cents // 10
+  FROM t WHERE o_orderkey % 11 <> 3 AND o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'insert', price_cents + 500
+  FROM t WHERE o_orderkey % 13 = 5
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+       CASE WHEN ch.action = 'update' THEN ch.new_val
+            ELSE t.price_cents END AS price_cents
+FROM t LEFT JOIN ch ON t.o_orderkey = ch.key
+WHERE ch.action IS NULL OR ch.action <> 'delete'
+UNION ALL
+SELECT ch.key, NULL, NULL, ch.new_val
+FROM ch LEFT JOIN t ON ch.key = t.o_orderkey
+WHERE ch.action = 'insert' AND t.o_orderkey IS NULL
+"""
+
+
+@register("merge_into_orders", MERGE_SQL)
+def merge_into_orders(sf_dir: str):
+    """SQL:2003 MERGE: a deterministic change set (delete every key = 3 mod
+    11; +10% price update on the remaining multiples of 7; brand-new keys
+    inserted at +10M for keys = 5 mod 13) applied onto ``orders`` in one key
+    exchange with per-bucket Arrow joins — the general conditional-action
+    sibling of the CDC engine's fixed LWW upsert.  Mod/div arithmetic stays
+    on non-negative ints so DuckDB's truncating ``//`` equals numpy floor
+    division."""
+    from encode_ingest_ray.stages.merge import merge_into
+
+    def to_target(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "price_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    target = _read(sf_dir, "orders", cols).map_batches(
+        to_target, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").combine_chunks()
+        price = _cents(t.column("o_totalprice")).combine_chunks()
+        # integer mod via divide-multiply (pc has no modulo kernel)
+        mod11 = pc.subtract(k, pc.multiply(pc.divide(k, 11), 11))
+        mod7 = pc.subtract(k, pc.multiply(pc.divide(k, 7), 7))
+        mod13 = pc.subtract(k, pc.multiply(pc.divide(k, 13), 13))
+        is_del = pc.equal(mod11, 3)
+        is_upd = pc.and_(pc.not_equal(mod11, 3), pc.equal(mod7, 0))
+        is_ins = pc.equal(mod13, 5)
+        dels = pa.table(
+            {
+                "o_orderkey": k.filter(is_del),
+                "action": pa.array(["delete"] * pc.sum(pc.cast(is_del, pa.int64())).as_py()),
+                "new_val": pa.nulls(pc.sum(pc.cast(is_del, pa.int64())).as_py(), pa.int64()),
+            }
+        )
+        pu = price.filter(is_upd)
+        upds = pa.table(
+            {
+                "o_orderkey": k.filter(is_upd),
+                "action": pa.array(["update"] * len(pu)),
+                "new_val": pc.add(pu, pc.divide(pu, 10)),
+            }
+        )
+        pi = price.filter(is_ins)
+        inss = pa.table(
+            {
+                "o_orderkey": pc.add(k.filter(is_ins), 10_000_000),
+                "action": pa.array(["insert"] * len(pi)),
+                "new_val": pc.add(pi, 500),
+            }
+        )
+        return pa.concat_tables([dels, upds, inss])
+
+    changes = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        to_changes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return merge_into(
+        target,
+        changes,
+        key="o_orderkey",
+        payload_cols=["o_custkey", "o_orderstatus", "price_cents"],
+        set_col="price_cents",
+        new_val_col="new_val",
+    )

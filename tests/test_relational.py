@@ -72,3 +72,46 @@ def test_q3_shipping_priority_runs(ray_session, sf_dir):
     assert 0 < len(rows) <= 10
     revs = [r["revenue_cents"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+# ------------------------------------------------------------- MERGE INTO
+
+
+def test_merge_into_edge_semantics(ray_session):
+    """Matched insert = no-op keep; unmatched update/delete = no-op; delete
+    drops; update rewrites only set_col; insert carries NULL payloads."""
+    from encode_ingest_ray.stages.merge import merge_into
+
+    target = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "tag": pa.array(["a", "b", "c", "d"]),
+            "v": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            "action": pa.array(["update", "delete", "insert", "insert", "update"]),
+            "new_val": pa.array([99, None, 77, 55, 88], pa.int64()),
+        }
+    )
+    got = (
+        merge_into(
+            ray.data.from_arrow([target.slice(0, 2), target.slice(2)]),
+            ray.data.from_arrow([changes.slice(0, 3), changes.slice(3)]),
+            key="k",
+            payload_cols=["tag", "v"],
+            set_col="v",
+            new_val_col="new_val",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 untouched; k=2 updated to 99; k=3 deleted; k=4 matched-insert noop;
+    # k=5 inserted with NULL tag; k=6 unmatched update = no-op (no row)
+    assert list(got["k"]) == [1, 2, 4, 5]
+    assert list(got["v"]) == [10, 99, 40, 55]
+    assert list(got["tag"][:3]) == ["a", "b", "d"]
+    assert got["tag"].isna().tolist() == [False, False, False, True]
