@@ -247,6 +247,8 @@ _FAMILY_COVERED = {
     "merge_into_orders",     # upsert/merge family — cdc_upsert_engine and
                              # incremental_user_totals keep the rows; this
                              # is the conditional-action MERGE sibling
+    "sssp_copurchase",       # graph family — crawl_reachability keeps the
+                             # row; weighted sibling of the demoted BFS
 }
 
 

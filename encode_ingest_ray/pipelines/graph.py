@@ -190,3 +190,65 @@ def bfs_hops_copurchase(sf_dir: str):
         batch_size=None,
     )
     return bfs_hops(edges, source=3, rounds=4)
+
+
+def _dk(prev: str, k: int) -> str:
+    return f"""
+d{k} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst, {prev}.dist + e.w FROM {prev} JOIN e ON e.src = {prev}.id
+  ) GROUP BY id
+)"""
+
+
+SSSP_SQL = (
+    """
+WITH e AS (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1, l_orderkey * 2, CAST(l_quantity AS BIGINT)
+  FROM lineitem
+),
+d0(id, dist) AS (SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)),"""
+    + ",".join(_dk(f"d{k - 1}", k) for k in range(1, 5))
+    + """
+SELECT id, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+)
+
+
+@register("sssp_copurchase", SSSP_SQL)
+def sssp_copurchase(sf_dir: str):
+    """Weighted single-source shortest paths (4 Bellman-Ford supersteps,
+    quantity-weighted order↔part edges, source = part 1 / node 3): after
+    round k every node holds its exact min-weight distance over paths of
+    <= k edges, so the oracle is the min-merge CTE chain unrolled 4x —
+    NOT a WITH RECURSIVE path enumeration, whose distinct (id, dist) state
+    explodes combinatorially on a dense bipartite graph (stages/bfs.py
+    sssp_dists; the pagerank_lineitem unrolled-oracle precedent)."""
+    from encode_ingest_ray.stages.bfs import sssp_dists
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        o = pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()), 2)
+        p = pc.add(
+            pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2), 1
+        )
+        w = pc.cast(t.column("l_quantity"), pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"src": o, "dst": p, "w": w}),
+                pa.table({"src": p, "dst": o, "w": w}),
+            ]
+        )
+
+    edges = ds.map_batches(
+        both_directions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return sssp_dists(edges, source=3, rounds=4)

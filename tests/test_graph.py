@@ -104,3 +104,38 @@ def test_bfs_hops_cohash_fallback_matches_broadcast(ray_session):
         .to_pandas().set_index("id")["hop"].to_dict()
     )
     assert a == b == _brute_bfs(list(zip(src.tolist(), dst.tolist())), 0, 3)
+
+
+def test_sssp_matches_bellman_ford_brute_force(ray_session):
+    """Random sparse digraph: engine distances at K rounds == textbook
+    Bellman-Ford limited to K relaxation sweeps (path <= K edges)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from encode_ingest_ray.stages.bfs import sssp_dists
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges, K = 60, 400, 4
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    w = rng.integers(1, 20, n_edges).astype(np.int64)
+    t = pa.table({"src": src, "dst": dst, "w": w})
+    ds = ray.data.from_arrow([t.slice(0, 200), t.slice(200)])
+
+    got = (
+        sssp_dists(ds, source=0, rounds=K, num_buckets=4)
+        .to_pandas()
+        .set_index("id")["dist"]
+        .to_dict()
+    )
+
+    INF = 1 << 60
+    d = {0: 0}
+    for _ in range(K):
+        nd = dict(d)
+        for s, e, ww in zip(src, dst, w):
+            if s in d and d[s] + ww < nd.get(e, INF):
+                nd[e] = d[s] + ww
+        d = nd
+    assert got == d
