@@ -125,6 +125,15 @@ def main(argv=None) -> int:
     s = sub.add_parser("status", help="print the latest manifest summary")
     s.add_argument("--out", required=True)
 
+    mg = sub.add_parser(
+        "migrate",
+        help="partition evolution: rewrite the committed table under a new "
+             "(num_partitions, turn_block) identity, atomic manifest swap",
+    )
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--partitions", type=int, default=None)
+    mg.add_argument("--turn-block", type=int, default=None)
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query over a table directory "
@@ -324,6 +333,16 @@ def main(argv=None) -> int:
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))
+        elif args.cmd == "migrate":
+            eng = CdcEngine(args.out)
+            print(
+                json.dumps(
+                    eng.migrate(
+                        new_num_partitions=args.partitions,
+                        new_turn_block=args.turn_block,
+                    )
+                )
+            )
     finally:
         ray.shutdown()
     return 0

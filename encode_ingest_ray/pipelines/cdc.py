@@ -540,6 +540,204 @@ class CdcEngine:
         )
         return t.take(idx)
 
+    def migrate(
+        self,
+        new_num_partitions: int | None = None,
+        new_turn_block: int | None = None,
+    ) -> dict:
+        """Partition evolution: rewrite the committed table under a new
+        partitioning identity in one distributed pass.
+
+        Partitioning params are durable table identity (resume with changed
+        params is a hard error by design) — this is the sanctioned way to
+        CHANGE them, the Iceberg partition-spec-evolution analog: read every
+        partition's durable STATE (merge-on-read, tombstones and LSNs kept),
+        re-key with the new ``(num_partitions, turn_block)`` mix, stage one
+        ``base-EEEEEE-mig.parquet`` per new partition at deterministic
+        paths, then atomically RE-commit the SAME epoch's manifest with the
+        new pointer map + partitioning record.  Logical content is
+        unchanged, epoch numbering is not consumed (source epochs map 1:1
+        to manifests, so a migration must not shift the resume index), and
+        a crash before the manifest swap leaves only unreferenced staged
+        files — re-running the migration overwrites them byte-identically.
+
+        Every new partition adopts the GLOBAL max LSN watermark: committed
+        epochs are a dense prefix, so every LSN <= the global max was
+        applied somewhere and must stay dedup-filtered no matter which new
+        partition its key now routes to.  Historical manifests (< epoch)
+        keep referencing the old layout's files until vacuum retention ages
+        them out, so time travel across the migration boundary still works.
+
+        Returns {epoch, old, new, rows, partitions_written}.
+        """
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+        from encode_ingest_ray.state.merger import (
+            _atomic_write,
+            _part_dir,
+            load_partition_state,
+        )
+        from encode_ingest_ray.state.partition import assign_partition_column
+        from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+        latest = self.manifest.latest()
+        if latest is None:
+            raise ValueError("nothing committed yet — nothing to migrate")
+        old = latest["partitioning"] or {
+            "num_partitions": self.num_partitions,
+            "turn_block": self.turn_block,
+        }
+        new_p = new_num_partitions or old["num_partitions"]
+        new_tb = new_turn_block or old["turn_block"]
+        if new_p == old["num_partitions"] and new_tb == old["turn_block"]:
+            return {"epoch": latest["epoch"], "old": old, "new": old,
+                    "rows": 0, "partitions_written": 0, "noop": True}
+        epoch = latest["epoch"]
+        self.manifest.acquire_run_lock()
+        try:
+            parts = self.partition_files()
+            wm_hi = max(
+                (int(p.get("lsn_hi", -1)) for p in latest["partitions"].values()),
+                default=-1,
+            )
+
+            # unified state schema across old partitions (schema evolution)
+            @ray.remote(num_cpus=0)
+            def _part_schema(files: list[str]) -> bytes:
+                import pyarrow.parquet as pq
+
+                u = None
+                for f in files:
+                    s = pq.read_schema(f)
+                    u = s if u is None else unify_schemas(u, s)
+                return u.serialize().to_pybytes()
+
+            futs = [
+                _part_schema.remote(
+                    ([i["base"]] if i["base"] else []) + i["deltas"]
+                )
+                for i in parts.values()
+                if i["base"] or i["deltas"]
+            ]
+            unified = None
+            for blob in ray.get(futs):
+                s = pa.ipc.read_schema(pa.BufferReader(blob))
+                unified = s if unified is None else unify_schemas(unified, s)
+            if unified is None:
+                raise ValueError("committed table holds no state files")
+
+            items = [
+                {"base": i["base"] or "", "deltas": i["deltas"]}
+                for _, i in sorted(parts.items())
+            ]
+
+            def read_state(batch: pa.Table) -> pa.Table:
+                tabs = []
+                for row in batch.to_pylist():
+                    st = load_partition_state(
+                        {"base": row["base"] or None, "deltas": list(row["deltas"])}
+                    )
+                    if st is not None and st.num_rows:
+                        tabs.append(align_to_schema(st, unified))
+                if not tabs:
+                    return unified.empty_table()
+                return pa.concat_tables(tabs)
+
+            def rekey(t: pa.Table) -> pa.Table:
+                return assign_partition_column(t, new_p, new_tb)
+
+            out_dir = self.out_dir
+
+            def write_parts(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                pcol = t.column("part").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                body = t.drop_columns(["part"])
+                rows = []
+                for p in np.unique(pcol):
+                    sub = body.filter(pa.array(pcol == p))
+                    path = os.path.join(
+                        _part_dir(out_dir, int(p)), f"base-{epoch:06d}-mig.parquet"
+                    )
+                    _atomic_write(sub, path)
+                    live = int(
+                        pc.sum(
+                            pc.not_equal(sub.column("op"), pa.scalar("delete"))
+                        ).as_py()
+                        or 0
+                    )
+                    rows.append(
+                        {
+                            "part": int(p),
+                            "base": path,
+                            "rows_state": sub.num_rows,
+                            "rows_live": live,
+                        }
+                    )
+                if not rows:
+                    return pa.table(
+                        {
+                            "part": pa.array([], pa.int64()),
+                            "base": pa.array([], pa.string()),
+                            "rows_state": pa.array([], pa.int64()),
+                            "rows_live": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.Table.from_pylist(rows)
+
+            staged = bucketed_groupby_apply(
+                ray.data.from_items(items)
+                .map_batches(read_state, batch_size=1, batch_format="pyarrow")
+                .map_batches(
+                    rekey,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=None,
+                ),
+                ["part"],
+                write_parts,
+                num_buckets=min(new_p, 512),
+            ).take_all()
+
+            pointers = {
+                str(p): {
+                    "base": None,
+                    "deltas": [],
+                    "epoch": epoch,
+                    "rows_delta": 0,
+                    "rows_state": 0,
+                    "rows_live": 0,
+                    "lsn_hi": wm_hi,
+                }
+                for p in range(new_p)
+            }
+            total = 0
+            for r in staged:
+                total += r["rows_state"]
+                pointers[str(r["part"])].update(
+                    base=r["base"],
+                    rows_state=r["rows_state"],
+                    rows_live=r["rows_live"],
+                )
+            new_identity = {"num_partitions": new_p, "turn_block": new_tb}
+            metrics = dict(latest.get("metrics", {}))
+            metrics["migrated_from"] = old
+            self.manifest.commit(epoch, pointers, metrics, new_identity)
+            if self.vacuum_retain is not None:
+                self.manifest.vacuum(self.vacuum_retain)
+            self.num_partitions = new_p
+            self.turn_block = new_tb
+            return {
+                "epoch": epoch,
+                "old": old,
+                "new": new_identity,
+                "rows": total,
+                "partitions_written": len(staged),
+            }
+        finally:
+            self.manifest.release_run_lock()
+
     def write_final(
         self, final_dir: str, overwrite: bool = False, num_output_partitions: int | None = None
     ) -> dict:

@@ -158,7 +158,7 @@ class Manifest:
         deleted = 0
         freed = 0
         for f in glob.glob(os.path.join(self.root, "part=*", "*.parquet")):
-            m = re.search(r"(?:base|delta)-(\d+)\.parquet$", f)
+            m = re.search(r"(?:base|delta)-(\d+)(?:-mig)?\.parquet$", f)
             if m is None or int(m.group(1)) > latest_epoch:
                 continue
             if os.path.abspath(f) in referenced:

@@ -237,3 +237,63 @@ def test_incremental_mv_state_is_per_epoch_partials(ray_session):
     import pyarrow.compute as pc
 
     assert pc.sum(out.column("n_events")).as_py() == oracle
+
+
+def test_migrate_partitioning_preserves_table_and_resume(gen, tmp_path):
+    """Partition evolution: after migrate(16→8, turn_block 64→32) the live
+    table is bit-identical, a fresh engine ADOPTS the new identity, later
+    epochs apply on the new layout, replayed LSNs stay deduped (global
+    watermark), and vacuum leaves no orphaned old-layout files behind
+    retention."""
+    import glob
+    import os
+
+    events_dir, meta = gen
+    out = str(tmp_path / "out")
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    # commit only the first 3 of 4 epochs, then migrate, then resume epoch 4
+    by_epoch = {}
+    for f in files:
+        by_epoch.setdefault(f.split("-epoch-")[1][:6], []).append(f)
+    epoch_files = [by_epoch[k] for k in sorted(by_epoch)]
+
+    e1 = CdcEngine(out, num_partitions=16, num_actors=4)
+    e1.run(epoch_files=epoch_files[:3])
+    before = e1.final_table()
+
+    res = e1.migrate(new_num_partitions=8, new_turn_block=32)
+    assert res["new"] == {"num_partitions": 8, "turn_block": 32}
+    assert e1.final_table().equals(before)
+
+    # identity guard: the OLD params now conflict, the new ones (or none)
+    # adopt
+    with pytest.raises(ValueError):
+        CdcEngine(out, num_partitions=16)
+    e2 = CdcEngine(out, num_actors=4)
+    assert e2.num_partitions == 8 and e2.turn_block == 32
+
+    # resume: 3 epochs skip, the 4th applies on the migrated layout and the
+    # result matches the all-four oracle (dup LSNs from epoch 4's replays
+    # of earlier epochs must still drop via the migrated global watermark)
+    s = e2.run(epoch_files=epoch_files)
+    assert s["epochs_skipped"] == 3 and s["epochs_run"] == 1
+    assert_matches_oracle(e2, meta["files"])
+
+    # no-op migrate
+    assert e2.migrate()["noop"] is True
+
+    # vacuum hygiene: after two more commits age the pre-migration epoch
+    # out of retention, no old-layout (16-partition mix) state files remain
+    # referenced; every on-disk state file is in the latest-2 manifests
+    refs = set()
+    for ep in e2.manifest.committed_epochs()[-2:]:
+        for ptr in e2.manifest.read_epoch(ep)["partitions"].values():
+            if ptr.get("base"):
+                refs.add(os.path.abspath(ptr["base"]))
+            refs.update(os.path.abspath(d) for d in ptr.get("deltas", []))
+    e2.manifest.vacuum(2)
+    on_disk = {
+        os.path.abspath(f)
+        for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
+    }
+    assert on_disk <= refs
