@@ -249,6 +249,8 @@ _FAMILY_COVERED = {
                              # is the conditional-action MERGE sibling
     "sssp_copurchase",       # graph family — crawl_reachability keeps the
                              # row; weighted sibling of the demoted BFS
+    "ewma_user_value",       # lag-window family — asof_latest_order and
+                             # debounce_events keep the temporal rows
 }
 
 

@@ -579,3 +579,101 @@ def autocorr_user_value(sf_dir: str):
     from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
     return bucketed_groupby_apply(ds, ["user_id"], per_bucket)
+
+
+_EWMA_K = 8
+
+EWMA_SQL = (
+    """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, v AS v0,
+"""
+    + ",\n".join(
+        f"         lag(v, {j}) OVER w AS v{j}" for j in range(1, _EWMA_K)
+    )
+    + """
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       """
+    + " + ".join(
+        f"COALESCE(v{j}, 0) * {1 << (_EWMA_K - 1 - j)}" for j in range(_EWMA_K)
+    )
+    + """ AS smooth_num,
+       CAST("""
+    + " + ".join(
+        f"(CASE WHEN v{j} IS NULL THEN 0 ELSE {1 << (_EWMA_K - 1 - j)} END)"
+        for j in range(_EWMA_K)
+    )
+    + """ AS BIGINT) AS weight_sum
+FROM l
+"""
+)
+
+
+@register("ewma_user_value", EWMA_SQL)
+def ewma_user_value(sf_dir: str):
+    """Truncated exponential smoothing (integer EWMA): per event the
+    geometric-weight window over the last 8 same-user values in
+    (ts, event_id) order — newest weight 2^7 down to 2^0, missing history
+    contributing zero.  Exact-integer contract: the query emits the weighted
+    NUMERATOR and the realized WEIGHT SUM (their ratio is the float EWMA —
+    the partials are what ships, the division is one driver expression).
+    One user_id exchange; per bucket one lexsort + 8 vectorized shifts with
+    a positional same-user guard — no per-row Python, no recursive state
+    (the untruncated EWMA recurrence y_t = αx + (1-α)y is not
+    order-independent and has no exact closed SQL form; the 8-term
+    truncation is the distributed-exact variant, error < (1/2)^8 of the
+    oldest weight)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        v = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(t.column("value"), 1000.0),
+                    0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((eid, ts, uid))
+        u, e, x = uid[order], eid[order], v[order]
+        n = len(u)
+        num = np.zeros(n, np.int64)
+        wsum = np.zeros(n, np.int64)
+        for j in range(_EWMA_K):
+            w = 1 << (_EWMA_K - 1 - j)
+            if j == 0:
+                num += x * w
+                wsum += w
+                continue
+            valid = np.zeros(n, bool)
+            valid[j:] = u[j:] == u[:-j]  # same user j rows back
+            num[j:] += np.where(valid[j:], x[:-j], 0) * w
+            wsum[j:] += np.where(valid[j:], w, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(e),
+                "smooth_num": pa.array(num),
+                "weight_sum": pa.array(wsum),
+            }
+        )
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    return bucketed_groupby_apply(ds, ["user_id"], per_bucket)

@@ -368,3 +368,38 @@ def test_autocorr_partials_match_pandas_brute_force(ray_session, sf_dir):
     assert len(got) == len(want)
     for col in ["n_pairs", "s_x", "s_y", "s_xx", "s_yy", "s_xy"]:
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_ewma_matches_pandas_brute_force(ray_session, sf_dir):
+    """Truncated geometric window: numerator/weight-sum per event must equal
+    an 8-term pandas shift() reduction over the same order and encoding."""
+    import pandas as pd
+
+    from encode_ingest_ray.pipelines.temporal import ewma_user_value
+
+    got = (
+        ewma_user_value(sf_dir)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df["v"] = (
+        np.sign(df["value"]) * np.floor(np.abs(df["value"]) * 1000 + 0.5)
+    ).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    num = np.zeros(len(df), np.int64)
+    ws = np.zeros(len(df), np.int64)
+    g = df.groupby("user_id")["v"]
+    for j in range(8):
+        w = 1 << (7 - j)
+        s = g.shift(j)
+        num += (s.fillna(0).astype(np.int64) * w).to_numpy()
+        ws += np.where(s.notna().to_numpy(), w, 0)
+    df["smooth_num"], df["weight_sum"] = num, ws
+    want = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert (got["smooth_num"].to_numpy() == want["smooth_num"].to_numpy()).all()
+    assert (got["weight_sum"].to_numpy() == want["weight_sum"].to_numpy()).all()
