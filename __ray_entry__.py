@@ -251,6 +251,8 @@ _FAMILY_COVERED = {
                              # row; weighted sibling of the demoted BFS
     "ewma_user_value",       # lag-window family — asof_latest_order and
                              # debounce_events keep the temporal rows
+    "kcore_copurchase",      # graph family — crawl_reachability keeps the
+                             # row; iterative-peel sibling of pagerank/BFS
 }
 
 

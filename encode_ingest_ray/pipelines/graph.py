@@ -252,3 +252,61 @@ def sssp_copurchase(sf_dir: str):
         batch_size=None,
     )
     return sssp_dists(edges, source=3, rounds=4)
+
+
+_PEEL_CTE = """
+d{i} AS (SELECT src AS id, COUNT(*) AS deg FROM e{j} GROUP BY src),
+n{i} AS (SELECT id FROM d{i} WHERE deg >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst FROM e{j} e
+  JOIN n{i} a ON a.id = e.src
+  JOIN n{i} b ON b.id = e.dst
+)"""
+
+_KCORE_K, _KCORE_R = 5, 3
+
+KCORE_SQL = (
+    """
+WITH e0 AS (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+),"""
+    + ",".join(
+        _PEEL_CTE.format(i=i, j=i - 1, k=_KCORE_K)
+        for i in range(1, _KCORE_R + 1)
+    )
+    + f"""
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{_KCORE_R} GROUP BY src
+"""
+)
+
+
+@register("kcore_copurchase", KCORE_SQL)
+def kcore_copurchase(sf_dir: str):
+    """3-peel 5-core of the order↔part bipartite graph: iterative DEGREE
+    FILTERING — the third iterative-graph shape beside the PageRank fixed
+    point and the BFS/SSSP frontier.  Each peel is one pre-combined degree
+    exchange + a broadcast-survivor edge filter (cohash semi-join past the
+    broadcast guard); the bounded peel count makes the result bit-equal to
+    the unrolled CTE chain (stages/kcore.py).  Degrees count parallel
+    edges (SQL COUNT(*))."""
+    from encode_ingest_ray.stages.kcore import k_core
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        o = pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()), 2)
+        p = pc.add(
+            pc.multiply(pc.cast(t.column("l_partkey"), pa.int64()), 2), 1
+        )
+        return pa.concat_tables(
+            [pa.table({"src": o, "dst": p}), pa.table({"src": p, "dst": o})]
+        )
+
+    edges = ds.map_batches(
+        both_directions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return k_core(edges, k=_KCORE_K, rounds=_KCORE_R)

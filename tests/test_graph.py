@@ -1,6 +1,7 @@
 """Fixed-point PageRank (stages/pagerank.py) — brute-force parity."""
 
 import pyarrow as pa
+import pytest
 import ray.data
 
 from encode_ingest_ray.stages.pagerank import pagerank_fixed_point
@@ -139,3 +140,48 @@ def test_sssp_matches_bellman_ford_brute_force(ray_session):
                 nd[e] = d[s] + ww
         d = nd
     assert got == d
+
+
+def _peel_brute(src, dst, k, rounds):
+    import numpy as np
+
+    edges = list(zip(src.tolist(), dst.tolist()))
+    for _ in range(rounds):
+        deg = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        edges = [(s, d) for s, d in edges if s in keep and d in keep]
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    return deg
+
+
+@pytest.mark.parametrize("broadcast_limit", [5_000_000, 1])
+def test_kcore_matches_brute_force_peel(ray_session, broadcast_limit):
+    """Random multigraph (parallel edges included): engine peels == the
+    textbook per-round degree filter, on BOTH the broadcast-survivor path
+    and the cohash semi-join fallback (broadcast_limit=1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from encode_ingest_ray.stages.kcore import k_core
+
+    rng = np.random.default_rng(9)
+    n_nodes, n_edges, k, rounds = 50, 600, 4, 3
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    t = pa.table({"src": src, "dst": dst})
+    ds = ray.data.from_arrow([t.slice(0, 500), t.slice(500)])
+
+    got = (
+        k_core(ds, k=k, rounds=rounds, broadcast_limit=broadcast_limit)
+        .to_pandas()
+        .set_index("id")["deg"]
+        .to_dict()
+    )
+    assert got == _peel_brute(src, dst, k, rounds)
