@@ -253,6 +253,9 @@ _FAMILY_COVERED = {
                              # debounce_events keep the temporal rows
     "kcore_copurchase",      # graph family — crawl_reachability keeps the
                              # row; iterative-peel sibling of pagerank/BFS
+    "impute_mean_events",    # imputation family — gap_fill_daily (LOCF)
+                             # keeps the row; this is the numeric
+                             # group-mean sibling
 }
 
 

@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "heavy_hitters_events",
     "substring_dup_stats",
     "gap_fill_daily",
+    # round-3 continuation 11: DQ gate, spatial grid join, MERGE INTO,
+    # truncated-EWMA lag window (weighted SSSP / k-core are iterative
+    # multi-round ops — representative graph cost already carried by the
+    # CDC + exchange legs, and their oracles gate correctness per round)
+    "dq_checks_orders",
+    "spatial_pairs_customers",
+    "merge_into_orders",
+    "ewma_user_value",
 ]
 
 

@@ -1003,3 +1003,113 @@ def gini_order_value(sf_dir: str):
     return counts.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+# ------------------------------------------------- mean imputation
+
+
+IMPUTE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v,
+         (event_id % 13 = 0) AS miss
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN NOT miss THEN v END) AS BIGINT) AS s,
+         CAST(COUNT(*) FILTER (NOT miss) AS BIGINT) AS n
+  FROM e GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN e.miss THEN g.s ELSE e.v END AS fill_num,
+       CASE WHEN e.miss THEN g.n ELSE 1 END AS fill_den
+FROM e JOIN g USING (user_id)
+"""
+
+
+@register("impute_mean_events", IMPUTE_SQL)
+def impute_mean_events(sf_dir: str):
+    """Group-mean imputation — the numeric missing-data repair step of a
+    training-data pipeline (sibling of gap_fill's LOCF): values at the
+    deterministic missing mask (event_id % 13 == 0) are replaced by their
+    user's mean over PRESENT values.  Exact-integer contract: each row
+    emits (fill_num, fill_den) — (v, 1) when present, (group Σv, group n)
+    when imputed — so no division order can diverge; the float mean is one
+    driver expression.  Two passes, zero exchange on the fact stream: the
+    per-user partials come from one pre-combined aggregation, broadcast
+    once (ray.put) and probed per block (the outlier_zscore two-pass
+    broadcast shape; a user dimension too large to broadcast would switch
+    to the cohash join, the documented guard)."""
+    import numpy as np
+
+    import ray
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        v = _milli(t.column("value"))
+        present = pc.not_equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, 13), 13)), 0
+        )
+        tt = pa.table({"user_id": t.column("user_id"), "v": v}).filter(present)
+        g = tt.group_by(["user_id"]).aggregate([("v", "sum"), ([], "count_all")])
+        return g.rename_columns(["user_id", "s", "n"])
+
+    partials = bucketed_sum_combine(
+        ds.map_batches(
+            pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["user_id"],
+        ["s", "n"],
+    )
+    tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    gt = pa.concat_tables(tabs).combine_chunks()
+    uid = gt.column("user_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(uid)
+    ref = ray.put(
+        (
+            uid[order],
+            gt.column("s").to_numpy(zero_copy_only=False)[order],
+            gt.column("n").to_numpy(zero_copy_only=False)[order],
+        )
+    )
+
+    def fill(t: pa.Table, _ref=ref) -> pa.Table:
+        uids, s, n = ray.get(_ref)
+        eid = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        u = t.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        v = (
+            _milli(t.column("value"))
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        miss = (eid % 13) == 0
+        if len(uids):
+            pos = np.searchsorted(uids, u)
+            pos[pos == len(uids)] = 0
+            hit = uids[pos] == u
+        else:  # nobody has a present value anywhere
+            pos = np.zeros(len(u), np.int64)
+            hit = np.zeros(len(u), bool)
+            s = n = np.zeros(1, np.int64)
+        num = np.where(miss, np.where(hit, s[pos], 0), v)
+        den = np.where(miss, np.where(hit, n[pos], 0), 1)
+        # a user whose EVERY value is missing has no present-value partial:
+        # SQL emits (NULL, 0) there — mask the num, zero the den
+        null_num = miss & ~hit
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "fill_num": pa.array(num.astype(np.int64), mask=null_num),
+                "fill_den": pa.array(den.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        fill, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -391,3 +391,39 @@ def test_registered_info_stats_queries_run(ray_session, sf_dir, name):
     ds = registry.QUERIES[name](sf_dir)
     assert ds.count() > 0
     assert name in registry.ORACLE
+
+
+def test_impute_mean_handles_all_missing_user(ray_session, tmp_path):
+    """A user whose EVERY value is masked must impute to (NULL, 0) — the
+    group has no present values; others fill with exact (Σv, n) partials."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.pipelines.stats_queries import impute_mean_events
+
+    # user 1: events 13 (missing) and 14 (present, v=2.0)
+    # user 2: only event 26 -> missing, no present values at all
+    t = pa.table(
+        {
+            "event_id": pa.array([13, 14, 26], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([9.0, 2.0, 9.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = (
+        impute_mean_events(str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["fill_num"].tolist() == [2000.0, 2000, 0] or [
+        x if not pd.isna(x) else None for x in got["fill_num"]
+    ] == [2000, 2000, None]
+    assert pd.isna(got["fill_num"].iloc[2])
+    assert got["fill_den"].tolist() == [1, 1, 0]
