@@ -256,6 +256,15 @@ _FAMILY_COVERED = {
     "impute_mean_events",    # imputation family — gap_fill_daily (LOCF)
                              # keeps the row; this is the numeric
                              # group-mean sibling
+    # round-3 continuation 12: ks_test_price_flag (two-sample nonparametric
+    # test family — distributed sorted-CDF prefix scan) enters tier 0; its
+    # rank-sum sibling rides tier 1 and one doubly-represented sketch rep
+    # moves down:
+    "mannwhitney_price_flag",  # two-sample-test family — ks_test_price_flag
+                               # (same CDF scan kernel) keeps the row
+    "approx_distinct_users",   # sketch family — grouped_quantiles_exact
+                               # keeps the row; HLL semantics stay pinned in
+                               # tests/test_rows_only_semantics.py
 }
 
 

@@ -1113,3 +1113,89 @@ def impute_mean_events(sf_dir: str):
     return ds.map_batches(
         fill, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample nonparametric tests: KS + Mann-Whitney (stages/hypothesis.py)
+# ---------------------------------------------------------------------------
+
+#: shared distinct-value count CTE: A vs R extended-price distributions
+_TWO_SAMPLE_VALS = """
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+"""
+
+KS_SQL = f"""
+WITH vals AS ({_TWO_SAMPLE_VALS}),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b FROM vals),
+cum AS (SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM vals)
+SELECT n_a, n_b, CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num
+FROM cum, tot GROUP BY n_a, n_b
+"""
+
+MWU_SQL = f"""
+WITH vals AS ({_TWO_SAMPLE_VALS}),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b FROM vals),
+cum AS (SELECT ca, ca + cb AS c,
+               CAST(SUM(ca + cb) OVER (ORDER BY v) - (ca + cb) AS BIGINT)
+                 AS cum_excl
+        FROM vals)
+SELECT n_a, n_b,
+       CAST(SUM(ca * (2 * cum_excl + c + 1)) AS BIGINT)
+         - n_a * (n_a + 1) AS u2_a
+FROM cum, tot GROUP BY n_a, n_b
+"""
+
+
+def _two_sample_counts(sf_dir: str):
+    """Per-block partial counts per distinct price: (v_cents, ca, cb)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("l_returnflag"), value_set=pa.array(["A", "R"]))
+        t = t.filter(keep)
+        part = pa.table(
+            {
+                "v": _cents(t.column("l_extendedprice")),
+                "ca": pc.cast(pc.equal(t.column("l_returnflag"), "A"), pa.int64()),
+                "cb": pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64()),
+            }
+        )
+        g = part.group_by(["v"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return g.rename_columns(["v", "ca", "cb"])
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+@register("ks_test_price_flag", KS_SQL)
+def ks_test_price_flag(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic (returned vs accepted
+    line-item price distributions) as the EXACT integer numerator
+    ``d_num = max_v |cumA(v)*n_b - cumB(v)*n_a|`` over denominator
+    ``n_a*n_b``: per-block distinct-value count partials, one range
+    exchange with distinct sampled splits, per-partition offset cumsums,
+    ≤32-row Python-int final reduce (stages/hypothesis.py)."""
+    from encode_ingest_ray.stages.hypothesis import two_sample_scan
+
+    return two_sample_scan(_two_sample_counts(sf_dir)).select(
+        ["n_a", "n_b", "d_num"]
+    )
+
+
+@register("mannwhitney_price_flag", MWU_SQL)
+def mannwhitney_price_flag(sf_dir: str):
+    """Mann-Whitney rank-sum statistic ``u2_a = 2*U_A`` with exact midrank
+    tie handling (every midrank doubles to the integer ``2*cum_excl+c+1``),
+    over the same distributed CDF scan as the KS sibling."""
+    from encode_ingest_ray.stages.hypothesis import two_sample_scan
+
+    return two_sample_scan(_two_sample_counts(sf_dir)).select(
+        ["n_a", "n_b", "u2_a"]
+    )
