@@ -265,6 +265,11 @@ _FAMILY_COVERED = {
     "approx_distinct_users",   # sketch family — grouped_quantiles_exact
                                # keeps the row; HLL semantics stay pinned in
                                # tests/test_rows_only_semantics.py
+    # basket_overlap_pairs (exact set-similarity join — prefix filtering)
+    # enters tier 0; the dedup family's third rep moves down:
+    "minhash_lsh_pairs",       # near-dup family — near_dup_clusters
+                               # (LSH + verify + components superset) and
+                               # incremental_dedup keep the rows
 }
 
 

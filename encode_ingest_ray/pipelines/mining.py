@@ -313,3 +313,35 @@ def proportional_allocation(sf_dir: str):
     return counts.repartition(1).map_batches(
         alloc, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join: prefix-filtered overlap join
+# ---------------------------------------------------------------------------
+
+BASKET_OVERLAP_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_orderkey AS o1, c.l_orderkey AS o2,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM b a JOIN b c
+    ON a.l_partkey = c.l_partkey AND a.l_orderkey < c.l_orderkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT o1, o2, overlap FROM p
+"""
+
+
+@register("basket_overlap_pairs", BASKET_OVERLAP_SQL)
+def basket_overlap_pairs(sf_dir: str):
+    """Exact set-similarity self-join (stages/setsim.py): every pair of
+    orders whose part baskets share >= 2 parts, via PPJoin-style prefix
+    filtering — candidates are generated only inside rarest-first PREFIX
+    token groups, so a hot part never pays its full quadratic posting
+    list; the oracle's naive token join is the plan this replaces."""
+    from encode_ingest_ray.stages.setsim import overlap_self_join
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return overlap_self_join(
+        ds, id_col="l_orderkey", token_col="l_partkey", threshold=2
+    ).rename_columns(["o1", "o2", "overlap"])
