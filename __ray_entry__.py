@@ -270,6 +270,11 @@ _FAMILY_COVERED = {
     "minhash_lsh_pairs",       # near-dup family — near_dup_clusters
                                # (LSH + verify + components superset) and
                                # incremental_dedup keep the rows
+    "cdc_covering_index",      # CDC family — engine/snapshot/SCD2/
+                               # incremental-MV keep the rows; this is the
+                               # atomic-multi-table-commit + projected-index
+                               # sibling (tests/test_txn_index.py pins the
+                               # crash-window recovery)
 }
 
 

@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "spatial_pairs_customers",
     "merge_into_orders",
     "ewma_user_value",
+    # round-3 continuation 12: distributed two-sample CDF scan (KS +
+    # Mann-Whitney share the kernel; KS is the bench rep) and the
+    # prefix-filtered exact set-similarity join
+    "ks_test_price_flag",
+    "basket_overlap_pairs",
 ]
 
 

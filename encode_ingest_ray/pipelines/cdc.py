@@ -171,6 +171,7 @@ class CdcEngine:
         compact_every: int = 8,
         flush_fanout: int | None = None,
         vacuum_retain: int | None = 2,
+        index_columns: list[str] | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -178,6 +179,14 @@ class CdcEngine:
         # risks pool-vs-task resource deadlock; measured ~20% faster at both
         # 8 and 32 cpus with no reservation (OS-level scheduling suffices).
         self.out_dir = out_dir
+        # heal any multi-table commit interrupted between the transaction
+        # record and the last manifest promotion BEFORE any manifest read
+        # (cheap no-op when the txn log is empty or absent)
+        os.makedirs(out_dir, exist_ok=True)
+        from encode_ingest_ray.state.txn import TxnLog
+
+        self.txn = TxnLog(out_dir)
+        self.txn.recover()
         if num_actors is None:
             # ~1 merger per 4 cores, the density that scales with the cluster
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -190,6 +199,21 @@ class CdcEngine:
             num_partitions = committed["num_partitions"] if committed else 8 * num_actors
         if turn_block is None:
             turn_block = committed["turn_block"] if committed else DEFAULT_TURN_BLOCK
+        # the covering index (like the partitioning) is durable table
+        # identity: a committed indexed table ADOPTS its index config on
+        # resume (else the mirrored chains would silently diverge)
+        committed_index = committed.get("index_columns") if committed else None
+        if index_columns is None:
+            index_columns = committed_index
+        elif committed is not None and committed_index != index_columns:
+            raise ValueError(
+                f"output dir {out_dir!r} was committed with "
+                f"index_columns={committed_index}; resuming with "
+                f"{index_columns} would diverge the mirrored index chain. "
+                "Rebuild the table to change the index."
+            )
+        self.index_columns = index_columns
+        self.index_root = os.path.join(out_dir, "index") if index_columns is not None else None
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block
@@ -199,8 +223,10 @@ class CdcEngine:
         # GC superseded base/delta files this many commits after they drop
         # out of the pointer map (None disables); see Manifest.vacuum
         self.vacuum_retain = vacuum_retain
-        os.makedirs(out_dir, exist_ok=True)
         self.manifest = Manifest(out_dir)
+        self.index_manifest = (
+            Manifest(self.index_root) if self.index_root is not None else None
+        )
         self._actors: list | None = None
         # partitioning is part of the table's durable identity: state files
         # are keyed by hash(conv_id, turn_idx//turn_block) % num_partitions,
@@ -231,7 +257,8 @@ class CdcEngine:
             mine = {p: ptr for p, ptr in pointers.items() if p % self.num_actors == i}
             actors.append(
                 PartitionMerger.options(num_cpus=self.actor_num_cpus).remote(
-                    self.out_dir, mine, self.compact_every, fanout
+                    self.out_dir, mine, self.compact_every, fanout,
+                    self.index_root, self.index_columns,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -386,19 +413,37 @@ class CdcEngine:
             "commit_latency_s": commit_s,
             "per_partition": per_part_metrics,
         }
-        self.manifest.commit(
-            epoch,
-            pointers,
-            metrics,
-            partitioning={
-                "num_partitions": self.num_partitions,
-                "turn_block": self.turn_block,
-            },
-        )
+        partitioning = {
+            "num_partitions": self.num_partitions,
+            "turn_block": self.turn_block,
+            "index_columns": self.index_columns,
+        }
+        if self.index_manifest is None:
+            self.manifest.commit(epoch, pointers, metrics, partitioning)
+        else:
+            # covering index: the mirrored file chains publish as ONE
+            # transaction — a crash can never expose the two tables at
+            # different epochs (state/txn.py write-ahead protocol)
+            index_pointers = {
+                p: self._index_ptr(ptr) for p, ptr in pointers.items()
+            }
+            self.txn.commit(
+                epoch,
+                {"live": self.manifest, "index": self.index_manifest},
+                {
+                    "live": {"partitions": pointers, "metrics": metrics,
+                             "partitioning": partitioning},
+                    "index": {"partitions": index_pointers,
+                              "metrics": {"mirror_of": self.out_dir},
+                              "partitioning": partitioning},
+                },
+            )
         if self.vacuum_retain is not None:
             # after the commit: anything the newest vacuum_retain manifests
             # don't reference is unreachable (resume reads only the latest)
             self.manifest.vacuum(self.vacuum_retain)
+            if self.index_manifest is not None:
+                self.index_manifest.vacuum(self.vacuum_retain)
         summary["epochs_run"] += 1
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]
@@ -446,6 +491,21 @@ class CdcEngine:
         return totals
 
     # -- read side -------------------------------------------------------
+    def _index_ptr(self, ptr: dict) -> dict:
+        """Index-table pointer = path transform of the live pointer: the
+        flush writes the projected file under the SAME relative path below
+        the index root, so no second pointer bookkeeping exists to drift."""
+
+        def reroot(p):
+            if not p:
+                return p
+            return os.path.join(self.index_root, os.path.relpath(p, self.out_dir))
+
+        out = dict(ptr)
+        out["base"] = reroot(ptr.get("base"))
+        out["deltas"] = [reroot(d) for d in ptr.get("deltas", [])]
+        return out
+
     def partition_files(self, epoch: int | None = None) -> dict[int, dict]:
         """part -> {base, deltas} from the latest manifest, or — time
         travel — from the manifest of a specific committed ``epoch``: each
@@ -464,6 +524,26 @@ class CdcEngine:
             for p, ptr in pointers.items()
         }
 
+    def index_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
+        """Streaming live view of the COVERING INDEX table: the same
+        merge-on-read path as ``final_dataset`` over the mirrored projected
+        chain — stats/lookup queries over the key + configured payload subset
+        read a table ~the projection's fraction of the live table's bytes
+        and never touch the wide payload columns."""
+        if self.index_manifest is None:
+            raise ValueError("engine has no covering index (index_columns unset)")
+        rec = (
+            self.index_manifest.latest()
+            if epoch is None
+            else self.index_manifest.read_epoch(epoch)
+        )
+        pointers = dict(rec["partitions"]) if rec else {}
+        parts = {
+            int(p): {"base": ptr.get("base"), "deltas": list(ptr.get("deltas", []))}
+            for p, ptr in pointers.items()
+        }
+        return self._merge_on_read(parts)
+
     def final_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
         """Streaming live view of the committed table: one merge-on-read task
         per partition (base snapshot + epoch deltas resolved by the LWW
@@ -477,11 +557,13 @@ class CdcEngine:
         driver unifies only tiny serialized schemas — no per-file driver IO
         at large partition counts).
         """
+        return self._merge_on_read(self.partition_files(epoch))
+
+    def _merge_on_read(self, parts: dict[int, dict]) -> "ray.data.Dataset":
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
         from encode_ingest_ray.state.lww import live_view
         from encode_ingest_ray.state.merger import load_partition_state
 
-        parts = self.partition_files(epoch)
         if not parts:
             return ray.data.from_items([])
 
@@ -575,6 +657,7 @@ class CdcEngine:
             _atomic_write,
             _part_dir,
             load_partition_state,
+            project_index,
         )
         from encode_ingest_ray.state.partition import assign_partition_column
         from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
@@ -646,6 +729,8 @@ class CdcEngine:
                 return assign_partition_column(t, new_p, new_tb)
 
             out_dir = self.out_dir
+            index_root = self.index_root
+            index_columns = self.index_columns
 
             def write_parts(t: pa.Table) -> pa.Table:
                 import numpy as np
@@ -661,6 +746,15 @@ class CdcEngine:
                         _part_dir(out_dir, int(p)), f"base-{epoch:06d}-mig.parquet"
                     )
                     _atomic_write(sub, path)
+                    if index_root is not None:
+                        # the mirrored index chain migrates in the same pass
+                        _atomic_write(
+                            project_index(sub, index_columns or []),
+                            os.path.join(
+                                _part_dir(index_root, int(p)),
+                                f"base-{epoch:06d}-mig.parquet",
+                            ),
+                        )
                     live = int(
                         pc.sum(
                             pc.not_equal(sub.column("op"), pa.scalar("delete"))
@@ -720,12 +814,31 @@ class CdcEngine:
                     rows_state=r["rows_state"],
                     rows_live=r["rows_live"],
                 )
-            new_identity = {"num_partitions": new_p, "turn_block": new_tb}
+            new_identity = {"num_partitions": new_p, "turn_block": new_tb,
+                            "index_columns": self.index_columns}
             metrics = dict(latest.get("metrics", {}))
             metrics["migrated_from"] = old
-            self.manifest.commit(epoch, pointers, metrics, new_identity)
+            if self.index_manifest is None:
+                self.manifest.commit(epoch, pointers, metrics, new_identity)
+            else:
+                index_pointers = {
+                    p: self._index_ptr(ptr) for p, ptr in pointers.items()
+                }
+                self.txn.commit(
+                    epoch,
+                    {"live": self.manifest, "index": self.index_manifest},
+                    {
+                        "live": {"partitions": pointers, "metrics": metrics,
+                                 "partitioning": new_identity},
+                        "index": {"partitions": index_pointers,
+                                  "metrics": {"mirror_of": self.out_dir},
+                                  "partitioning": new_identity},
+                    },
+                )
             if self.vacuum_retain is not None:
                 self.manifest.vacuum(self.vacuum_retain)
+                if self.index_manifest is not None:
+                    self.index_manifest.vacuum(self.vacuum_retain)
             self.num_partitions = new_p
             self.turn_block = new_tb
             return {

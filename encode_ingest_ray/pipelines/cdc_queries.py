@@ -704,3 +704,67 @@ def incremental_user_totals(sf_dir: str):
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+#: Per-conversation stats computable from the covering index's projection
+#: (key + role + ts) — never touching the wide text/tool payload.
+CDC_INDEX_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT conv_id, turn_idx, role, ts
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM live GROUP BY conv_id
+"""
+
+
+@register("cdc_covering_index", CDC_INDEX_SQL)
+def cdc_covering_index(sf_dir: str):
+    """Engine-maintained COVERING INDEX: the flush path writes a projected
+    sibling chain (key + merge metadata + ``role``) next to every live
+    delta/base, and both manifests publish as ONE atomic transaction
+    (state/txn.py — a crash can never expose the tables at different
+    epochs).  Per-conversation stats then read the narrow index table only
+    (~the projection's fraction of the live bytes; transcript text never
+    crosses the wire).  The oracle derives the same stats from the raw
+    change log — so this also re-proves the index == live-projection
+    invariant end-to-end."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    work = tempfile.mkdtemp(prefix=f"cdcidx-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        index_columns=["role"],
+    )
+    engine.run(events_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": pa.array([1] * t.num_rows, pa.int64()),
+                "n_user": pc.cast(
+                    pc.equal(t.column("role"), "user"), pa.int64()
+                ),
+                "max_ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+        g = pre.group_by(["conv_id"]).aggregate(
+            [("n_turns", "sum"), ("n_user", "sum"), ("max_ts_us", "max")]
+        )
+        return g.rename_columns(["conv_id", "n_turns", "n_user", "max_ts_us"])
+
+    return bucketed_groupby_apply(engine.index_dataset(), ["conv_id"], stats)

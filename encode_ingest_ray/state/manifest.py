@@ -99,6 +99,18 @@ class Manifest:
         return dict(rec["partitions"]) if rec else {}
 
     # -- write side ------------------------------------------------------
+    def _write_json_atomic(self, rec: dict, path: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-commit-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(rec, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
     def commit(
         self,
         epoch: int,
@@ -112,17 +124,43 @@ class Manifest:
         would duplicate keys across partitions)."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
                "partitioning": partitioning}
-        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-commit-")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(rec, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self._write_json_atomic(rec, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
         return rec
+
+    # -- multi-table transaction support (see state/txn.py) ---------------
+    def staged_path(self, epoch: int) -> str:
+        """Dot-prefixed staged manifest: invisible to ``committed_epochs``."""
+        return os.path.join(self.dir, f".staged-epoch={epoch:06d}.json")
+
+    def stage(
+        self,
+        epoch: int,
+        partitions: dict[str, dict],
+        metrics: dict,
+        partitioning: dict | None = None,
+    ) -> str:
+        """Write the epoch's manifest record to a STAGED path (atomic, but
+        not yet visible as a commit).  ``TxnLog.commit`` publishes staged
+        manifests across several tables after one atomic transaction record
+        — the cross-table commit point."""
+        rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
+               "partitioning": partitioning}
+        path = self.staged_path(epoch)
+        self._write_json_atomic(rec, path)
+        return path
+
+    def publish(self, epoch: int) -> None:
+        """Promote a staged manifest to a visible commit (idempotent: a
+        replayed publish after a crash is a no-op if the rename already
+        happened)."""
+        staged = self.staged_path(epoch)
+        final = os.path.join(self.dir, f"epoch={epoch:06d}.json")
+        if os.path.exists(staged):
+            os.replace(staged, final)
+        elif not os.path.exists(final):
+            raise FileNotFoundError(
+                f"no staged or committed manifest for epoch {epoch} in {self.dir!r}"
+            )
 
     # -- vacuum ----------------------------------------------------------
     def vacuum(self, retain_epochs: int = 2) -> dict:

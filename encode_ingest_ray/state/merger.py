@@ -67,6 +67,23 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+#: LWW key + merge metadata every covering-index file must retain so the
+#: standard merge-on-read kernel (load_partition_state → live_view) applies
+#: to the index chain unchanged.
+INDEX_META_COLUMNS = ["conv_id", "turn_idx", "ts", "op", "lsn"]
+
+
+def project_index(table: pa.Table, index_columns: list[str]) -> pa.Table:
+    """Covering-index projection of a delta/base: key + merge metadata plus
+    the configured payload subset (columns absent in an early-epoch schema
+    are simply skipped — read-side schema alignment null-fills them)."""
+    cols = INDEX_META_COLUMNS + [
+        c for c in index_columns
+        if c in table.column_names and c not in INDEX_META_COLUMNS
+    ]
+    return table.select(cols)
+
+
 def load_partition_state(ptr: dict) -> pa.Table | None:
     """Reconstruct a partition's durable state from its manifest pointer:
     base snapshot merged with subsequent deltas in epoch order (merge-on-read)."""
@@ -96,6 +113,8 @@ def _flush_partitions(
     watermarks: dict[int, int],
     prev_pointers: dict[int, dict],
     compact_every: int,
+    index_root: str | None = None,
+    index_columns: list[str] | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -144,6 +163,13 @@ def _flush_partitions(
             )
             base = os.path.join(_part_dir(out_dir, part), f"base-{epoch:06d}.parquet")
             _atomic_write(state, base)
+            if index_root is not None:
+                # mirrored chain: same file name under the index root, so the
+                # index pointer map is a pure path transform of the main one
+                _atomic_write(
+                    project_index(state, index_columns or []),
+                    os.path.join(_part_dir(index_root, part), f"base-{epoch:06d}.parquet"),
+                )
             deltas = []
             rows_state = state.num_rows
             rows_live = int(
@@ -153,6 +179,11 @@ def _flush_partitions(
         else:
             dpath = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
             _atomic_write(delta, dpath)
+            if index_root is not None:
+                _atomic_write(
+                    project_index(delta, index_columns or []),
+                    os.path.join(_part_dir(index_root, part), f"delta-{epoch:06d}.parquet"),
+                )
             deltas.append(dpath)
 
         metrics["rows_delta"] = delta.num_rows
@@ -181,11 +212,15 @@ class PartitionMerger:
         pointers: dict[int, dict],
         compact_every: int = 8,
         flush_fanout: int = 4,
+        index_root: str | None = None,
+        index_columns: list[str] | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
         self.compact_every = compact_every
         self.flush_fanout = max(1, flush_fanout)
+        self.index_root = index_root
+        self.index_columns = index_columns
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -249,6 +284,8 @@ class PartitionMerger:
                 {p: self.watermark.get(p, -1) for p in group},
                 {p: self.pointers[p] for p in group if p in self.pointers},
                 self.compact_every,
+                self.index_root,
+                self.index_columns,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
