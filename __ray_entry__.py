@@ -275,6 +275,12 @@ _FAMILY_COVERED = {
                                # atomic-multi-table-commit + projected-index
                                # sibling (tests/test_txn_index.py pins the
                                # crash-window recovery)
+    "psi_value_drift",         # divergence family — entropy_user_events
+                               # (same micro-nat libm-ln encoding) keeps
+                               # the row; this is the drift-monitor sibling
+    "top_event_paths",         # sequence family — funnel_signup_purchase
+                               # keeps the row; composes the sorted-collect
+                               # and topk kernels at path cardinality
 }
 
 

@@ -315,3 +315,99 @@ def rolling_active_users(sf_dir: str):
     return combined.repartition(1).map_batches(
         lambda t: final(t.combine_chunks()), batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: global top-k ordered event-type sequences
+# ---------------------------------------------------------------------------
+
+TOP_PATHS_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id, day
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@register("top_event_paths", TOP_PATHS_SQL)
+def top_event_paths(sf_dir: str):
+    """Top-20 most common per-(user, day) event-type SEQUENCES — the
+    clickstream path-analysis op behind funnels.  Path build is the
+    sorted-collect kernel (one (user,day)-bucketed exchange, run-offset
+    ListArray + Arrow binary_join, zero per-group Python); path counting is
+    a second bucketed exchange of per-block count partials; the global
+    top-k never materializes the path universe (per-block local head-k,
+    then one tiny final reduce — the topk_orders shape)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(us, 86400000000),
+                "ts_us": us,
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def build_paths(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("day", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = t.take(idx)
+        n = g.num_rows
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        day = g.column("day").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        )
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(
+            offsets, g.column("event_type").combine_chunks()
+        )
+        paths = pa.table({"path": pc.binary_join(lists, ">")})
+        cnt = paths.append_column(
+            "n", pa.array(np.ones(paths.num_rows, np.int64))
+        ).group_by(["path"]).aggregate([("n", "sum")])
+        return cnt.rename_columns(["path", "n"])
+
+    per_key = bucketed_groupby_apply(
+        ds.map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["user_id", "day"],
+        build_paths,
+    )
+    counts = bucketed_sum_combine(per_key, ["path"], ["n"])
+
+    def head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("path", "ascending")]
+        )
+        return t.take(idx[:20])
+
+    local = counts.map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return local.repartition(1).map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -1199,3 +1199,130 @@ def mannwhitney_price_flag(sf_dir: str):
     return two_sample_scan(_two_sample_counts(sf_dir)).select(
         ["n_a", "n_b", "u2_a"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor: Population Stability Index (per-bucket, exact)
+# ---------------------------------------------------------------------------
+
+PSI_SQL = """
+WITH v AS (
+  SELECT event_id, CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events
+),
+mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+b AS (
+  SELECT (v.v - rng.lo) * 16 // (rng.hi - rng.lo + 1) AS bucket,
+         CASE WHEN v.event_id <= mid.m THEN 1 ELSE 0 END AS in_a
+  FROM v, mid, rng
+),
+c AS (
+  SELECT bucket, CAST(SUM(in_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - in_a) AS BIGINT) AS cb
+  FROM b GROUP BY bucket
+),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+SELECT bucket, ca, cb,
+  CAST(FLOOR((((ca + 1.0) / (na + 16) - (cb + 1.0) / (nb + 16))
+        * ln(((ca + 1.0) / (na + 16)) / ((cb + 1.0) / (nb + 16))))
+       * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+FROM c, t
+"""
+
+
+def _value_milli_range(sf_dir: str) -> tuple[int, int]:
+    """(lo, hi) of ROUND(value*1000) from parquet FOOTER statistics — no
+    data pass (rounding is monotonic, so the per-row min/max equals the
+    rounded column min/max).  Positive-domain guard: the half-away formula
+    below is floor(x+0.5) which only equals DuckDB ROUND for x >= 0."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    idx = next(
+        i for i in range(md.num_columns) if md.schema.column(i).name == "value"
+    )
+    lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+    hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+    if lo < 0:
+        raise ValueError("psi_value_drift requires non-negative values "
+                         "(half-away rounding shortcut)")
+    return int(math.floor(lo * 1000 + 0.5)), int(math.floor(hi * 1000 + 0.5))
+
+
+@register("psi_value_drift", PSI_SQL)
+def psi_value_drift(sf_dir: str):
+    """Population Stability Index between the first and second half of the
+    change stream (split at the max-event-id midpoint, read from footer
+    stats): 16 equi-width value buckets, Laplace-smoothed shares, per-bucket
+    contribution in round-half-up MICRO-nats — the drift gate an ML-data
+    pipeline runs before accepting a new training batch.  Per-block bucket
+    count partials cross one tiny exchange; the 16-row divergence reduce
+    runs scalar ``math.log`` (libm — bit-equal to DuckDB ``ln``, the same
+    equivalence the HLL/entropy oracles rely on)."""
+    import math
+
+    import numpy as np
+
+    from encode_ingest_ray.pipelines.cdc_queries import _events_lsn_hi
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    lo, hi = _value_milli_range(sf_dir)
+    mid = _events_lsn_hi(sf_dir) // 2
+    width = hi - lo + 1
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        v = _milli(t.column("value")).to_numpy(zero_copy_only=False)
+        bucket = ((v - lo) * 16) // width
+        in_a = (
+            t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+            <= mid
+        )
+        pre = pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "ca": pa.array(in_a.astype(np.int64)),
+                "cb": pa.array((~in_a).astype(np.int64)),
+            }
+        )
+        g = pre.group_by(["bucket"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return g.rename_columns(["bucket", "ca", "cb"])
+
+    counts = bucketed_sum_combine(
+        ds.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["bucket"],
+        ["ca", "cb"],
+        1,
+    )
+
+    def divergence(t: pa.Table) -> pa.Table:
+        bucket = t.column("bucket").to_pylist()
+        ca = t.column("ca").to_pylist()
+        cb = t.column("cb").to_pylist()
+        na, nb = sum(ca), sum(cb)
+        contrib = []
+        for a, b in zip(ca, cb):
+            pa_ = (a + 1.0) / (na + 16)
+            pb_ = (b + 1.0) / (nb + 16)
+            contrib.append(
+                int(math.floor((pa_ - pb_) * math.log(pa_ / pb_) * 1000000 + 0.5))
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "ca": pa.array(ca, pa.int64()),
+                "cb": pa.array(cb, pa.int64()),
+                "contrib_micro": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        divergence, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
