@@ -281,6 +281,9 @@ _FAMILY_COVERED = {
     "top_event_paths",         # sequence family — funnel_signup_purchase
                                # keeps the row; composes the sorted-collect
                                # and topk kernels at path cardinality
+    "longest_streak_user",     # gaps-and-islands family —
+                               # interval_coverage_user keeps the row; this
+                               # is the islands-side (consecutive-run) twin
 }
 
 

@@ -65,6 +65,10 @@ def main(argv=None) -> int:
                         "== shard-index (key-sharded events required)")
     r.add_argument("--shard-count", type=int, default=None)
     r.add_argument("--object-store-gb", type=float, default=None)
+    r.add_argument("--index-columns", default=None,
+                   help="comma-separated payload columns for the engine-"
+                        "maintained covering index (durable table identity; "
+                        "committed tables adopt theirs automatically)")
     r.add_argument("--warmup", action="store_true",
                    help="spin up the worker pool with an untimed tiny read "
                         "before running (bench parity)")
@@ -247,13 +251,18 @@ def main(argv=None) -> int:
 
     try:
         if args.cmd == "run":
+            index_columns = (
+                [c.strip() for c in args.index_columns.split(",") if c.strip()]
+                if args.index_columns else None
+            )
             if args.shard_index is not None:
                 from encode_ingest_ray.pipelines.sharded import shard_epoch_files
 
                 if not args.shard_count:
                     raise SystemExit("--shard-index requires --shard-count")
                 eng = CdcEngine(
-                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                    args.out, num_partitions=args.partitions,
+                    num_actors=args.actors, index_columns=index_columns,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -273,13 +282,15 @@ def main(argv=None) -> int:
                 print(json.dumps(s))
             elif args.follow:
                 eng = CdcEngine(
-                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                    args.out, num_partitions=args.partitions,
+                    num_actors=args.actors, index_columns=index_columns,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
             else:
                 eng = CdcEngine(
-                    args.out, num_partitions=args.partitions, num_actors=args.actors
+                    args.out, num_partitions=args.partitions,
+                    num_actors=args.actors, index_columns=index_columns,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

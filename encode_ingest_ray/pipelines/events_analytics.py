@@ -411,3 +411,81 @@ def top_event_paths(sf_dir: str):
     return local.repartition(1).map_batches(
         head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user
+# ---------------------------------------------------------------------------
+
+STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, grp)
+GROUP BY user_id
+"""
+
+
+@register("longest_streak_user", STREAK_SQL)
+def longest_streak_user(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user — the islands side
+    of gaps-and-islands (the SQL ``day - ROW_NUMBER()`` grouping trick).
+    Per-block distinct (user, day) partials cross one user-bucketed
+    exchange; inside each bucket the whole computation is one vectorized
+    pass: sort, global distinct, run boundaries where the day step != 1,
+    ``reduceat`` run lengths, per-user max."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        d = pa.table(
+            {"user_id": t.column("user_id"), "day": pc.divide(us, 86400000000)}
+        )
+        return d.group_by(["user_id", "day"]).aggregate([])
+
+    def streaks(t: pa.Table) -> pa.Table:
+        d = t.group_by(["user_id", "day"]).aggregate([])  # cross-block distinct
+        idx = pc.sort_indices(
+            d, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        d = d.take(idx)
+        uid = d.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        day = d.column("day").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "longest_streak": pa.array([], pa.int64())}
+            )
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, n])
+        runs = pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "len": pa.array(lens.astype(np.int64)),
+            }
+        )
+        g = runs.group_by(["user_id"]).aggregate([("len", "max")])
+        return g.rename_columns(["user_id", "longest_streak"])
+
+    return bucketed_groupby_apply(
+        ds.map_batches(
+            day_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["user_id"],
+        streaks,
+    )
