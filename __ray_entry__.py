@@ -284,6 +284,10 @@ _FAMILY_COVERED = {
     "longest_streak_user",     # gaps-and-islands family —
                                # interval_coverage_user keeps the row; this
                                # is the islands-side (consecutive-run) twin
+    "range_frame_sum_user",    # window-frame family — window_rank_orders
+                               # keeps the row; the time-based (RANGE)
+                               # sibling of the demoted ROWS-frame
+                               # moving_sum_orders
 }
 
 

@@ -524,7 +524,9 @@ class CdcEngine:
             for p, ptr in pointers.items()
         }
 
-    def index_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
+    def index_dataset(
+        self, epoch: int | None = None, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
         """Streaming live view of the COVERING INDEX table: the same
         merge-on-read path as ``final_dataset`` over the mirrored projected
         chain — stats/lookup queries over the key + configured payload subset
@@ -542,9 +544,11 @@ class CdcEngine:
             int(p): {"base": ptr.get("base"), "deltas": list(ptr.get("deltas", []))}
             for p, ptr in pointers.items()
         }
-        return self._merge_on_read(parts)
+        return self._merge_on_read(parts, columns)
 
-    def final_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
+    def final_dataset(
+        self, epoch: int | None = None, columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
         """Streaming live view of the committed table: one merge-on-read task
         per partition (base snapshot + epoch deltas resolved by the LWW
         kernel), unordered; apply ``sort(['conv_id','turn_idx'])`` when a
@@ -556,10 +560,17 @@ class CdcEngine:
         (null-filled).  Footer reads run as one Ray task PER PARTITION (the
         driver unifies only tiny serialized schemas — no per-file driver IO
         at large partition counts).
-        """
-        return self._merge_on_read(self.partition_files(epoch))
 
-    def _merge_on_read(self, parts: dict[int, dict]) -> "ray.data.Dataset":
+        ``columns`` (must include any key columns the caller needs) pushes a
+        projection down to the per-file parquet reads — merge metadata is
+        still read for the LWW resolve, but unrequested payload (the wide
+        transcript text) is never decoded or moved.
+        """
+        return self._merge_on_read(self.partition_files(epoch), columns)
+
+    def _merge_on_read(
+        self, parts: dict[int, dict], columns: list[str] | None = None
+    ) -> "ray.data.Dataset":
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
         from encode_ingest_ray.state.lww import live_view
         from encode_ingest_ray.state.merger import load_partition_state
@@ -587,6 +598,11 @@ class CdcEngine:
         for blob in ray.get(schema_futures):
             s = pa.ipc.read_schema(pa.BufferReader(blob))
             unified = s if unified is None else unify_schemas(unified, s)
+        if columns is not None:
+            from encode_ingest_ray.state.merger import LWW_META_COLUMNS
+
+            keep = set(LWW_META_COLUMNS) | set(columns)
+            unified = pa.schema([f for f in unified if f.name in keep])
 
         items = [
             {"base": info["base"] or "", "deltas": info["deltas"]}
@@ -597,12 +613,17 @@ class CdcEngine:
             tables = []
             for row in batch.to_pylist():
                 state = load_partition_state(
-                    {"base": row["base"] or None, "deltas": list(row["deltas"])}
+                    {"base": row["base"] or None, "deltas": list(row["deltas"])},
+                    columns=columns,
                 )
                 if state is not None and state.num_rows:
-                    tables.append(live_view(align_to_schema(state, unified)))
+                    tables.append(
+                        live_view(align_to_schema(state, unified), columns=columns)
+                    )
             if not tables:
-                return live_view(align_to_schema(unified.empty_table(), unified))
+                return live_view(
+                    align_to_schema(unified.empty_table(), unified), columns=columns
+                )
             return pa.concat_tables(tables)
 
         ds = ray.data.from_items(items)

@@ -1326,3 +1326,84 @@ def psi_value_drift(sf_dir: str):
     return counts.repartition(1).map_batches(
         divergence, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing 1-hour time-based sum per user
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+         AS range_sum_milli,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("range_frame_sum_user", RANGE_FRAME_SQL)
+def range_frame_sum_user(sf_dir: str):
+    """Time-based (RANGE) window frame — the variable-row-count sibling of
+    ``moving_sum_orders``'s ROWS frame: per event, the sum/count of the
+    user's values in the trailing HOUR.  RANGE semantics include CURRENT
+    ROW's ts-peers, so both bounds come from two ``searchsorted`` probes
+    ([ts−1h, left) and (ts, right]) over the user's sorted timestamps;
+    sums are cumsum differences.  One user-bucketed exchange; per-user
+    segments loop in Python but every probe/sum inside is vectorized."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "v": _milli(t.column("value")),
+            }
+        )
+
+    def window_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts_us", "ascending")]
+        )
+        g = t.take(idx)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").combine_chunks().to_numpy(zero_copy_only=False)
+        v = g.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        sums = np.empty(n, np.int64)
+        cnts = np.empty(n, np.int64)
+        bounds = np.r_[
+            np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]), n
+        ]
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            seg = ts[s:e]
+            cs = np.r_[0, np.cumsum(v[s:e])]
+            lo = np.searchsorted(seg, seg - HOUR_US, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            sums[s:e] = cs[hi] - cs[lo]
+            cnts[s:e] = hi - lo
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "range_sum_milli": pa.array(sums),
+                "n_in_window": pa.array(cnts),
+            }
+        )
+
+    return bucketed_groupby_apply(
+        ds.map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["user_id"],
+        window_bucket,
+    )

@@ -84,14 +84,34 @@ def project_index(table: pa.Table, index_columns: list[str]) -> pa.Table:
     return table.select(cols)
 
 
-def load_partition_state(ptr: dict) -> pa.Table | None:
+#: merge metadata the LWW kernel + live projection require from every file
+LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
+
+
+def load_partition_state(ptr: dict, columns: list[str] | None = None) -> pa.Table | None:
     """Reconstruct a partition's durable state from its manifest pointer:
-    base snapshot merged with subsequent deltas in epoch order (merge-on-read)."""
+    base snapshot merged with subsequent deltas in epoch order
+    (merge-on-read).  ``columns`` pushes a PAYLOAD projection down to the
+    parquet reads (merge metadata is always read; columns a file predates
+    are skipped per file and null-filled by the caller's schema alignment)
+    — a stats read over a wide transcript table then never decodes text."""
+    want = None
+    if columns is not None:
+        want = list(LWW_META_COLUMNS) + [
+            c for c in columns if c not in LWW_META_COLUMNS
+        ]
+
+    def read(path: str) -> pa.Table:
+        if want is None:
+            return pq.read_table(path)
+        have = set(pq.read_schema(path).names)
+        return pq.read_table(path, columns=[c for c in want if c in have])
+
     tables = []
     if ptr.get("base"):
-        tables.append(pq.read_table(ptr["base"]))
+        tables.append(read(ptr["base"]))
     for d in ptr.get("deltas", []):
-        tables.append(pq.read_table(d))
+        tables.append(read(d))
     if not tables:
         return None
     if len(tables) == 1:

@@ -143,3 +143,20 @@ def test_migrate_keeps_index_in_lockstep(events_dir, tmp_path):
     assert after.equals(before)
     live = _table(eng2.final_dataset())
     assert after.equals(live.select(["conv_id", "turn_idx", "role", "ts"]))
+
+
+def test_projection_pushdown_reads(events_dir, tmp_path):
+    """final_dataset(columns=...) must LWW-resolve identically while reading
+    only meta + requested payload — including an evolved column absent from
+    early-epoch files (null-filled by schema alignment)."""
+    eng = CdcEngine(
+        str(tmp_path / "out"), num_partitions=8, num_actors=2,
+        compact_every=2, index_columns=["role"],
+    )
+    eng.run(events_dir)
+    full = _table(eng.final_dataset())
+    narrow = _table(eng.final_dataset(columns=["conv_id", "turn_idx", "model"]))
+    assert narrow.column_names == ["conv_id", "turn_idx", "model"]
+    assert narrow.equals(full.select(["conv_id", "turn_idx", "model"]))
+    idx_narrow = _table(eng.index_dataset(columns=["conv_id", "turn_idx", "role"]))
+    assert idx_narrow.equals(full.select(["conv_id", "turn_idx", "role"]))
