@@ -69,6 +69,11 @@ def main(argv=None) -> int:
                    help="comma-separated payload columns for the engine-"
                         "maintained covering index (durable table identity; "
                         "committed tables adopt theirs automatically)")
+    r.add_argument("--lateness-s", type=float, default=None,
+                   help="allowed lateness in seconds: events whose ts falls "
+                        "further behind the partition's applied high-water "
+                        "mark divert to the append-only late/ audit table "
+                        "(committed atomically with the live table)")
     r.add_argument("--warmup", action="store_true",
                    help="spin up the worker pool with an untimed tiny read "
                         "before running (bench parity)")
@@ -255,6 +260,9 @@ def main(argv=None) -> int:
                 [c.strip() for c in args.index_columns.split(",") if c.strip()]
                 if args.index_columns else None
             )
+            lateness_us = (
+                int(args.lateness_s * 1_000_000) if args.lateness_s else None
+            )
             if args.shard_index is not None:
                 from encode_ingest_ray.pipelines.sharded import shard_epoch_files
 
@@ -263,6 +271,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
+                    lateness_us=lateness_us,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -284,6 +293,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
+                    lateness_us=lateness_us,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -291,6 +301,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
+                    lateness_us=lateness_us,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

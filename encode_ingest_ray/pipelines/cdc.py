@@ -172,6 +172,7 @@ class CdcEngine:
         flush_fanout: int | None = None,
         vacuum_retain: int | None = 2,
         index_columns: list[str] | None = None,
+        lateness_us: int | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -214,6 +215,15 @@ class CdcEngine:
             )
         self.index_columns = index_columns
         self.index_root = os.path.join(out_dir, "index") if index_columns is not None else None
+        # allowed lateness is a POLICY knob, not identity: adopt the
+        # committed value when unset so a resumed run keeps quarantining,
+        # but an explicit new value simply applies going forward
+        if lateness_us is None and committed is not None:
+            lateness_us = committed.get("lateness_us")
+        self.lateness_us = lateness_us
+        self.late_root = (
+            os.path.join(out_dir, "late") if lateness_us is not None else None
+        )
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block
@@ -226,6 +236,9 @@ class CdcEngine:
         self.manifest = Manifest(out_dir)
         self.index_manifest = (
             Manifest(self.index_root) if self.index_root is not None else None
+        )
+        self.late_manifest = (
+            Manifest(self.late_root) if self.late_root is not None else None
         )
         self._actors: list | None = None
         # partitioning is part of the table's durable identity: state files
@@ -259,6 +272,7 @@ class CdcEngine:
                 PartitionMerger.options(num_cpus=self.actor_num_cpus).remote(
                     self.out_dir, mine, self.compact_every, fanout,
                     self.index_root, self.index_columns,
+                    self.late_root, self.lateness_us,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -294,7 +308,8 @@ class CdcEngine:
             assert events_dir is not None
             epoch_files = discover_epoch_files(events_dir)
         summary = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
-                   "events_applied": 0, "dup_lsn_dropped": 0, "wall_s": 0.0}
+                   "events_applied": 0, "dup_lsn_dropped": 0,
+                   "quarantined_late": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
         # no overlapping runs against one output (reference: cron
         # concurrencyPolicy: Forbid); a crashed holder's lock self-releases
@@ -395,7 +410,8 @@ class CdcEngine:
         staged_maps = ray.get([a.flush_result.remote(epoch) for a in self._actors])
         pointers = self.manifest.pointers()
         per_part_metrics: dict[str, dict] = {}
-        totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0}
+        totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0,
+                  "quarantined_late": 0}
         for staged in staged_maps:
             for p, ptr in staged.items():
                 m = ptr.pop("metrics", {})
@@ -417,27 +433,49 @@ class CdcEngine:
             "num_partitions": self.num_partitions,
             "turn_block": self.turn_block,
             "index_columns": self.index_columns,
+            "lateness_us": self.lateness_us,
         }
-        if self.index_manifest is None:
+        # late-quarantine chain: accumulate this epoch's per-partition late
+        # deltas (riding the flush pointers) onto the committed late map —
+        # append-only audit table, never compacted or vacuumed
+        late_pointers = None
+        if self.late_manifest is not None:
+            late_pointers = self.late_manifest.pointers()
+            for p, ptr in pointers.items():
+                lp = ptr.pop("late_delta", None)
+                if lp:
+                    entry = late_pointers.setdefault(p, {"deltas": []})
+                    if lp not in entry["deltas"]:
+                        entry["deltas"].append(lp)
+        else:
+            for ptr in pointers.values():
+                ptr.pop("late_delta", None)
+        manifests: dict[str, "Manifest"] = {"live": self.manifest}
+        records: dict[str, dict] = {
+            "live": {"partitions": pointers, "metrics": metrics,
+                     "partitioning": partitioning}
+        }
+        if self.index_manifest is not None:
+            # covering index: the mirrored file chains publish in the same
+            # transaction — a crash can never expose tables at different
+            # epochs (state/txn.py write-ahead protocol)
+            manifests["index"] = self.index_manifest
+            records["index"] = {
+                "partitions": {p: self._index_ptr(ptr) for p, ptr in pointers.items()},
+                "metrics": {"mirror_of": self.out_dir},
+                "partitioning": partitioning,
+            }
+        if self.late_manifest is not None:
+            manifests["late"] = self.late_manifest
+            records["late"] = {
+                "partitions": late_pointers,
+                "metrics": {"quarantined_late": metrics.get("quarantined_late", 0)},
+                "partitioning": partitioning,
+            }
+        if len(manifests) == 1:
             self.manifest.commit(epoch, pointers, metrics, partitioning)
         else:
-            # covering index: the mirrored file chains publish as ONE
-            # transaction — a crash can never expose the two tables at
-            # different epochs (state/txn.py write-ahead protocol)
-            index_pointers = {
-                p: self._index_ptr(ptr) for p, ptr in pointers.items()
-            }
-            self.txn.commit(
-                epoch,
-                {"live": self.manifest, "index": self.index_manifest},
-                {
-                    "live": {"partitions": pointers, "metrics": metrics,
-                             "partitioning": partitioning},
-                    "index": {"partitions": index_pointers,
-                              "metrics": {"mirror_of": self.out_dir},
-                              "partitioning": partitioning},
-                },
-            )
+            self.txn.commit(epoch, manifests, records)
         if self.vacuum_retain is not None:
             # after the commit: anything the newest vacuum_retain manifests
             # don't reference is unreachable (resume reads only the latest)
@@ -448,6 +486,7 @@ class CdcEngine:
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]
         summary["dup_lsn_dropped"] += totals["dup_lsn_dropped"]
+        summary["quarantined_late"] += totals["quarantined_late"]
         return metrics
 
     def tail(
@@ -464,8 +503,8 @@ class CdcEngine:
         Producers signal epoch completeness with ``events-epoch-N.done``
         markers (see discover_epoch_files)."""
         totals = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
-                  "events_applied": 0, "dup_lsn_dropped": 0, "polls": 0,
-                  "wall_s": 0.0}
+                  "events_applied": 0, "dup_lsn_dropped": 0,
+                  "quarantined_late": 0, "polls": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
         idle = 0
         # hold the run lock across the whole tail (Forbid semantics for the
@@ -475,7 +514,8 @@ class CdcEngine:
             while idle < max_idle_polls:
                 s = self.run(events_dir, keep_actors=True)
                 totals["polls"] += 1
-                for k in ("epochs_run", "events_raw", "events_applied", "dup_lsn_dropped"):
+                for k in ("epochs_run", "events_raw", "events_applied",
+                          "dup_lsn_dropped", "quarantined_late"):
                     totals[k] += s[k]
                 if max_epochs is not None and totals["epochs_run"] >= max_epochs:
                     break
@@ -545,6 +585,45 @@ class CdcEngine:
             for p, ptr in pointers.items()
         }
         return self._merge_on_read(parts, columns)
+
+    def late_dataset(self) -> "ray.data.Dataset":
+        """The append-only quarantine audit table: RAW change events (op +
+        lsn kept, no LWW collapse) whose event time fell more than
+        ``lateness_us`` behind their partition's applied high-water mark.
+        Downstream consumers triage or re-drive them explicitly — replaying
+        them through a fresh engine WITHOUT a lateness bound merges them
+        back (LWW(live-deltas ∪ late) == LWW(all), the invariant
+        tests/test_lateness.py pins)."""
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+
+        if self.late_manifest is None:
+            raise ValueError("engine has no lateness bound (lateness_us unset)")
+        files = [
+            d
+            for ptr in self.late_manifest.pointers().values()
+            for d in ptr.get("deltas", [])
+        ]
+        if not files:
+            return ray.data.from_items([])
+        unified = None
+        for f in files:
+            import pyarrow.parquet as pq
+
+            s = pq.read_schema(f)
+            unified = s if unified is None else unify_schemas(unified, s)
+
+        def read_file(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            tabs = [
+                align_to_schema(pq.read_table(row["path"]), unified)
+                for row in batch.to_pylist()
+            ]
+            return pa.concat_tables(tabs) if tabs else unified.empty_table()
+
+        return ray.data.from_items([{"path": f} for f in files]).map_batches(
+            read_file, batch_size=1, batch_format="pyarrow"
+        )
 
     def final_dataset(
         self, epoch: int | None = None, columns: list[str] | None = None

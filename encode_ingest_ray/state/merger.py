@@ -135,6 +135,8 @@ def _flush_partitions(
     compact_every: int,
     index_root: str | None = None,
     index_columns: list[str] | None = None,
+    late_root: str | None = None,
+    lateness_us: int | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -165,12 +167,59 @@ def _flush_partitions(
             "dup_lsn_dropped": raw.num_rows - fresh.num_rows,
             "applied": fresh.num_rows,
         }
+        prev = prev_pointers.get(part, {})
+        late_path = None
+        quarantined = 0
+        # lsn high-water over EVERYTHING fresh this epoch (quarantined rows
+        # included): replays of a quarantined event must hit the dedup
+        # filter, or a later epoch would append it to the audit table twice
+        epoch_lsn_hi = (
+            int(pc.max(fresh.column("lsn")).as_py()) if fresh.num_rows else wm
+        )
+        if lateness_us is not None and fresh.num_rows:
+            # allowed-lateness quarantine: events with event time older than
+            # (previous epoch's max applied ts − bound) divert to the
+            # append-only late table BEFORE the LWW reduce — deterministic
+            # under replay because the bound derives from COMMITTED state
+            prev_ts_hi = prev.get("ts_hi")
+            if prev_ts_hi is not None:
+                bound = prev_ts_hi - lateness_us
+                ts_us = pc.cast(fresh.column("ts"), pa.int64())
+                late_mask = pc.less(ts_us, pa.scalar(bound))
+                quarantined = int(pc.sum(late_mask).as_py() or 0)
+                if quarantined:
+                    late = fresh.filter(late_mask)
+                    late_path = os.path.join(
+                        _part_dir(late_root, part), f"delta-{epoch:06d}.parquet"
+                    )
+                    _atomic_write(late, late_path)
+                    fresh = fresh.filter(pc.invert(late_mask))
+        metrics["quarantined_late"] = quarantined
+        metrics["applied"] = fresh.num_rows
         if fresh.num_rows == 0:
+            if late_path is not None:
+                # nothing merges, but the quarantine must still commit:
+                # emit a pointer that only advances the late chain
+                out[part] = {
+                    **{k: prev.get(k) for k in ("base",)},
+                    "deltas": list(prev.get("deltas", [])),
+                    "epoch": epoch,
+                    "rows_delta": 0,
+                    "rows_state": prev.get("rows_state"),
+                    "rows_live": prev.get("rows_live"),
+                    "lsn_hi": max(wm, epoch_lsn_hi),
+                    "ts_hi": prev.get("ts_hi"),
+                    "late_delta": late_path,
+                    "metrics": metrics,
+                }
             continue
         delta = lww_reduce(fresh)
-        wm = max(wm, pc.max(delta.column("lsn")).as_py())
+        wm = max(wm, epoch_lsn_hi)
+        prev_ts = prev.get("ts_hi")
+        ts_hi = int(pc.max(pc.cast(fresh.column("ts"), pa.int64())).as_py())
+        if prev_ts is not None:
+            ts_hi = max(prev_ts, ts_hi)
 
-        prev = prev_pointers.get(part, {})
         deltas = list(prev.get("deltas", []))
         base = prev.get("base")
         rows_state = None
@@ -216,6 +265,8 @@ def _flush_partitions(
             "rows_state": rows_state,
             "rows_live": rows_live,
             "lsn_hi": wm,
+            "ts_hi": ts_hi,
+            "late_delta": late_path,
             "metrics": metrics,
         }
     return out
@@ -234,6 +285,8 @@ class PartitionMerger:
         flush_fanout: int = 4,
         index_root: str | None = None,
         index_columns: list[str] | None = None,
+        late_root: str | None = None,
+        lateness_us: int | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -241,6 +294,8 @@ class PartitionMerger:
         self.flush_fanout = max(1, flush_fanout)
         self.index_root = index_root
         self.index_columns = index_columns
+        self.late_root = late_root
+        self.lateness_us = lateness_us
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -306,6 +361,8 @@ class PartitionMerger:
                 self.compact_every,
                 self.index_root,
                 self.index_columns,
+                self.late_root,
+                self.lateness_us,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
@@ -327,7 +384,9 @@ class PartitionMerger:
                 if pushed is not None:
                     ptr["metrics"]["events_in"] = pushed
                     ptr["metrics"]["dup_lsn_dropped"] = (
-                        pushed - ptr["metrics"]["applied"]
+                        pushed
+                        - ptr["metrics"]["applied"]
+                        - ptr["metrics"].get("quarantined_late", 0)
                     )
                 self.watermark[part] = ptr["lsn_hi"]
                 self.pointers[part] = {
