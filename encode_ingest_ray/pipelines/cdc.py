@@ -586,6 +586,54 @@ class CdcEngine:
         }
         return self._merge_on_read(parts, columns)
 
+    def lookup(
+        self,
+        conv_ids: list[str],
+        columns: list[str] | None = None,
+        max_turn: int = 4096,
+        epoch: int | None = None,
+    ) -> "ray.data.Dataset":
+        """Point lookup with PARTITION PRUNING: the partition id is a pure
+        function of ``(conv_id, turn_idx // turn_block)``, so a
+        conversation's rows can only live in the ≤ ``max_turn//turn_block+1``
+        partitions its salted sub-keys map to — at 64 Ki partitions a
+        single-conversation read touches ~64 of them, not the table.
+        ``max_turn`` bounds the turn range considered (turns above it would
+        live in unprobed partitions); the fixture generator caps hot
+        conversations at 4096.  Returns the live rows of the requested
+        conversations only (merge-on-read + exact conv filter), with
+        optional ``columns`` projection pushdown."""
+        import zlib
+
+        import numpy as np
+
+        from encode_ingest_ray.state.partition import mix_partition
+
+        tbs = np.arange(0, max_turn // self.turn_block + 1, dtype=np.uint64)
+        turns = (tbs * np.uint64(self.turn_block)).astype(np.int64)
+        cand: set[int] = set()
+        for c in conv_ids:
+            h = np.full(len(turns), zlib.crc32(c.encode("utf-8")), np.uint64)
+            cand.update(
+                mix_partition(h, turns, self.num_partitions, self.turn_block)
+                .astype(int)
+                .tolist()
+            )
+        parts = {
+            p: info
+            for p, info in self.partition_files(epoch).items()
+            if p in cand
+        }
+        ds = self._merge_on_read(parts, columns)
+        want = pa.array(sorted(set(conv_ids)), pa.string())
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("conv_id"), value_set=want))
+
+        return ds.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
     def late_dataset(self) -> "ray.data.Dataset":
         """The append-only quarantine audit table: RAW change events (op +
         lsn kept, no LWW collapse) whose event time fell more than

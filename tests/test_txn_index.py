@@ -160,3 +160,33 @@ def test_projection_pushdown_reads(events_dir, tmp_path):
     assert narrow.equals(full.select(["conv_id", "turn_idx", "model"]))
     idx_narrow = _table(eng.index_dataset(columns=["conv_id", "turn_idx", "role"]))
     assert idx_narrow.equals(full.select(["conv_id", "turn_idx", "role"]))
+
+
+def test_lookup_partition_pruning(events_dir, tmp_path):
+    """lookup() must return exactly final_dataset filtered to the requested
+    conversations while touching only the salted sub-key partitions."""
+    # pruning pays when partitions >> per-conv sub-keys (the 64Ki shape);
+    # 512 partitions vs <=65 sub-keys per conversation
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=512, num_actors=2)
+    eng.run(events_dir)
+    full = _table(eng.final_dataset())
+    convs = sorted(set(full.column("conv_id").to_pylist()))[:3]
+    got = _table(eng.lookup(convs))
+    want = full.filter(pc.is_in(full.column("conv_id"), value_set=pa.array(convs)))
+    assert got.equals(want.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    # pruning really happened: candidate partitions < committed partitions
+    import zlib
+    import numpy as np
+    from encode_ingest_ray.state.partition import mix_partition
+    tbs = np.arange(0, 4096 // eng.turn_block + 1, dtype=np.uint64)
+    turns = (tbs * np.uint64(eng.turn_block)).astype(np.int64)
+    cand = set()
+    for c in convs:
+        h = np.full(len(turns), zlib.crc32(c.encode()), np.uint64)
+        cand.update(mix_partition(h, turns, eng.num_partitions, eng.turn_block).astype(int).tolist())
+    committed = set(eng.partition_files())
+    assert len(cand & committed) < len(committed)
+    # narrow lookup composes with projection pushdown
+    narrow = _table(eng.lookup(convs, columns=["conv_id", "turn_idx", "role"]))
+    assert narrow.column_names == ["conv_id", "turn_idx", "role"]
+    assert narrow.equals(want.select(["conv_id", "turn_idx", "role"]))
