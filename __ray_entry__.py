@@ -288,6 +288,14 @@ _FAMILY_COVERED = {
                                # keeps the row; the time-based (RANGE)
                                # sibling of the demoted ROWS-frame
                                # moving_sum_orders
+    "target_encode_event_type",  # broadcast-moments/imputation family —
+                                 # gap_fill_daily and outlier_zscore_events
+                                 # keep the rows; LOO encoding is the
+                                 # feature-engineering sibling
+    "quantile_normalize_prices", # ranking-composition family —
+                                 # window_rank_orders keeps the row; this
+                                 # composes global_rank + per-group rank +
+                                 # an index-equality cohash join
 }
 
 

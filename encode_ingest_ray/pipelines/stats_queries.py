@@ -1407,3 +1407,202 @@ def range_frame_sum_user(sf_dir: str):
         ["user_id"],
         window_bucket,
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+TARGET_ENCODE_SQL = """
+WITH t AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY event_type
+)
+SELECT t.event_id, t.event_type,
+       CAST(g.s - t.v AS BIGINT) AS loo_num,
+       CAST(g.n - 1 AS BIGINT) AS loo_den
+FROM t JOIN g USING (event_type)
+"""
+
+
+@register("target_encode_event_type", TARGET_ENCODE_SQL)
+def target_encode_event_type(sf_dir: str):
+    """Leave-one-out TARGET ENCODING of the event_type category against the
+    value column — the feature-engineering transform that replaces a
+    category with the mean target of its OTHER members (LOO kills the
+    self-leakage a plain mean encoding has).  Exact integer num/den pair
+    per row: (S_g − x_i, n_g − 1).  Per-category (S, n) partials reduce to
+    a handful of rows, broadcast once via ``ray.put``, and the fact stream
+    is encoded in one vectorized dictionary-lookup pass — no join exchange
+    (the impute_mean / outlier broadcast-moments shape)."""
+    import numpy as np
+    import ray as _ray
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pre = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "s": _milli(t.column("value")),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        g = pre.group_by(["event_type"]).aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "s", "n"])
+
+    stats = bucketed_sum_combine(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["event_type"],
+        ["s", "n"],
+        1,
+    ).take_all()  # |event types| rows
+    keys = sorted(r["event_type"] for r in stats)
+    s_of = {r["event_type"]: r["s"] for r in stats}
+    n_of = {r["event_type"]: r["n"] for r in stats}
+    lookup = _ray.put(
+        (
+            np.array(keys, dtype=object),
+            np.array([s_of[k] for k in keys], np.int64),
+            np.array([n_of[k] for k in keys], np.int64),
+        )
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        ks, ss, ns = _ray.get(lookup)
+        d = t.column("event_type").combine_chunks().dictionary_encode()
+        uniq = np.array(d.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(ks, uniq)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        v = (
+            _milli(t.column("value")).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "loo_num": pa.array(ss[pos][codes] - v),
+                "loo_den": pa.array(ns[pos][codes] - 1),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: quantile normalization onto the global distribution
+# ---------------------------------------------------------------------------
+
+QNORM_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, o_custkey, c,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY c, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM t
+),
+g AS (
+  SELECT c AS norm_cents, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS grn
+  FROM t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM t)
+SELECT r.o_orderkey, g.norm_cents
+FROM r, tot
+JOIN g ON g.grn = (r.rk * total_n + r.n - 1) // r.n
+"""
+
+
+@register("quantile_normalize_prices", QNORM_SQL)
+def quantile_normalize_prices(sf_dir: str):
+    """QUANTILE NORMALIZATION of per-customer order prices onto the global
+    price distribution — the ML-preprocessing transform that maps each
+    row's within-group quantile to the global value at the same quantile
+    (rank r of n → global sorted value at ceil(r·N/n), ties broken by
+    orderkey on both sides so the mapping is total-order deterministic).
+    Three distributed pieces wired together: the repo's global_rank
+    total-order scan over (cents, orderkey); per-customer rank+size in one
+    bucketed pass; and one cohash join of target-index == global-rank (two
+    int64 columns — the wide payload never rides the join)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+    from encode_ingest_ray.stages.joins import cohash_join
+    from encode_ingest_ray.stages.ranking import global_rank
+
+    total_n = pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "c": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    def rd():
+        return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    glob_ranked = global_rank(
+        rd().select_columns(["c", "o_orderkey"]), "c", "o_orderkey",
+        descending=False,
+    )
+
+    def g_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"grn": t.column("rn"), "norm_cents": t.column("c")})
+
+    g = glob_ranked.map_batches(
+        g_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def cust_ranks(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("c", "ascending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        cust = s.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(cust)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        sizes = np.diff(np.r_[starts, m])
+        seg = np.repeat(starts, sizes)
+        rk = np.arange(m, dtype=np.int64) - seg + 1
+        n = np.repeat(sizes.astype(np.int64), sizes)
+        target = (rk * total_n + n - 1) // n
+        return pa.table(
+            {
+                "o_orderkey": s.column("o_orderkey"),
+                "target": pa.array(target),
+            }
+        )
+
+    tgt = bucketed_groupby_apply(rd(), ["o_custkey"], cust_ranks)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "norm_cents"])
+
+    return cohash_join(
+        tgt, g, "target", "grn", how="inner", map_joined=project
+    )
