@@ -83,6 +83,7 @@ def _route_batch(
     num_partitions: int,
     turn_block: int,
     epoch: int,
+    transform=None,
 ) -> pa.Table:
     """map_batches body: the push exchange (combiner + route in one pass).
 
@@ -109,6 +110,19 @@ def _route_batch(
         return pa.table(
             {"rows_raw": pa.array([0], pa.int64()), "rows_routed": pa.array([0], pa.int64())}
         )
+    if transform is not None:
+        # ingest-time map: runs inside the fused read→route task, so the
+        # transformed rows never hit the object store untransformed.  The
+        # callable must preserve the key/merge columns (conv_id, turn_idx,
+        # ts, lsn, op) and be DETERMINISTIC — a replayed epoch re-applies it
+        # and must stage identical bytes.
+        batch = transform(batch)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"rows_raw": pa.array([n_raw], pa.int64()),
+                 "rows_routed": pa.array([0], pa.int64())}
+            )
+    n = batch.num_rows  # post-transform row count (n_raw reports the input)
     conv = batch.column("conv_id").combine_chunks().dictionary_encode()
     conv_codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     turns = batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
@@ -122,7 +136,7 @@ def _route_batch(
     # lexsort: last key is primary → (actor, part, conv, turn, ts, lsn)
     order = np.lexsort((lsn, ts, turns, conv_codes, parts_np, actor_np))
     oc, ot = conv_codes[order], turns[order]
-    winner = np.empty(n_raw, dtype=bool)
+    winner = np.empty(n, dtype=bool)
     winner[-1] = True
     np.not_equal(oc[1:], oc[:-1], out=winner[:-1])
     winner[:-1] |= ot[1:] != ot[:-1]
@@ -173,6 +187,7 @@ class CdcEngine:
         vacuum_retain: int | None = 2,
         index_columns: list[str] | None = None,
         lateness_us: int | None = None,
+        ingest_transform=None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -224,6 +239,11 @@ class CdcEngine:
         self.late_root = (
             os.path.join(out_dir, "late") if lateness_us is not None else None
         )
+        #: optional ingest-time map (pa.Table -> pa.Table), applied inside
+        #: the fused read→route task; must keep key/merge columns and be
+        #: deterministic (replays re-apply it).  NOT persisted — a resuming
+        #: engine must be constructed with the same callable.
+        self.ingest_transform = ingest_transform
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block
@@ -384,6 +404,7 @@ class CdcEngine:
                     num_partitions=self.num_partitions,
                     turn_block=self.turn_block,
                     epoch=epoch,
+                    transform=self.ingest_transform,
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -633,6 +654,74 @@ class CdcEngine:
         return ds.map_batches(
             keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
+
+    def delete_where(self, predicate, columns: list[str] | None = None) -> dict:
+        """Retention / right-to-be-forgotten delete THROUGH the exactly-once
+        path: scan the live table, emit one LWW tombstone per matching key
+        as a synthetic change epoch, and apply it with the normal
+        ``run()`` machinery (watermarks, atomic manifest, resume, index and
+        quarantine siblings all behave as for any other epoch).
+
+        ``predicate(table) -> BooleanArray`` sees live rows (pass
+        ``columns`` to bound what payload the scan decodes — key/merge
+        columns ride along regardless).  Each tombstone carries
+        ``ts = row.ts + 1µs`` (beats its own key's live version in the LWW
+        order, independent of other keys) and ``lsn = global lsn_hi + 1``
+        (clears every partition's watermark).  Deterministic: a crashed
+        job re-scans the unchanged committed state and re-stages identical
+        tombstones; in-epoch duplicates collapse in the LWW reduce.
+
+        Returns the run summary plus ``tombstones``.  Reference analog: the
+        conditional soft-delete leg of the per-table sync
+        (/root/reference/orchestration/templates/ingest-processed-data.yaml
+        :117-145), generalized to an arbitrary predicate."""
+        import shutil
+
+        committed = self.manifest.committed_epochs()
+        if not committed:
+            return {"tombstones": 0, "epochs_run": 0}
+        pointers = self.manifest.pointers().values()
+        lsn_hi = max(int(p.get("lsn_hi", -1)) for p in pointers)
+        # lift tombstone event time to the global applied high-water mark:
+        # per-key the LWW still resolves to the tombstone (ts >= the key's
+        # live ts, and lsn_hi+1 beats any tie), and under an allowed-lateness
+        # bound the tombstones can never be quarantined as late
+        ts_floor = max((int(p.get("ts_hi") or 0) for p in pointers), default=0)
+        scan_cols = None
+        if columns is not None:
+            scan_cols = list(dict.fromkeys(["conv_id", "turn_idx", "ts"] + columns))
+
+        def mark(t: pa.Table) -> pa.Table:
+            sel = t.filter(predicate(t))
+            n = sel.num_rows
+            ts = pc.max_element_wise(
+                pc.add(pc.cast(sel.column("ts"), pa.int64()), 1),
+                pa.scalar(ts_floor, pa.int64()),
+            )
+            return pa.table(
+                {
+                    "conv_id": sel.column("conv_id"),
+                    "turn_idx": sel.column("turn_idx"),
+                    "ts": pc.cast(ts, pa.timestamp("us")),
+                    "op": pa.array(["delete"] * n, pa.string()),
+                    "lsn": pa.array([lsn_hi + 1] * n, pa.int64()),
+                }
+            )
+
+        tomb = self.final_dataset(columns=scan_cols).map_batches(
+            mark, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).materialize()
+        n_tomb = tomb.count()
+        if n_tomb == 0:
+            return {"tombstones": 0, "epochs_run": 0}
+        epoch = len(committed)
+        tomb_dir = os.path.join(self.out_dir, "_retention", f"epoch-{epoch:06d}")
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        tomb.write_parquet(tomb_dir)
+        files = sorted(glob.glob(os.path.join(tomb_dir, "*.parquet")))
+        summary = self.run(epoch_files=[[] for _ in committed] + [files])
+        summary["tombstones"] = n_tomb
+        return summary
 
     def late_dataset(self) -> "ray.data.Dataset":
         """The append-only quarantine audit table: RAW change events (op +

@@ -1,0 +1,107 @@
+"""Ingest-time transform hook + predicate retention deletes."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ingest-events"))
+    generate_cdc_events(d, n_events=12000, n_convs=120, epochs=3, seed=31)
+    return d
+
+
+def _table(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def test_ingest_transform_equals_post_hoc(events_dir, tmp_path):
+    # nested def: cloudpickle ships it by value (test modules are not
+    # importable from Ray workers)
+    def _upper_text(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("text")
+        return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+    plain = CdcEngine(str(tmp_path / "p"), num_partitions=8, num_actors=2)
+    plain.run(events_dir)
+    hooked = CdcEngine(
+        str(tmp_path / "h"), num_partitions=8, num_actors=2,
+        ingest_transform=_upper_text,
+    )
+    hooked.run(events_dir)
+    want = _table(plain.final_dataset())
+    want = want.set_column(
+        want.column_names.index("text"), "text", pc.utf8_upper(want.column("text"))
+    )
+    assert _table(hooked.final_dataset()).equals(want)
+
+
+def test_ingest_transform_can_filter(events_dir, tmp_path):
+    def drop_tool(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("role"), "tool"))
+
+    eng = CdcEngine(
+        str(tmp_path / "f"), num_partitions=8, num_actors=2,
+        ingest_transform=drop_tool,
+    )
+    s = eng.run(events_dir)
+    assert s["events_applied"] < s["events_raw"]
+    got = _table(eng.final_dataset())
+    assert "tool" not in set(pc.unique(got.column("role")).to_pylist())
+
+
+def test_delete_where_removes_matches_exactly_once(events_dir, tmp_path):
+    eng = CdcEngine(str(tmp_path / "d"), num_partitions=8, num_actors=2)
+    eng.run(events_dir)
+    before = _table(eng.final_dataset())
+    n_tool = pc.sum(pc.equal(before.column("role"), "tool")).as_py()
+    assert n_tool > 0
+
+    res = eng.delete_where(
+        lambda t: pc.equal(t.column("role"), "tool"), columns=["role"]
+    )
+    assert res["tombstones"] == n_tool and res["epochs_run"] == 1
+    after = _table(eng.final_dataset())
+    assert after.num_rows == before.num_rows - n_tool
+    assert "tool" not in set(pc.unique(after.column("role")).to_pylist())
+    keep = before.filter(pc.not_equal(before.column("role"), "tool"))
+    assert after.equals(keep)
+
+    # re-running the SAME retention job is a no-op epoch-wise (epoch already
+    # committed -> skipped; zero matching live rows -> zero tombstones)
+    res2 = eng.delete_where(
+        lambda t: pc.equal(t.column("role"), "tool"), columns=["role"]
+    )
+    assert res2["tombstones"] == 0
+    # resume on the table still works and replays nothing
+    e2 = CdcEngine(str(tmp_path / "d"), num_partitions=8, num_actors=2)
+    s = e2.run(events_dir)
+    assert s["epochs_run"] == 0 and s["epochs_skipped"] == 3
+    assert _table(e2.final_dataset()).equals(after)
+
+
+def test_delete_where_under_lateness_not_quarantined(events_dir, tmp_path):
+    eng = CdcEngine(
+        str(tmp_path / "dl"), num_partitions=8, num_actors=2,
+        lateness_us=1,  # brutal bound: everything old is late
+    )
+    eng.run(events_dir)
+    before = _table(eng.final_dataset())
+    n_user = pc.sum(pc.equal(before.column("role"), "user")).as_py()
+    res = eng.delete_where(
+        lambda t: pc.equal(t.column("role"), "user"), columns=["role"]
+    )
+    # ts-floor lift: tombstones apply, none quarantined
+    assert res["tombstones"] == n_user
+    assert res["quarantined_late"] == 0
+    after = _table(eng.final_dataset())
+    assert "user" not in set(pc.unique(after.column("role")).to_pylist())
