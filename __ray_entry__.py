@@ -296,6 +296,11 @@ _FAMILY_COVERED = {
                                  # window_rank_orders keeps the row; this
                                  # composes global_rank + per-group rank +
                                  # an index-equality cohash join
+    "cdc_retention_delete",      # CDC family — engine/snapshot/SCD2/MV keep
+                                 # the rows; predicate tombstone epoch
+                                 # through the exactly-once path
+    "cdc_ingest_transform",      # CDC family — ingest-time map inside the
+                                 # fused read→route task
 }
 
 

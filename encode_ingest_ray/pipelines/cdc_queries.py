@@ -768,3 +768,79 @@ def cdc_covering_index(sf_dir: str):
         return g.rename_columns(["conv_id", "n_turns", "n_user", "max_ts_us"])
 
     return bucketed_groupby_apply(engine.index_dataset(), ["conv_id"], stats)
+
+
+#: Final state after a retention delete of every live 'tool'-role turn:
+#: the LWW fold minus the keys whose live version matched the predicate.
+CDC_RETENTION_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT * FROM live WHERE role <> 'tool'
+"""
+
+
+@register("cdc_retention_delete", CDC_RETENTION_SQL)
+def cdc_retention_delete(sf_dir: str):
+    """Predicate retention delete through the exactly-once path
+    (CdcEngine.delete_where): after the 3-epoch ingest, every live
+    'tool'-role turn is tombstoned as a synthetic epoch 4 — watermarks,
+    atomic manifest and resume semantics identical to any other epoch.
+    The oracle is the LWW fold minus the predicate's matches."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcret-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    engine.delete_where(
+        lambda t: pc.equal(t.column("role"), "tool"), columns=["role"]
+    )
+    return engine.final_dataset()
+
+
+#: Final state when the engine applies an ingest-time transform (uppercase
+#: text) inside the fused read->route task.
+CDC_TRANSFORM_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, UPPER(text) AS text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_ingest_transform", CDC_TRANSFORM_SQL)
+def cdc_ingest_transform(sf_dir: str):
+    """Ingest-time map (CdcEngine ingest_transform=): the uppercase-text
+    transform runs INSIDE the fused read->route task, so untransformed rows
+    never enter the object store; the oracle applies the same function to
+    the LWW fold — transform-at-ingest must equal transform-at-read."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    def upper_text(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("text")
+        return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+    work = tempfile.mkdtemp(prefix=f"cdctr-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        ingest_transform=upper_text,
+    )
+    engine.run(events_dir)
+    return engine.final_dataset()
