@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -199,16 +200,24 @@ def main(argv=None) -> int:
             return 0
         m = dict(rec["metrics"])
         m.pop("per_partition", None)
-        print(
-            json.dumps(
-                {
-                    "last_epoch": rec["epoch"],
-                    "partitions": len(rec["partitions"]),
-                    "lsn_hi": max(p["lsn_hi"] for p in rec["partitions"].values()),
-                    "last_epoch_metrics": m,
-                }
-            )
-        )
+        part = rec.get("partitioning") or {}
+        out = {
+            "last_epoch": rec["epoch"],
+            "partitions": len(rec["partitions"]),
+            "lsn_hi": max(p["lsn_hi"] for p in rec["partitions"].values()),
+            "last_epoch_metrics": m,
+        }
+        if part.get("index_columns"):
+            out["index_columns"] = part["index_columns"]
+        if part.get("lateness_us") is not None:
+            out["lateness_us"] = part["lateness_us"]
+            late = Manifest(os.path.join(args.out, "late")).latest()
+            if late:
+                out["late_files"] = sum(
+                    len(p.get("deltas", []))
+                    for p in late["partitions"].values()
+                )
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "query":
