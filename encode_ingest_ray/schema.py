@@ -50,25 +50,51 @@ META_COLUMNS = ["op", "lsn"]
 OPS = ("insert", "update", "delete")
 
 
-def unify_schemas(a: pa.Schema, b: pa.Schema) -> pa.Schema:
-    """Column-union of two schemas in first-seen order (additive evolution).
+#: lossless widening lattices — the only in-place type changes evolution
+#: accepts (the Avro/Iceberg promotion rule): a reader casts old rows up,
+#: nothing is ever truncated
+_INT_WIDTH = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3}
+_UINT_WIDTH = {pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2, pa.uint64(): 3}
+_FLOAT_WIDTH = {pa.float32(): 0, pa.float64(): 1}
 
-    Types for shared column names must match; new columns must be nullable
-    (they are null-filled on rows that predate them).
+
+def _widened(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """The wider of two types when they sit on one widening lattice, else
+    None (incompatible)."""
+    if a == b:
+        return a
+    for order in (_INT_WIDTH, _UINT_WIDTH, _FLOAT_WIDTH):
+        if a in order and b in order:
+            return a if order[a] >= order[b] else b
+    return None
+
+
+def unify_schemas(a: pa.Schema, b: pa.Schema) -> pa.Schema:
+    """Column-union of two schemas in first-seen order (additive evolution),
+    with LOSSLESS TYPE WIDENING for shared columns (int8→…→int64,
+    uint8→…→uint64, float32→float64 — the Iceberg/Avro promotion rule).
+    New columns must be nullable (null-filled on rows that predate them);
+    ``align_to_schema`` casts narrower historical rows up on read.
+    Incompatible type changes (string→int, cross-lattice) still raise.
     """
     fields = list(a)
-    names = {f.name for f in a}
+    names = {f.name: i for i, f in enumerate(fields)}
     for f in b:
         if f.name in names:
-            existing = a.field(f.name)
+            i = names[f.name]
+            existing = fields[i]
             if existing.type != f.type:
-                raise TypeError(
-                    f"schema evolution only supports additive columns: "
-                    f"column {f.name!r} changed type {existing.type} -> {f.type}"
-                )
+                wide = _widened(existing.type, f.type)
+                if wide is None:
+                    raise TypeError(
+                        f"schema evolution supports additive columns and "
+                        f"lossless widening only: column {f.name!r} changed "
+                        f"type {existing.type} -> {f.type}"
+                    )
+                fields[i] = existing.with_type(wide)
         else:
             fields.append(f)
-            names.add(f.name)
+            names[f.name] = len(fields) - 1
     return pa.schema(fields)
 
 

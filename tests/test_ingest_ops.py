@@ -105,3 +105,50 @@ def test_delete_where_under_lateness_not_quarantined(events_dir, tmp_path):
     assert res["quarantined_late"] == 0
     after = _table(eng.final_dataset())
     assert "user" not in set(pc.unique(after.column("role")).to_pylist())
+
+
+def test_schema_widening_evolution(tmp_path):
+    """A payload column may WIDEN mid-stream (int32 -> int64): readers cast
+    historical rows up losslessly; cross-lattice changes still refuse."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from encode_ingest_ray.schema import unify_schemas
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+
+    def epoch(eid, n, lsn0, score_type):
+        ts0 = 1_700_000_000_000_000 + lsn0
+        t = pa.table(
+            {
+                "conv_id": pa.array([f"c{i % 7}" for i in range(n)]),
+                "turn_idx": pa.array(np.arange(n) % 50, pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array([f"t{lsn0 + i}" for i in range(n)]),
+                "tool": pa.array([None] * n, pa.string()),
+                "ts": pa.array(
+                    np.arange(ts0, ts0 + n), pa.timestamp("us")
+                ),
+                "op": pa.array(["insert"] * n),
+                "lsn": pa.array(np.arange(lsn0, lsn0 + n), pa.int64()),
+                "score": pa.array(np.arange(n), score_type),
+            }
+        )
+        pq.write_table(t, ev_dir / f"events-epoch-{eid:06d}.parquet")
+
+    epoch(0, 200, 0, pa.int32())
+    epoch(1, 200, 200, pa.int64())
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=4, num_actors=2)
+    s = eng.run(str(ev_dir))
+    assert s["epochs_run"] == 2
+    final = _table(eng.final_dataset())
+    assert final.schema.field("score").type == pa.int64()
+    # both epochs cover the SAME 200 (conv, turn) keys -> LWW replaces
+    assert final.num_rows == 200
+    # incompatible evolution still refuses
+    with pytest.raises(TypeError, match="widening"):
+        unify_schemas(
+            pa.schema([pa.field("x", pa.string())]),
+            pa.schema([pa.field("x", pa.int64())]),
+        )
