@@ -301,6 +301,9 @@ _FAMILY_COVERED = {
                                  # through the exactly-once path
     "cdc_ingest_transform",      # CDC family — ingest-time map inside the
                                  # fused read→route task
+    "cdc_schema_widening",       # CDC family — cdc_schema_evolution's
+                                 # additive sibling; in-place lossless type
+                                 # promotion through merge-on-read
 }
 
 

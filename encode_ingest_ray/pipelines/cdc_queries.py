@@ -844,3 +844,71 @@ def cdc_ingest_transform(sf_dir: str):
     )
     engine.run(events_dir)
     return engine.final_dataset()
+
+
+#: Widening evolution: a 'score' payload column is int32 in epochs 0-1 and
+#: int64 from epoch 2 — the unified read casts historical rows up.
+CDC_WIDEN_SQL = f"""
+WITH bound AS (
+  SELECT 2 * ((MAX(event_id) + 3) // 3) AS hi FROM events
+),
+ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(CASE WHEN lsn >= (SELECT hi FROM bound) THEN lsn
+                 ELSE CAST(turn_idx AS BIGINT) END AS BIGINT) AS score
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_schema_widening", CDC_WIDEN_SQL)
+def cdc_schema_widening(sf_dir: str):
+    """Type-WIDENING evolution through the full engine: the 'score' column
+    lands as int32 (= turn_idx) for the first two epochs and int64 (= lsn)
+    from the third; ``unify_schemas`` resolves the shared column along the
+    lossless promotion lattice and merge-on-read casts historical rows up
+    (schema.py — the Iceberg/Avro promotion rule), so the committed table
+    reads back as one BIGINT column with no rewrite of old files."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcwid-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    lsn_hi = _events_lsn_hi(sf_dir)
+    epoch_size = max(1, (lsn_hi + 3) // 3)
+    for e in range(3):
+        lo, hi = e * epoch_size, (e + 1) * epoch_size
+        wide = e >= 2
+
+        def slice_epoch(t: pa.Table, lo=lo, hi=hi, wide=wide) -> pa.Table:
+            part = t.filter(
+                pc.and_(
+                    pc.greater_equal(t.column("lsn"), pa.scalar(lo)),
+                    pc.less(t.column("lsn"), pa.scalar(hi)),
+                )
+            )
+            score = (
+                pc.cast(part.column("lsn"), pa.int64())
+                if wide
+                else pc.cast(part.column("turn_idx"), pa.int32())
+            )
+            return part.append_column("score", score)
+
+        stage = os.path.join(events_dir, f".stage-{e:06d}")
+        _derived_events(sf_dir).map_batches(
+            slice_epoch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).write_parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(events_dir, f"events-epoch-{e:06d}-{i:06d}.parquet"),
+            )
+        os.rmdir(stage)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
+    engine.run(events_dir)
+    return engine.final_dataset()
