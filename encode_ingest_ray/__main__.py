@@ -143,6 +143,10 @@ def main(argv=None) -> int:
     mg.add_argument("--out", required=True)
     mg.add_argument("--partitions", type=int, default=None)
     mg.add_argument("--turn-block", type=int, default=None)
+    mg.add_argument("--force", action="store_true",
+                    help="rewrite even with unchanged identity (OPTIMIZE: "
+                         "fold every base+delta chain into one compacted "
+                         "base per partition)")
 
     q = sub.add_parser(
         "query",
@@ -371,6 +375,7 @@ def main(argv=None) -> int:
                     eng.migrate(
                         new_num_partitions=args.partitions,
                         new_turn_block=args.turn_block,
+                        force=args.force,
                     )
                 )
             )

@@ -863,6 +863,7 @@ class CdcEngine:
         self,
         new_num_partitions: int | None = None,
         new_turn_block: int | None = None,
+        force: bool = False,
     ) -> dict:
         """Partition evolution: rewrite the committed table under a new
         partitioning identity in one distributed pass.
@@ -908,9 +909,14 @@ class CdcEngine:
         }
         new_p = new_num_partitions or old["num_partitions"]
         new_tb = new_turn_block or old["turn_block"]
-        if new_p == old["num_partitions"] and new_tb == old["turn_block"]:
+        if (not force and new_p == old["num_partitions"]
+                and new_tb == old["turn_block"]):
             return {"epoch": latest["epoch"], "old": old, "new": old,
                     "rows": 0, "partitions_written": 0, "noop": True}
+        # force + unchanged identity == OPTIMIZE: one distributed pass folds
+        # every partition's base+delta chain into a fresh compacted base
+        # (merge-on-read then reads ONE file per partition until new deltas
+        # land); vacuum ages the superseded chain out as usual
         epoch = latest["epoch"]
         self.manifest.acquire_run_lock()
         try:

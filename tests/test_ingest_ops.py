@@ -152,3 +152,24 @@ def test_schema_widening_evolution(tmp_path):
             pa.schema([pa.field("x", pa.string())]),
             pa.schema([pa.field("x", pa.int64())]),
         )
+
+
+def test_force_compact_same_identity(events_dir, tmp_path):
+    """migrate(force=True) with unchanged identity == OPTIMIZE: content
+    identical, every partition collapses to one base file."""
+    import glob as _glob
+
+    out = str(tmp_path / "c")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, vacuum_retain=1)
+    eng.run(events_dir)
+    before = _table(eng.final_dataset())
+    res = eng.migrate(force=True)
+    assert not res.get("noop") and res["partitions_written"] > 0
+    e2 = CdcEngine(out, num_actors=2)
+    assert _table(e2.final_dataset()).equals(before)
+    # post-compaction pointers: one base, zero deltas per partition
+    for ptr in e2.manifest.pointers().values():
+        assert ptr["base"] and not ptr["deltas"]
+    # resume still a no-op
+    s = e2.run(events_dir)
+    assert s["epochs_run"] == 0
