@@ -158,6 +158,9 @@ def main(argv=None) -> int:
     q.add_argument("--dest", help="write result parquet here instead of printing")
     q.add_argument("--limit", type=int, default=20, help="rows to print")
     q.add_argument("--list", action="store_true", help="list registered queries")
+    q.add_argument("--stats", action="store_true",
+                   help="print the Ray Data execution stats (per-operator "
+                        "wall/cpu/rows) after running the query")
     q.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -241,11 +244,15 @@ def main(argv=None) -> int:
         try:
             res = registry.QUERIES[args.name](args.sf)
             if isinstance(res, ray.data.Dataset):
+                if args.stats:
+                    res = res.materialize()
                 if args.dest:
                     res.write_parquet(args.dest)
                     print(json.dumps({"query": args.name, "dest": args.dest}))
                 else:  # never materialize more than the printed head
                     print(res.limit(args.limit).to_pandas().to_string())
+                if args.stats:
+                    print(res.stats())
             else:  # pa.Table / pandas result
                 df = res.to_pandas() if hasattr(res, "to_pandas") else res
                 if args.dest:
