@@ -304,6 +304,10 @@ _FAMILY_COVERED = {
     "cdc_schema_widening",       # CDC family — cdc_schema_evolution's
                                  # additive sibling; in-place lossless type
                                  # promotion through merge-on-read
+    "warehouse_weekly_report",   # star-join family — q5_local_supplier_volume
+                                 # keeps the row; this is the composed
+                                 # flagship (broadcast dims + one fact
+                                 # exchange + distinct/argmax in-bucket)
 }
 
 

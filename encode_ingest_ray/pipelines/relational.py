@@ -576,3 +576,197 @@ def merge_into_orders(sf_dir: str):
         set_col="price_cents",
         new_val_col="new_val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed star-schema flagship: weekly revenue report per region
+# ---------------------------------------------------------------------------
+
+WAREHOUSE_SQL = """
+WITH fact AS (
+  SELECT r.r_name AS region,
+         epoch_us(o.o_orderdate) // 604800000000 AS wk,
+         o.o_custkey AS custkey,
+         l.l_partkey AS partkey,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+agg AS (
+  SELECT region, wk,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers
+  FROM fact GROUP BY region, wk
+),
+per_part AS (
+  SELECT region, wk, partkey, CAST(SUM(cents) AS BIGINT) AS pc
+  FROM fact GROUP BY region, wk, partkey
+),
+top_part AS (
+  SELECT region, wk, partkey AS top_partkey FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY region, wk ORDER BY pc DESC, partkey) AS rn
+    FROM per_part
+  ) WHERE rn = 1
+)
+SELECT a.region, a.wk, a.revenue_cents, a.n_items, a.n_customers,
+       t.top_partkey
+FROM agg a JOIN top_part t USING (region, wk)
+"""
+
+
+@register("warehouse_weekly_report", WAREHOUSE_SQL)
+def warehouse_weekly_report(sf_dir: str):
+    """Composed star-schema report — the relational flagship the way
+    corpus_prep is the LLM-prep flagship: per (region, order-week) the
+    revenue, item count, DISTINCT customer count and top part by revenue.
+    Plan shape at 100 TB: the three true dimensions (customer→nation→
+    region) fold driver-side into ONE int-keyed lookup and broadcast once;
+    lineitem⋈orders pays the single co-hashed fact exchange with the
+    region/week/part columns attached in-task; the three aggregates
+    (sums, distinct-customer presence partials, per-part argmax) all ride
+    per-block combiners into ONE bucketed exchange keyed (region, wk) —
+    a final in-bucket pass computes the distinct count and the top part,
+    so only partial rows ever shuffle."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from encode_ingest_ray.pipelines.analogs import _cents, _read
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+    from encode_ingest_ray.stages.joins import cohash_join
+
+    # dims: customer -> region name (driver-side fold of tiny tables;
+    # |customer| = 150k/SF — broadcast as int arrays, not Python dicts)
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    reg_of_nat = {
+        r["n_nationkey"]: r["n_regionkey"] for r in nation.to_pylist()
+    }
+    name_of_reg = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy()
+    order_ck = np.argsort(ck)
+    cust_sorted = ck[order_ck]
+    regname_sorted = np.array(
+        [name_of_reg[reg_of_nat[int(n)]] for n in cn[order_ck]], dtype=object
+    )
+    lookup = ray.put((cust_sorted, regname_sorted))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "custkey": t.column("o_custkey"),
+                "wk": pc.divide(us, 604800000000),
+            }
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "partkey": t.column("l_partkey"),
+                "cents": _cents(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(1.0, t.column("l_discount")),
+                    )
+                ),
+            }
+        )
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        cs, rs = ray.get(lookup)
+        k = t.column("custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cs, k)
+        return t.append_column("region", pa.array(rs[pos]))
+
+    # ONE fact exchange: lineitem ⋈ orders on orderkey; region attached and
+    # (region, wk, custkey, partkey) partials pre-combined inside the task
+    def partials(t: pa.Table) -> pa.Table:
+        t = attach_region(t)
+        g = (
+            t.select(["region", "wk", "custkey", "partkey", "cents"])
+            .group_by(["region", "wk", "custkey", "partkey"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["region", "wk", "custkey", "partkey", "cents", "n"])
+
+    joined = cohash_join(
+        line.map_batches(l_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        orders.map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "l_orderkey", "o_orderkey",
+        map_joined=partials,
+    )
+
+    def report(t: pa.Table) -> pa.Table:
+        g = t.group_by(["region", "wk", "custkey", "partkey"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        g = g.rename_columns(["region", "wk", "custkey", "partkey", "cents", "n"])
+        idx = pc.sort_indices(
+            g, sort_keys=[("region", "ascending"), ("wk", "ascending")]
+        )
+        g = g.take(idx)
+        reg = g.column("region").combine_chunks()
+        codes = reg.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        wk = g.column("wk").combine_chunks().to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        starts = np.flatnonzero(
+            np.r_[True, (codes[1:] != codes[:-1]) | (wk[1:] != wk[:-1])]
+        )
+        bounds = np.r_[starts, n]
+        cents = g.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        custk = g.column("custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        partk = g.column("partkey").combine_chunks().to_numpy(zero_copy_only=False)
+        out = {"region": [], "wk": [], "revenue_cents": [], "n_items": [],
+               "n_customers": [], "top_partkey": []}
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            out["region"].append(reg[int(lo)].as_py())
+            out["wk"].append(int(wk[lo]))
+            out["revenue_cents"].append(int(cents[lo:hi].sum()))
+            out["n_items"].append(int(cnt[lo:hi].sum()))
+            out["n_customers"].append(int(np.unique(custk[lo:hi]).size))
+            # top part: sum cents per part, argmax with min-partkey tiebreak
+            pk = partk[lo:hi]
+            o = np.argsort(pk, kind="stable")
+            pks, cs = pk[o], cents[lo:hi][o]
+            ps = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
+            sums = np.add.reduceat(cs, ps)
+            cand = pks[ps]
+            best = np.lexsort((cand, -sums))[0]
+            out["top_partkey"].append(int(cand[best]))
+        return pa.table(
+            {
+                "region": pa.array(out["region"], pa.string()),
+                "wk": pa.array(out["wk"], pa.int64()),
+                "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+                "n_items": pa.array(out["n_items"], pa.int64()),
+                "n_customers": pa.array(out["n_customers"], pa.int64()),
+                "top_partkey": pa.array(out["top_partkey"], pa.int64()),
+            }
+        )
+
+    return bucketed_groupby_apply(joined, ["region", "wk"], report)
