@@ -308,6 +308,9 @@ _FAMILY_COVERED = {
                                  # keeps the row; this is the composed
                                  # flagship (broadcast dims + one fact
                                  # exchange + distinct/argmax in-bucket)
+    "media_chunk_dedup",         # dedup/multimodal families —
+                                 # media_frame_sample and incremental_dedup
+                                 # keep the rows; CAS chunk-level sibling
 }
 
 

@@ -1157,3 +1157,76 @@ def filtered_ann_search(sf_dir: str):
     )
     joined = cohash_join(packed, docs, "vec_id", "doc_id", map_joined=unpack)
     return brute_force_topk(joined, _queries_table(sf_dir), k=5)
+
+
+CHUNK_DEDUP_SQL = """
+WITH k AS (
+  SELECT CAST(unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+              AS BIGINT) AS i,
+         text
+  FROM documents
+),
+c AS (SELECT substr(text, CAST(i * 64 + 1 AS BIGINT), 64) AS chunk FROM k)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM c GROUP BY chunk ORDER BY cnt DESC, chunk LIMIT 10
+"""
+
+
+@register("media_chunk_dedup", CHUNK_DEDUP_SQL)
+def media_chunk_dedup(sf_dir: str):
+    """Content-addressable-storage chunk dedup over payloads: fixed
+    64-unit chunks, global duplicate counts, top-10 hottest chunks — the
+    block-level dedup a media lake runs before storing bytes twice.
+    Payload = the documents' text (the repo's deterministic media stand-in,
+    cf. media_frame_sample), chunked CHARACTER-wise so DuckDB's substr
+    derives identical chunks.  Fully vectorized: per block, K slice kernels
+    (K = max chunks/doc) + one Arrow group_by partial; chunk-keyed combine
+    exchange; local head-10 then one tiny final reduce."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    ds = _docs(sf_dir, ["text"])
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        out = []
+        k = 0
+        while True:
+            start = k * 64
+            mask = lens > start
+            if not mask.any():
+                break
+            sel = text.filter(pa.array(mask))
+            out.append(pc.utf8_slice_codeunits(sel, start, start + 64))
+            k += 1
+        chunks = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out])
+        g = (
+            pa.table({"chunk": chunks})
+            .append_column("cnt", pa.array(np.ones(len(chunks), np.int64)))
+            .group_by(["chunk"])
+            .aggregate([("cnt", "sum")])
+        )
+        return g.rename_columns(["chunk", "cnt"])
+
+    counts = bucketed_sum_combine(
+        ds.map_batches(
+            chunk_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["chunk"],
+        ["cnt"],
+    )
+
+    def head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("chunk", "ascending")]
+        )
+        return t.take(idx[:10])
+
+    return counts.map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).repartition(1).map_batches(
+        head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
