@@ -311,6 +311,11 @@ _FAMILY_COVERED = {
     "media_chunk_dedup",         # dedup/multimodal families —
                                  # media_frame_sample and incremental_dedup
                                  # keep the rows; CAS chunk-level sibling
+    # lm_perplexity_score (model-based quality scoring — the CCNet
+    # perplexity gate) enters tier 0; one multiply-composed quality rep
+    # moves down:
+    "pii_scrub",                 # text-quality family — text_stats keeps
+                                 # the row; corpus_prep composes the scrub
 }
 
 

@@ -824,3 +824,129 @@ def incremental_dedup_q(sf_dir: str):
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram LM scoring (perplexity filtering)
+# ---------------------------------------------------------------------------
+
+LM_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, {_WS} AS ws FROM documents),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS pair
+  FROM t, unnest(range(1, len(ws))) AS r(i)
+),
+cb AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY pair),
+cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(ln(CAST(c1 AS DOUBLE) / c2) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS nll_micro
+FROM big JOIN cb USING (pair) JOIN cu USING (w1)
+GROUP BY doc_id
+"""
+
+
+@register("lm_perplexity_score", LM_SCORE_SQL)
+def lm_perplexity_score(sf_dir: str):
+    """Bigram language-model scoring for perplexity filtering (the CCNet /
+    Wenzek et al. 2020 quality gate): train the corpus bigram model in one
+    vocabulary-sized combine exchange, broadcast it once, then score every
+    document's negative log-likelihood in a pure per-block pass.  Exact in
+    round-half-up MICRO-nats: each bigram's ln(c(w1·)/c(w1,w2)) term is
+    FLOOR-rounded before the per-doc sum (order-independent; one scalar
+    libm log per DISTINCT count pair — the entropy/HLL ln equivalence).
+    Contract: the model must fit a broadcast (vocabulary-sized — CCNet
+    ships a fixed model per language); an open-vocabulary corpus swaps in
+    the cohash-join path."""
+    import math
+
+    import ray as _ray
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.quality import _token_ids
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _bigrams(batch: pa.Table):
+        doc_idx, tok, vocab = _token_ids(batch.column("text"))
+        if len(tok) < 2:
+            e = np.empty(0, np.int64)
+            return e, pa.array([], pa.string()), pa.array([], pa.string())
+        same = doc_idx[1:] == doc_idx[:-1]
+        w1 = pa.array(tok[:-1][same]).cast(pa.int32())
+        w2 = pa.array(tok[1:][same]).cast(pa.int32())
+        d = doc_idx[:-1][same]
+        v1 = vocab.take(w1)
+        pair = pc.binary_join_element_wise(v1, vocab.take(w2), " ")
+        return d, v1, pair
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, _, pair = _bigrams(t)
+        g = (
+            pa.table({"pair": pair})
+            .append_column("n", pa.array(np.ones(len(pair), np.int64)))
+            .group_by(["pair"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["pair", "n"])
+
+    model_rows = bucketed_sum_combine(
+        ds.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["pair"],
+        ["n"],
+    ).take_all()  # |distinct bigrams| — the broadcast model
+    pairs = np.array([r["pair"] for r in model_rows], dtype=object)
+    cb = np.array([r["n"] for r in model_rows], np.int64)
+    order = np.argsort(pairs)
+    pairs, cb = pairs[order], cb[order]
+    w1s: dict = {}
+    for p, c in zip(pairs, cb):
+        w = p.split(" ", 1)[0]
+        w1s[w] = w1s.get(w, 0) + int(c)
+    uni = np.array(sorted(w1s), dtype=object)
+    cu = np.array([w1s[w] for w in uni], np.int64)
+    model = _ray.put((pairs, cb, uni, cu))
+
+    def score(t: pa.Table) -> pa.Table:
+        ps, pcnt, us, ucnt = _ray.get(model)
+        d, v1, pair = _bigrams(t)
+        if len(d) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "nll_micro": pa.array([], pa.int64())}
+            )
+        pair_np = np.array(pair.to_pylist(), dtype=object)
+        v1_np = np.array(v1.to_pylist(), dtype=object)
+        c2 = pcnt[np.searchsorted(ps, pair_np)]
+        c1 = ucnt[np.searchsorted(us, v1_np)]
+        # one libm log per DISTINCT (c1, c2) pair; 2-column unique avoids
+        # any composite-key overflow at large corpus counts
+        uk, inv = np.unique(np.stack([c1, c2], axis=1), axis=0, return_inverse=True)
+        terms = np.empty(len(uk), np.int64)
+        for i in range(len(uk)):
+            a, b = int(uk[i, 0]), int(uk[i, 1])
+            terms[i] = math.floor(math.log(a / b) * 1000000 + 0.5)
+        per = terms[inv]
+        nd = int(d.max()) + 1
+        nll = np.zeros(nd, np.int64)
+        np.add.at(nll, d, per)  # integer accumulation (bincount weights are float)
+        nbg = np.bincount(d, minlength=nd).astype(np.int64)
+        doc_ids = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = nbg > 0
+        rows = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows]),
+                "n_bigrams": pa.array(nbg[rows]),
+                "nll_micro": pa.array(nll[rows]),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
