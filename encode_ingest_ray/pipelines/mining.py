@@ -342,6 +342,10 @@ def basket_overlap_pairs(sf_dir: str):
     from encode_ingest_ray.stages.setsim import overlap_self_join
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # overlap_self_join already emits (o1, o2, overlap) — a Dataset-level
+    # rename_columns here measured +6.5 s of tiny-block re-batching overhead
+    # for a NO-OP (the map_groups output is many small blocks; rename adds a
+    # full extra operator pass over every one)
     return overlap_self_join(
         ds, id_col="l_orderkey", token_col="l_partkey", threshold=2
-    ).rename_columns(["o1", "o2", "overlap"])
+    )
