@@ -316,6 +316,9 @@ _FAMILY_COVERED = {
     # moves down:
     "pii_scrub",                 # text-quality family — text_stats keeps
                                  # the row; corpus_prep composes the scrub
+    "gap_fill_interpolate",      # imputation family — gap_fill_daily (LOCF)
+                                 # keeps the row; exact-rational linear
+                                 # interpolation sibling
 }
 
 

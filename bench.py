@@ -85,10 +85,13 @@ BENCH_QUERIES = [
     "merge_into_orders",
     "ewma_user_value",
     # round-3 continuation 12: distributed two-sample CDF scan (KS +
-    # Mann-Whitney share the kernel; KS is the bench rep) and the
-    # prefix-filtered exact set-similarity join
+    # Mann-Whitney share the kernel; KS is the bench rep), the
+    # prefix-filtered exact set-similarity join, the composed star-schema
+    # flagship, and the CCNet bigram-LM quality gate
     "ks_test_price_flag",
     "basket_overlap_pairs",
+    "warehouse_weekly_report",
+    "lm_perplexity_score",
 ]
 
 

@@ -677,3 +677,118 @@ def ewma_user_value(sf_dir: str):
     from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
 
     return bucketed_groupby_apply(ds, ["user_id"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill (the LOCF sibling with exact rationals)
+# ---------------------------------------------------------------------------
+
+INTERP_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, day, v,
+         LEAD(day) OVER w AS nd, LEAD(v) OVER w AS nv
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+gaps AS (SELECT user_id, day AS pd, v AS pv, nd, nv FROM b WHERE nd > day + 1),
+g AS (
+  SELECT user_id,
+         pd + CAST(unnest(range(1, CAST(nd - pd AS BIGINT))) AS BIGINT) AS day,
+         pd, pv, nd, nv
+  FROM gaps
+)
+SELECT user_id, day,
+       CAST(pv * (nd - pd) + (nv - pv) * (day - pd) AS BIGINT) AS interp_num,
+       CAST(nd - pd AS BIGINT) AS interp_den
+FROM g
+"""
+
+
+@register("gap_fill_interpolate", INTERP_SQL)
+def gap_fill_interpolate(sf_dir: str):
+    """Linear INTERPOLATION of interior gaps in each user's daily value
+    series — the time-series-repair sibling of gap_fill_daily's LOCF: every
+    missing day between two observations gets the exact rational
+    ``(pv·(nd−pd) + (nv−pv)·(day−pd)) / (nd−pd)`` as an integer num/den
+    pair (the impute_mean encoding — no float drift).  Per-block daily-sum
+    partials cross one user-keyed exchange; gap rows are GENERATED inside
+    the bucket task (repeat + arange over the observed-day diffs — they
+    never cross the wire)."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        v = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 1000.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        pre = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(us, 86400000000),
+                "v": v,
+            }
+        )
+        g = pre.group_by(["user_id", "day"]).aggregate([("v", "sum")])
+        return g.rename_columns(["user_id", "day", "v"])
+
+    daily = ds.map_batches(
+        day_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def interp(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "day"]).aggregate([("v", "sum")])
+        g = g.rename_columns(["user_id", "day", "v"])
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        g = g.take(idx)
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        day = g.column("day").combine_chunks().to_numpy(zero_copy_only=False)
+        v = g.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "interp_num": pa.array([], pa.int64()),
+                "interp_den": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        width = day[1:] - day[:-1]
+        gap = same & (width > 1)
+        if not gap.any():
+            return empty
+        gi = np.flatnonzero(gap)  # index of the gap's LEFT observation
+        lens = (width[gi] - 1).astype(np.int64)
+        total = int(lens.sum())
+        rep = np.repeat(np.arange(len(gi)), lens)
+        cum_excl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum_excl, lens) + 1
+        pd_, pv = day[gi][rep], v[gi][rep]
+        nd, nv = day[gi + 1][rep], v[gi + 1][rep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[gi][rep]),
+                "day": pa.array(pd_ + off),
+                "interp_num": pa.array(pv * (nd - pd_) + (nv - pv) * off),
+                "interp_den": pa.array(nd - pd_),
+            }
+        )
+
+    return bucketed_groupby_apply(daily, ["user_id"], interp)
