@@ -319,6 +319,9 @@ _FAMILY_COVERED = {
     "gap_fill_interpolate",      # imputation family — gap_fill_daily (LOCF)
                                  # keeps the row; exact-rational linear
                                  # interpolation sibling
+    "cdc_text_search",           # CDC family — the engine-maintained
+                                 # postings-index search; inverted_index
+                                 # (tier 1) is the batch-build sibling
 }
 
 

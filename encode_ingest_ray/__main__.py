@@ -70,6 +70,9 @@ def main(argv=None) -> int:
                    help="comma-separated payload columns for the engine-"
                         "maintained covering index (durable table identity; "
                         "committed tables adopt theirs automatically)")
+    r.add_argument("--postings-column", default=None,
+                   help="maintain a full-text postings index over this "
+                        "payload column (durable identity; enables `search`)")
     r.add_argument("--lateness-s", type=float, default=None,
                    help="allowed lateness in seconds: events whose ts falls "
                         "further behind the partition's applied high-water "
@@ -134,6 +137,15 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("status", help="print the latest manifest summary")
     s.add_argument("--out", required=True)
+
+    se = sub.add_parser(
+        "search",
+        help="full-text search over the live table via the engine-maintained "
+             "postings index (requires run --postings-column)",
+    )
+    se.add_argument("tokens", nargs="+")
+    se.add_argument("--out", required=True)
+    se.add_argument("--limit", type=int, default=20)
 
     mg = sub.add_parser(
         "migrate",
@@ -283,6 +295,7 @@ def main(argv=None) -> int:
             lateness_us = (
                 int(args.lateness_s * 1_000_000) if args.lateness_s else None
             )
+            postings_column = args.postings_column
             if args.shard_index is not None:
                 from encode_ingest_ray.pipelines.sharded import shard_epoch_files
 
@@ -291,7 +304,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
-                    lateness_us=lateness_us,
+                    lateness_us=lateness_us, postings_column=postings_column,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -313,7 +326,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
-                    lateness_us=lateness_us,
+                    lateness_us=lateness_us, postings_column=postings_column,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -321,7 +334,7 @@ def main(argv=None) -> int:
                 eng = CdcEngine(
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
-                    lateness_us=lateness_us,
+                    lateness_us=lateness_us, postings_column=postings_column,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":
@@ -375,6 +388,10 @@ def main(argv=None) -> int:
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))
+        elif args.cmd == "search":
+            eng = CdcEngine(args.out)
+            hits = eng.search(args.tokens)
+            print(hits.limit(args.limit).to_pandas().to_string())
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)
             print(

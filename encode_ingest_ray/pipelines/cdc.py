@@ -188,6 +188,7 @@ class CdcEngine:
         index_columns: list[str] | None = None,
         lateness_us: int | None = None,
         ingest_transform=None,
+        postings_column: str | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -230,6 +231,20 @@ class CdcEngine:
             )
         self.index_columns = index_columns
         self.index_root = os.path.join(out_dir, "index") if index_columns is not None else None
+        # the postings index (like the covering index) is durable identity
+        committed_postings = committed.get("postings_column") if committed else None
+        if postings_column is None:
+            postings_column = committed_postings
+        elif committed is not None and committed_postings != postings_column:
+            raise ValueError(
+                f"output dir {out_dir!r} was committed with "
+                f"postings_column={committed_postings!r}; resuming with "
+                f"{postings_column!r} would diverge the postings chain."
+            )
+        self.postings_column = postings_column
+        self.postings_root = (
+            os.path.join(out_dir, "postings") if postings_column is not None else None
+        )
         # allowed lateness is a POLICY knob, not identity: adopt the
         # committed value when unset so a resumed run keeps quarantining,
         # but an explicit new value simply applies going forward
@@ -259,6 +274,9 @@ class CdcEngine:
         )
         self.late_manifest = (
             Manifest(self.late_root) if self.late_root is not None else None
+        )
+        self.postings_manifest = (
+            Manifest(self.postings_root) if self.postings_root is not None else None
         )
         self._actors: list | None = None
         # partitioning is part of the table's durable identity: state files
@@ -293,6 +311,7 @@ class CdcEngine:
                     self.out_dir, mine, self.compact_every, fanout,
                     self.index_root, self.index_columns,
                     self.late_root, self.lateness_us,
+                    self.postings_root, self.postings_column,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -455,6 +474,7 @@ class CdcEngine:
             "turn_block": self.turn_block,
             "index_columns": self.index_columns,
             "lateness_us": self.lateness_us,
+            "postings_column": self.postings_column,
         }
         # late-quarantine chain: accumulate this epoch's per-partition late
         # deltas (riding the flush pointers) onto the committed late map —
@@ -493,6 +513,17 @@ class CdcEngine:
                 "metrics": {"quarantined_late": metrics.get("quarantined_late", 0)},
                 "partitioning": partitioning,
             }
+        if self.postings_manifest is not None:
+            # mirrored chain like the covering index: pure path transform
+            manifests["postings"] = self.postings_manifest
+            records["postings"] = {
+                "partitions": {
+                    p: self._reroot_ptr(ptr, self.postings_root)
+                    for p, ptr in pointers.items()
+                },
+                "metrics": {"mirror_of": self.out_dir},
+                "partitioning": partitioning,
+            }
         if len(manifests) == 1:
             self.manifest.commit(epoch, pointers, metrics, partitioning)
         else:
@@ -503,6 +534,8 @@ class CdcEngine:
             self.manifest.vacuum(self.vacuum_retain)
             if self.index_manifest is not None:
                 self.index_manifest.vacuum(self.vacuum_retain)
+            if self.postings_manifest is not None:
+                self.postings_manifest.vacuum(self.vacuum_retain)
         summary["epochs_run"] += 1
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]
@@ -552,20 +585,23 @@ class CdcEngine:
         return totals
 
     # -- read side -------------------------------------------------------
-    def _index_ptr(self, ptr: dict) -> dict:
-        """Index-table pointer = path transform of the live pointer: the
-        flush writes the projected file under the SAME relative path below
-        the index root, so no second pointer bookkeeping exists to drift."""
+    def _reroot_ptr(self, ptr: dict, root: str) -> dict:
+        """Sibling-table pointer = path transform of the live pointer: the
+        flush writes each projected file under the SAME relative path below
+        the sibling root, so no second pointer bookkeeping exists to drift."""
 
         def reroot(p):
             if not p:
                 return p
-            return os.path.join(self.index_root, os.path.relpath(p, self.out_dir))
+            return os.path.join(root, os.path.relpath(p, self.out_dir))
 
         out = dict(ptr)
         out["base"] = reroot(ptr.get("base"))
         out["deltas"] = [reroot(d) for d in ptr.get("deltas", [])]
         return out
+
+    def _index_ptr(self, ptr: dict) -> dict:
+        return self._reroot_ptr(ptr, self.index_root)
 
     def partition_files(self, epoch: int | None = None) -> dict[int, dict]:
         """part -> {base, deltas} from the latest manifest, or — time
@@ -653,6 +689,95 @@ class CdcEngine:
 
         return ds.map_batches(
             keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
+    def search(self, tokens: list[str], epoch: int | None = None) -> "ray.data.Dataset":
+        """Full-text search over the LIVE table via the engine-maintained
+        postings index: returns ``(token, conv_id, turn_idx, ts)`` for every
+        live row whose indexed column contains a query token.
+
+        Entirely PARTITION-LOCAL (no exchange): the postings chain mirrors
+        the key chain's partitioning, so each task reads one partition's
+        postings (parquet predicate on the SORTED token column — row-group
+        stats prune) plus that partition's key chain (covering index when
+        configured, else the main chain with a key/meta projection), and
+        validity-joins on (conv_id, turn_idx, lsn) — a posting whose version
+        was superseded or tombstoned never matches, so the log-structured
+        index needs no retraction records."""
+        if self.postings_manifest is None:
+            raise ValueError("engine has no postings index (postings_column unset)")
+        toks = sorted({t.lower() for t in tokens})
+        rec = (
+            self.postings_manifest.latest()
+            if epoch is None
+            else self.postings_manifest.read_epoch(epoch)
+        )
+        post = {int(p): ptr for p, ptr in (rec["partitions"] if rec else {}).items()}
+        key_manifest = self.index_manifest or self.manifest
+        krec = (
+            key_manifest.latest() if epoch is None else key_manifest.read_epoch(epoch)
+        )
+        keys = {int(p): ptr for p, ptr in (krec["partitions"] if krec else {}).items()}
+        items = [
+            {
+                "post_base": ptr.get("base") or "",
+                "post_deltas": list(ptr.get("deltas", [])),
+                "key_base": keys[p].get("base") or "",
+                "key_deltas": list(keys[p].get("deltas", [])),
+            }
+            for p, ptr in sorted(post.items())
+            if p in keys
+        ]
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if not items:
+            return ray.data.from_items([]).map_batches(lambda t: empty)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            from encode_ingest_ray.state.merger import load_partition_state
+
+            out = []
+            for row in batch.to_pylist():
+                files = ([row["post_base"]] if row["post_base"] else []) + row[
+                    "post_deltas"
+                ]
+                cands = [
+                    pq.read_table(f, filters=[("token", "in", toks)])
+                    for f in files
+                ]
+                cands = [c for c in cands if c.num_rows]
+                if not cands:
+                    continue
+                cand = pa.concat_tables(cands)
+                state = load_partition_state(
+                    {"base": row["key_base"] or None,
+                     "deltas": list(row["key_deltas"])},
+                    columns=[],  # key + merge metadata only
+                )
+                if state is None or state.num_rows == 0:
+                    continue
+                live = state.filter(
+                    pc.not_equal(state.column("op"), pa.scalar("delete"))
+                ).select(["conv_id", "turn_idx", "lsn", "ts"])
+                hit = cand.join(
+                    live, keys=["conv_id", "turn_idx", "lsn"], join_type="inner"
+                )
+                if hit.num_rows:
+                    out.append(hit.select(["token", "conv_id", "turn_idx", "ts"]))
+            if not out:
+                return empty
+            return pa.concat_tables(out)
+
+        return ray.data.from_items(items).map_batches(
+            probe, batch_size=1, batch_format="pyarrow"
         )
 
     def delete_where(self, predicate, columns: list[str] | None = None) -> dict:
@@ -896,6 +1021,7 @@ class CdcEngine:
             _part_dir,
             load_partition_state,
             project_index,
+            project_postings,
         )
         from encode_ingest_ray.state.partition import assign_partition_column
         from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
@@ -974,6 +1100,8 @@ class CdcEngine:
             out_dir = self.out_dir
             index_root = self.index_root
             index_columns = self.index_columns
+            postings_root = self.postings_root
+            postings_column = self.postings_column
 
             def write_parts(t: pa.Table) -> pa.Table:
                 import numpy as np
@@ -995,6 +1123,14 @@ class CdcEngine:
                             project_index(sub, index_columns or []),
                             os.path.join(
                                 _part_dir(index_root, int(p)),
+                                f"base-{epoch:06d}-mig.parquet",
+                            ),
+                        )
+                    if postings_root is not None:
+                        _atomic_write(
+                            project_postings(sub, postings_column or "text"),
+                            os.path.join(
+                                _part_dir(postings_root, int(p)),
                                 f"base-{epoch:06d}-mig.parquet",
                             ),
                         )
@@ -1058,26 +1194,36 @@ class CdcEngine:
                     rows_live=r["rows_live"],
                 )
             new_identity = {"num_partitions": new_p, "turn_block": new_tb,
-                            "index_columns": self.index_columns}
+                            "index_columns": self.index_columns,
+                            "lateness_us": self.lateness_us,
+                            "postings_column": self.postings_column}
             metrics = dict(latest.get("metrics", {}))
             metrics["migrated_from"] = old
-            if self.index_manifest is None:
+            mig_manifests: dict[str, Manifest] = {"live": self.manifest}
+            mig_records: dict[str, dict] = {
+                "live": {"partitions": pointers, "metrics": metrics,
+                         "partitioning": new_identity}
+            }
+            if self.index_manifest is not None:
+                mig_manifests["index"] = self.index_manifest
+                mig_records["index"] = {
+                    "partitions": {p: self._index_ptr(ptr)
+                                   for p, ptr in pointers.items()},
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": new_identity,
+                }
+            if self.postings_manifest is not None:
+                mig_manifests["postings"] = self.postings_manifest
+                mig_records["postings"] = {
+                    "partitions": {p: self._reroot_ptr(ptr, self.postings_root)
+                                   for p, ptr in pointers.items()},
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": new_identity,
+                }
+            if len(mig_manifests) == 1:
                 self.manifest.commit(epoch, pointers, metrics, new_identity)
             else:
-                index_pointers = {
-                    p: self._index_ptr(ptr) for p, ptr in pointers.items()
-                }
-                self.txn.commit(
-                    epoch,
-                    {"live": self.manifest, "index": self.index_manifest},
-                    {
-                        "live": {"partitions": pointers, "metrics": metrics,
-                                 "partitioning": new_identity},
-                        "index": {"partitions": index_pointers,
-                                  "metrics": {"mirror_of": self.out_dir},
-                                  "partitioning": new_identity},
-                    },
-                )
+                self.txn.commit(epoch, mig_manifests, mig_records)
             if self.vacuum_retain is not None:
                 self.manifest.vacuum(self.vacuum_retain)
                 if self.index_manifest is not None:

@@ -912,3 +912,46 @@ def cdc_schema_widening(sf_dir: str):
     engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
     engine.run(events_dir)
     return engine.final_dataset()
+
+
+#: Live rows whose text contains the whitespace token 'view:{"k":' — the
+#: brute-force twin of the engine's postings-index search.
+CDC_SEARCH_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT conv_id, turn_idx, text, ts
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT 'view:{{"k":' AS token, conv_id, turn_idx, ts
+FROM live
+WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'view:{{"k":')
+"""
+
+
+@register("cdc_text_search", CDC_SEARCH_SQL)
+def cdc_text_search(sf_dir: str):
+    """Full-text search over the live table via the ENGINE-MAINTAINED
+    postings index (CdcEngine postings_column=): the flush path writes a
+    token-sorted postings sibling chain next to every delta/base; search is
+    partition-local (parquet token predicate + validity join on
+    (conv_id, turn_idx, lsn) against the key chain — superseded and
+    tombstoned versions can never match).  The oracle is the brute-force
+    token scan of the LWW fold, so this also re-proves the index's
+    read-time consistency end-to-end."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcfts-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        postings_column="text",
+    )
+    engine.run(events_dir)
+    return engine.search(['view:{"k":'])

@@ -84,6 +84,48 @@ def project_index(table: pa.Table, index_columns: list[str]) -> pa.Table:
     return table.select(cols)
 
 
+def project_postings(table: pa.Table, column: str) -> pa.Table:
+    """Full-text postings projection of a delta/base: one row per DISTINCT
+    (lower-cased whitespace token, key) over the LIVE rows, carrying the
+    key's ``lsn`` so the read side can reject postings a later version
+    superseded (read-time validity join — the log-structured secondary
+    index needs no retraction records).  Output is SORTED by token so
+    parquet row-group stats prune single-token searches."""
+    import numpy as np
+
+    live = table.filter(pc.not_equal(table.column("op"), pa.scalar("delete")))
+    if live.num_rows == 0 or column not in live.column_names:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "lsn": pa.array([], pa.int64()),
+            }
+        )
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(live.column(column).combine_chunks(), ""))
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    flat = toks.flatten()
+    exploded = pa.table(
+        {
+            "token": flat,
+            "conv_id": live.column("conv_id").combine_chunks().take(pa.array(row_of)),
+            "turn_idx": live.column("turn_idx").combine_chunks().take(pa.array(row_of)),
+            "lsn": live.column("lsn").combine_chunks().take(pa.array(row_of)),
+        }
+    ).filter(pc.not_equal(flat, ""))
+    d = exploded.group_by(
+        ["token", "conv_id", "turn_idx", "lsn"]
+    ).aggregate([])  # distinct (token, key)
+    return d.sort_by([("token", "ascending"), ("conv_id", "ascending"),
+                      ("turn_idx", "ascending")])
+
+
 #: merge metadata the LWW kernel + live projection require from every file
 LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
@@ -137,6 +179,8 @@ def _flush_partitions(
     index_columns: list[str] | None = None,
     late_root: str | None = None,
     lateness_us: int | None = None,
+    postings_root: str | None = None,
+    postings_column: str | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -239,6 +283,13 @@ def _flush_partitions(
                     project_index(state, index_columns or []),
                     os.path.join(_part_dir(index_root, part), f"base-{epoch:06d}.parquet"),
                 )
+            if postings_root is not None:
+                # postings base from the compacted LIVE state: dead postings
+                # from superseded versions age out with the compaction
+                _atomic_write(
+                    project_postings(state, postings_column or "text"),
+                    os.path.join(_part_dir(postings_root, part), f"base-{epoch:06d}.parquet"),
+                )
             deltas = []
             rows_state = state.num_rows
             rows_live = int(
@@ -252,6 +303,11 @@ def _flush_partitions(
                 _atomic_write(
                     project_index(delta, index_columns or []),
                     os.path.join(_part_dir(index_root, part), f"delta-{epoch:06d}.parquet"),
+                )
+            if postings_root is not None:
+                _atomic_write(
+                    project_postings(delta, postings_column or "text"),
+                    os.path.join(_part_dir(postings_root, part), f"delta-{epoch:06d}.parquet"),
                 )
             deltas.append(dpath)
 
@@ -287,6 +343,8 @@ class PartitionMerger:
         index_columns: list[str] | None = None,
         late_root: str | None = None,
         lateness_us: int | None = None,
+        postings_root: str | None = None,
+        postings_column: str | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -296,6 +354,8 @@ class PartitionMerger:
         self.index_columns = index_columns
         self.late_root = late_root
         self.lateness_us = lateness_us
+        self.postings_root = postings_root
+        self.postings_column = postings_column
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -363,6 +423,8 @@ class PartitionMerger:
                 self.index_columns,
                 self.late_root,
                 self.lateness_us,
+                self.postings_root,
+                self.postings_column,
             )
             for group in (dirty[i::k] for i in range(k))
         ]

@@ -173,3 +173,81 @@ def test_force_compact_same_identity(events_dir, tmp_path):
     # resume still a no-op
     s = e2.run(events_dir)
     assert s["epochs_run"] == 0
+
+
+def test_postings_search_consistency(events_dir, tmp_path):
+    """Engine-maintained full-text postings: search() must equal a
+    brute-force scan of the live table, across updates, deletes and
+    compaction (the validity join rejects superseded postings)."""
+    eng = CdcEngine(
+        str(tmp_path / "s"), num_partitions=8, num_actors=2,
+        compact_every=2, postings_column="text", index_columns=["role"],
+    )
+    eng.run(events_dir)
+    live = _table(eng.final_dataset())
+
+    def brute(token):
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(live.column("text")))
+        mask = pa.array(
+            [token in set(t) for t in toks.to_pylist()]
+        )
+        sel = live.filter(mask)
+        return {(r["conv_id"], r["turn_idx"]) for r in sel.select(["conv_id", "turn_idx"]).to_pylist()}
+
+    # pick a common and a rare token from the live table
+    sample = " ".join(live.column("text").to_pylist()[:50]).lower().split()
+    common = max(set(sample), key=sample.count)
+    got = _table(eng.search([common]))
+    want = brute(common)
+    assert {(r["conv_id"], r["turn_idx"]) for r in got.to_pylist()} == want
+    assert len(want) > 0
+    # a token that exists only in SUPERSEDED versions must not match:
+    # update one turn's text via a synthetic epoch, then search the old text
+    row = live.slice(0, 1).to_pylist()[0]
+    old_tok = row["text"].lower().split()[0]
+    import pyarrow.parquet as pq
+    lsn_hi = max(int(p["lsn_hi"]) for p in eng.manifest.pointers().values())
+    upd = pa.table(
+        {
+            "conv_id": pa.array([row["conv_id"]]),
+            "turn_idx": pa.array([row["turn_idx"]], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["replacedword"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([pa.scalar(row["ts"]).cast(pa.timestamp("us"))]).cast(pa.timestamp("us")),
+            "op": pa.array(["update"]),
+            "lsn": pa.array([lsn_hi + 1], pa.int64()),
+        }
+    )
+    ev4 = tmp_path / "s-extra"
+    ev4.mkdir()
+    pq.write_table(upd, ev4 / "events-epoch-000000.parquet")
+    committed = eng.manifest.committed_epochs()
+    eng.run(epoch_files=[[] for _ in committed] + [[str(ev4 / "events-epoch-000000.parquet")]])
+    hits = _table(eng.search(["replacedword"]))
+    assert {(r["conv_id"], r["turn_idx"]) for r in hits.to_pylist()} == {
+        (row["conv_id"], row["turn_idx"])
+    }
+    # old-version postings for that key are invalid now
+    stale = _table(eng.search([old_tok]))
+    assert (row["conv_id"], row["turn_idx"]) not in {
+        (r["conv_id"], r["turn_idx"]) for r in stale.to_pylist()
+    }
+
+
+def test_postings_survive_migration(events_dir, tmp_path):
+    eng = CdcEngine(
+        str(tmp_path / "pm"), num_partitions=8, num_actors=2,
+        postings_column="text",
+    )
+    eng.run(events_dir)
+    live = _table(eng.final_dataset())
+    tok = live.column("text").to_pylist()[0].lower().split()[0]
+    before = {(r["conv_id"], r["turn_idx"])
+              for r in _table(eng.search([tok])).to_pylist()}
+    eng.migrate(new_num_partitions=4)
+    eng2 = CdcEngine(str(tmp_path / "pm"), num_actors=2)
+    assert eng2.postings_column == "text"
+    after = {(r["conv_id"], r["turn_idx"])
+             for r in _table(eng2.search([tok])).to_pylist()}
+    assert after == before and before
