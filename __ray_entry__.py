@@ -322,6 +322,9 @@ _FAMILY_COVERED = {
     "cdc_text_search",           # CDC family — the engine-maintained
                                  # postings-index search; inverted_index
                                  # (tier 1) is the batch-build sibling
+    "cdc_search_ranked",         # search-scoring family — tf_idf_topk
+                                 # keeps the row; exact-integer BM25 over
+                                 # the incrementally-maintained index
 }
 
 

@@ -780,6 +780,191 @@ class CdcEngine:
             probe, batch_size=1, batch_format="pyarrow"
         )
 
+    def search_ranked(
+        self, tokens: list[str], epoch: int | None = None
+    ) -> "ray.data.Dataset":
+        """BM25-ranked retrieval over the postings index, EXACT in
+        round-half-up micro units: every per-token contribution
+        ``idf · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/Σdl))`` (k1=1.2, b=0.75)
+        is FLOOR-rounded before the per-document sum, with one scalar libm
+        log per distinct df — the same order-independent integer encoding
+        as the entropy/PSI oracles, so a SQL brute-force scan reproduces
+        the ranking bit-for-bit.
+
+        Plan: (1) per-partition corpus-stats pass over the narrow postings
+        chain (distinct valid keys → N, Σdl partials — at production scale
+        these two numbers live as pointer statistics maintained at
+        compaction; the exact scan keeps the oracle honest here); (2) the
+        partition-local validity probe (as ``search``) returning hits with
+        (tf, dl); (3) tiny df reduce per query token; (4) a vectorized
+        scoring pass + one (conv, turn) combine exchange of score partials.
+        """
+        import math
+
+        import numpy as np
+
+        from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+        if self.postings_manifest is None:
+            raise ValueError("engine has no postings index (postings_column unset)")
+        toks = sorted({t.lower() for t in tokens})
+        rec = (
+            self.postings_manifest.latest()
+            if epoch is None
+            else self.postings_manifest.read_epoch(epoch)
+        )
+        post = {int(p): ptr for p, ptr in (rec["partitions"] if rec else {}).items()}
+        key_manifest = self.index_manifest or self.manifest
+        krec = (
+            key_manifest.latest() if epoch is None else key_manifest.read_epoch(epoch)
+        )
+        keys = {int(p): ptr for p, ptr in (krec["partitions"] if krec else {}).items()}
+        items = [
+            {
+                "post_base": ptr.get("base") or "",
+                "post_deltas": list(ptr.get("deltas", [])),
+                "key_base": keys[p].get("base") or "",
+                "key_deltas": list(keys[p].get("deltas", [])),
+            }
+            for p, ptr in sorted(post.items())
+            if p in keys
+        ]
+        hits_empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        out_empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "score_micro": pa.array([], pa.int64()),
+            }
+        )
+        if not items:
+            return ray.data.from_items([]).map_batches(lambda t: out_empty)
+
+        def _valid(row, columns, filters=None):
+            import pyarrow.parquet as pq
+
+            from encode_ingest_ray.state.merger import load_partition_state
+
+            files = ([row["post_base"]] if row["post_base"] else []) + row[
+                "post_deltas"
+            ]
+            parts = []
+            for f in files:
+                t = pq.read_table(f, columns=columns, filters=filters)
+                if t.num_rows:
+                    parts.append(t)
+            if not parts:
+                return None
+            cand = pa.concat_tables(parts)
+            state = load_partition_state(
+                {"base": row["key_base"] or None, "deltas": list(row["key_deltas"])},
+                columns=[],
+            )
+            if state is None or state.num_rows == 0:
+                return None
+            live = state.filter(
+                pc.not_equal(state.column("op"), pa.scalar("delete"))
+            ).select(["conv_id", "turn_idx", "lsn"])
+            hit = cand.join(live, keys=["conv_id", "turn_idx", "lsn"], join_type="inner")
+            return hit if hit.num_rows else None
+
+        def stats(batch: pa.Table) -> pa.Table:
+            n = s = 0
+            for row in batch.to_pylist():
+                hit = _valid(row, ["conv_id", "turn_idx", "lsn", "dl"])
+                if hit is None:
+                    continue
+                d = hit.group_by(["conv_id", "turn_idx", "lsn", "dl"]).aggregate([])
+                n += d.num_rows
+                s += int(pc.sum(d.column("dl")).as_py() or 0)
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "s": pa.array([s], pa.int64())})
+
+        stat_rows = (
+            ray.data.from_items(items)
+            .map_batches(stats, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
+        n_docs = sum(r["n"] for r in stat_rows)
+        sum_dl = sum(r["s"] for r in stat_rows)
+        if n_docs == 0:
+            return ray.data.from_items([]).map_batches(lambda t: out_empty)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                hit = _valid(
+                    row,
+                    ["token", "conv_id", "turn_idx", "lsn", "tf", "dl"],
+                    filters=[("token", "in", toks)],
+                )
+                if hit is not None:
+                    out.append(
+                        hit.select(["conv_id", "turn_idx", "token", "tf", "dl"])
+                    )
+            return pa.concat_tables(out) if out else hits_empty
+
+        hits = (
+            ray.data.from_items(items)
+            .map_batches(probe, batch_size=1, batch_format="pyarrow")
+            .materialize()  # consumed twice: df reduce + scoring
+        )
+        df_parts = hits.map_batches(
+            lambda t: t.group_by(["token"]).aggregate([([], "count_all")])
+            .rename_columns(["token", "df"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ).take_all()
+        df_of: dict[str, int] = {}
+        for r in df_parts:
+            df_of[r["token"]] = df_of.get(r["token"], 0) + r["df"]
+        # one libm log per distinct df — mirror the oracle's expression order
+        idf_of = {
+            t: math.log((n_docs - d + 0.5) / (d + 0.5)) for t, d in df_of.items()
+        }
+        idf_ref = ray.put((np.array(sorted(idf_of), dtype=object),
+                           np.array([idf_of[t] for t in sorted(idf_of)], np.float64)))
+
+        def score(t: pa.Table) -> pa.Table:
+            ts_, iv = ray.get(idf_ref)
+            tok_np = np.array(t.column("token").to_pylist(), dtype=object)
+            idf = iv[np.searchsorted(ts_, tok_np)]
+            tf = t.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+            dl = t.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+            term = np.floor(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))
+                * 1000000 + 0.5
+            ).astype(np.int64)
+            pre = pa.table(
+                {
+                    "conv_id": t.column("conv_id"),
+                    "turn_idx": t.column("turn_idx"),
+                    "score_micro": pa.array(term),
+                }
+            )
+            g = pre.group_by(["conv_id", "turn_idx"]).aggregate(
+                [("score_micro", "sum")]
+            )
+            return g.rename_columns(["conv_id", "turn_idx", "score_micro"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(["conv_id", "turn_idx"]).aggregate(
+                [("score_micro", "sum")]
+            )
+            return g.rename_columns(["conv_id", "turn_idx", "score_micro"])
+
+        scored = hits.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        return bucketed_groupby_apply(scored, ["conv_id", "turn_idx"], combine, 16)
+
     def delete_where(self, predicate, columns: list[str] | None = None) -> dict:
         """Retention / right-to-be-forgotten delete THROUGH the exactly-once
         path: scan the live table, emit one LWW tombstone per matching key

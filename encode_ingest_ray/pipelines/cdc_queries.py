@@ -955,3 +955,61 @@ def cdc_text_search(sf_dir: str):
     )
     engine.run(events_dir)
     return engine.search(['view:{"k":'])
+
+
+#: BM25-ranked brute force over the LWW fold (k1=1.2, b=0.75), mirrored
+#: float-expression order so the micro-rounded scores match bit-for-bit.
+CDC_RANKED_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w <> '')) AS token
+  FROM live
+),
+dl AS (SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM tok GROUP BY 1, 2),
+tf AS (SELECT conv_id, turn_idx, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE token IN ('view:{{"k":', 'click:{{"k":')
+       GROUP BY 1, 2, 3),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token)
+SELECT tf.conv_id, tf.turn_idx,
+       CAST(SUM(CAST(FLOOR(
+         ln((n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+FROM tf JOIN dl USING (conv_id, turn_idx) JOIN df USING (token), stats
+GROUP BY tf.conv_id, tf.turn_idx
+"""
+
+
+@register("cdc_search_ranked", CDC_RANKED_SQL)
+def cdc_search_ranked(sf_dir: str):
+    """BM25-ranked retrieval over the engine's postings index — tf/dl ride
+    every posting row, df and the (N, Σdl) corpus stats come from validity-
+    joined index scans, and every per-token contribution is FLOOR-rounded
+    to micro units before the per-document sum, so the brute-force SQL scan
+    of the LWW fold reproduces the RANKING bit-for-bit (the search-engine
+    op a float scorer could never oracle exactly)."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcbm25-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        postings_column="text",
+    )
+    engine.run(events_dir)
+    return engine.search_ranked(['view:{"k":', 'click:{"k":'])

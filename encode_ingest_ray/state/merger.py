@@ -87,22 +87,26 @@ def project_index(table: pa.Table, index_columns: list[str]) -> pa.Table:
 def project_postings(table: pa.Table, column: str) -> pa.Table:
     """Full-text postings projection of a delta/base: one row per DISTINCT
     (lower-cased whitespace token, key) over the LIVE rows, carrying the
-    key's ``lsn`` so the read side can reject postings a later version
-    superseded (read-time validity join — the log-structured secondary
-    index needs no retraction records).  Output is SORTED by token so
-    parquet row-group stats prune single-token searches."""
+    key's ``lsn`` (read-time validity join — the log-structured secondary
+    index needs no retraction records), the token's in-row term frequency
+    ``tf`` and the row's token count ``dl`` (the ranking signals BM25
+    needs).  Output is SORTED by token so parquet row-group stats prune
+    single-token searches."""
     import numpy as np
 
     live = table.filter(pc.not_equal(table.column("op"), pa.scalar("delete")))
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "lsn": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        }
+    )
     if live.num_rows == 0 or column not in live.column_names:
-        return pa.table(
-            {
-                "token": pa.array([], pa.string()),
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "lsn": pa.array([], pa.int64()),
-            }
-        )
+        return empty
     toks = pc.utf8_split_whitespace(
         pc.utf8_lower(pc.fill_null(live.column(column).combine_chunks(), ""))
     )
@@ -111,17 +115,26 @@ def project_postings(table: pa.Table, column: str) -> pa.Table:
     counts = np.asarray(toks.value_lengths(), dtype=np.int64)
     row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     flat = toks.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_of = row_of[keep]
+    flat = flat.filter(pa.array(keep))
+    if len(flat) == 0:
+        return empty
+    dl_of_row = np.bincount(row_of, minlength=live.num_rows).astype(np.int64)
     exploded = pa.table(
         {
             "token": flat,
             "conv_id": live.column("conv_id").combine_chunks().take(pa.array(row_of)),
             "turn_idx": live.column("turn_idx").combine_chunks().take(pa.array(row_of)),
             "lsn": live.column("lsn").combine_chunks().take(pa.array(row_of)),
+            "dl": pa.array(dl_of_row[row_of]),
         }
-    ).filter(pc.not_equal(flat, ""))
+    )
     d = exploded.group_by(
-        ["token", "conv_id", "turn_idx", "lsn"]
-    ).aggregate([])  # distinct (token, key)
+        ["token", "conv_id", "turn_idx", "lsn", "dl"]
+    ).aggregate([([], "count_all")])
+    d = d.rename_columns(["token", "conv_id", "turn_idx", "lsn", "dl", "tf"])
+    d = d.select(["token", "conv_id", "turn_idx", "lsn", "tf", "dl"])
     return d.sort_by([("token", "ascending"), ("conv_id", "ascending"),
                       ("turn_idx", "ascending")])
 
