@@ -691,10 +691,18 @@ class CdcEngine:
             keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
 
-    def search(self, tokens: list[str], epoch: int | None = None) -> "ray.data.Dataset":
+    def search(
+        self,
+        tokens: list[str],
+        epoch: int | None = None,
+        require_all: bool = False,
+    ) -> "ray.data.Dataset":
         """Full-text search over the LIVE table via the engine-maintained
         postings index: returns ``(token, conv_id, turn_idx, ts)`` for every
-        live row whose indexed column contains a query token.
+        live row whose indexed column contains a query token —
+        ``require_all=True`` keeps only rows containing EVERY query token
+        (a key's postings live in one partition, so the AND-intersection is
+        in-task).
 
         Entirely PARTITION-LOCAL (no exchange): the postings chain mirrors
         the key chain's partitioning, so each task reads one partition's
@@ -770,6 +778,17 @@ class CdcEngine:
                 hit = cand.join(
                     live, keys=["conv_id", "turn_idx", "lsn"], join_type="inner"
                 )
+                if hit.num_rows and require_all and len(toks) > 1:
+                    per_key = hit.group_by(["conv_id", "turn_idx"]).aggregate(
+                        [("token", "count_distinct")]
+                    )
+                    full = per_key.filter(
+                        pc.equal(per_key.column("token_count_distinct"),
+                                 pa.scalar(len(toks)))
+                    ).select(["conv_id", "turn_idx"])
+                    hit = hit.join(
+                        full, keys=["conv_id", "turn_idx"], join_type="inner"
+                    )
                 if hit.num_rows:
                     out.append(hit.select(["token", "conv_id", "turn_idx", "ts"]))
             if not out:

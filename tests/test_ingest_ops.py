@@ -251,3 +251,31 @@ def test_postings_survive_migration(events_dir, tmp_path):
     after = {(r["conv_id"], r["turn_idx"])
              for r in _table(eng2.search([tok])).to_pylist()}
     assert after == before and before
+
+
+def test_search_require_all(events_dir, tmp_path):
+    eng = CdcEngine(
+        str(tmp_path / "sa"), num_partitions=8, num_actors=2,
+        postings_column="text",
+    )
+    eng.run(events_dir)
+    live = _table(eng.final_dataset())
+    texts = live.column("text").to_pylist()
+    # pick two tokens that co-occur in at least one row
+    t0 = t1 = None
+    for tx in texts:
+        ws = tx.lower().split()
+        if len(set(ws)) >= 2:
+            t0, t1 = sorted(set(ws))[:2]
+            break
+    assert t0 and t1
+    both = {
+        (r["conv_id"], r["turn_idx"])
+        for r, tx in zip(
+            live.select(["conv_id", "turn_idx"]).to_pylist(), texts
+        )
+        if t0 in tx.lower().split() and t1 in tx.lower().split()
+    }
+    got = _table(eng.search([t0, t1], require_all=True))
+    assert {(r["conv_id"], r["turn_idx"]) for r in got.to_pylist()} == both
+    assert both
