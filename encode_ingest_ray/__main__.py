@@ -146,6 +146,10 @@ def main(argv=None) -> int:
     se.add_argument("tokens", nargs="+")
     se.add_argument("--out", required=True)
     se.add_argument("--limit", type=int, default=20)
+    se.add_argument("--all", action="store_true",
+                    help="require every token (AND semantics)")
+    se.add_argument("--ranked", action="store_true",
+                    help="BM25-ranked results (score_micro, exact-integer)")
 
     mg = sub.add_parser(
         "migrate",
@@ -390,7 +394,10 @@ def main(argv=None) -> int:
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))
         elif args.cmd == "search":
             eng = CdcEngine(args.out)
-            hits = eng.search(args.tokens)
+            if args.ranked:
+                hits = eng.search_ranked(args.tokens)
+            else:
+                hits = eng.search(args.tokens, require_all=args.all)
             print(hits.limit(args.limit).to_pandas().to_string())
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)

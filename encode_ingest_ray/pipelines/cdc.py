@@ -877,6 +877,14 @@ class CdcEngine:
             ]
             parts = []
             for f in files:
+                have = set(pq.read_schema(f).names)
+                missing = [c for c in columns if c not in have]
+                if missing:
+                    raise ValueError(
+                        f"postings file {f!r} lacks {missing} — the chain "
+                        "predates the ranking signals; rebuild it with "
+                        "migrate(force=True)"
+                    )
                 t = pq.read_table(f, columns=columns, filters=filters)
                 if t.num_rows:
                     parts.append(t)
