@@ -325,6 +325,9 @@ _FAMILY_COVERED = {
     "cdc_search_ranked",         # search-scoring family — tf_idf_topk
                                  # keeps the row; exact-integer BM25 over
                                  # the incrementally-maintained index
+    "leakage_safe_split",        # assembly family — sequence_packing keeps
+                                 # the row; cluster-keyed split composing
+                                 # near_dup_clusters (its tier-0 sibling)
 }
 
 

@@ -1230,3 +1230,56 @@ def media_chunk_dedup(sf_dir: str):
     ).repartition(1).map_batches(
         head, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+#: Cluster-aware split: every near-dup CLUSTER lands whole on one side, so
+#: a validation document can never have a training-set near-duplicate.
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+p AS (
+  SELECT ov.doc_a, ov.doc_b
+  FROM ov
+  JOIN sz sa ON sa.doc_id = ov.doc_a
+  JOIN sz sb ON sb.doc_id = ov.doc_b
+  WHERE 1000 * i >= 800 * (sa.s + sb.s - i)
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 16)
+                      AS UBIGINT) % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM lab
+"""
+
+
+@register("leakage_safe_split", LEAKAGE_SPLIT_SQL)
+def leakage_safe_split(sf_dir: str):
+    """LEAKAGE-SAFE train/val split: the plain hash split is keyed by the
+    near-dup CLUSTER id instead of the document id, so a cluster of
+    near-duplicates can never straddle the split boundary — the
+    benchmark-decontamination property a per-doc split silently violates.
+    Composes the cluster pipeline (exact Jaccard pairs → distributed
+    min-label components → broadcast label probe) with the deterministic
+    md5-permille split (stages/packing.split_column) applied to the
+    cluster id — still a pure per-block map after the labeling."""
+    clusters = near_dup_clusters_q(sf_dir)
+
+    def add_split(t: pa.Table) -> pa.Table:
+        from encode_ingest_ray.stages.packing import split_column
+
+        return t.append_column("split", split_column(t.column("cluster_id")))
+
+    return clusters.map_batches(
+        add_split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
