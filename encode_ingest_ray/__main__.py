@@ -151,6 +151,19 @@ def main(argv=None) -> int:
     se.add_argument("--ranked", action="store_true",
                     help="BM25-ranked results (score_micro, exact-integer)")
 
+    df = sub.add_parser(
+        "diff",
+        help="change stream between two committed tables (or two epochs of "
+             "one table): one row per key whose state differs, tagged "
+             "insert/update/delete",
+    )
+    df.add_argument("--left", required=True, help="table dir (old side)")
+    df.add_argument("--right", required=True, help="table dir (new side)")
+    df.add_argument("--epoch-left", type=int, default=None)
+    df.add_argument("--epoch-right", type=int, default=None)
+    df.add_argument("--dest", default=None, help="write the change rows here")
+    df.add_argument("--limit", type=int, default=10)
+
     mg = sub.add_parser(
         "migrate",
         help="partition evolution: rewrite the committed table under a new "
@@ -392,6 +405,30 @@ def main(argv=None) -> int:
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))
+        elif args.cmd == "diff":
+            from encode_ingest_ray.stages.diff import snapshot_diff
+
+            old = CdcEngine(args.left).final_dataset(epoch=args.epoch_left)
+            new = CdcEngine(args.right).final_dataset(epoch=args.epoch_right)
+            compare = [
+                c for c in ("role", "text", "tool", "ts")
+            ]
+            changes = snapshot_diff(
+                old, new, key_cols=["conv_id", "turn_idx"],
+                compare_cols=compare, carry_cols=compare,
+            ).materialize()
+            counts: dict = {}
+            for row in changes.map_batches(
+                lambda t: t.group_by(["change_type"]).aggregate(
+                    [([], "count_all")]
+                ).rename_columns(["change_type", "n"]),
+                batch_format="pyarrow", batch_size=None,
+            ).take_all():
+                counts[row["change_type"]] = counts.get(row["change_type"], 0) + row["n"]
+            if args.dest:
+                changes.write_parquet(args.dest)
+            print(json.dumps({"changes": counts, "total": changes.count()}))
+            print(changes.limit(args.limit).to_pandas().to_string())
         elif args.cmd == "search":
             eng = CdcEngine(args.out)
             if args.ranked:
