@@ -310,7 +310,8 @@ def main(argv=None) -> int:
                 if args.index_columns else None
             )
             lateness_us = (
-                int(args.lateness_s * 1_000_000) if args.lateness_s else None
+                int(args.lateness_s * 1_000_000)
+                if args.lateness_s is not None else None
             )
             postings_column = args.postings_column
             if args.shard_index is not None:
@@ -410,8 +411,11 @@ def main(argv=None) -> int:
 
             old = CdcEngine(args.left).final_dataset(epoch=args.epoch_left)
             new = CdcEngine(args.right).final_dataset(epoch=args.epoch_right)
+            # compare every non-key column of the NEW side (evolved
+            # columns included)
             compare = [
-                c for c in ("role", "text", "tool", "ts")
+                c for c in new.schema().names
+                if c not in ("conv_id", "turn_idx")
             ]
             changes = snapshot_diff(
                 old, new, key_cols=["conv_id", "turn_idx"],

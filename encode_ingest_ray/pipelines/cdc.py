@@ -1056,7 +1056,15 @@ class CdcEngine:
         shutil.rmtree(tomb_dir, ignore_errors=True)
         tomb.write_parquet(tomb_dir)
         files = sorted(glob.glob(os.path.join(tomb_dir, "*.parquet")))
-        summary = self.run(epoch_files=[[] for _ in committed] + [files])
+        # tombstones are ENGINE-authored, not source events: the ingest
+        # transform (which may touch payload columns the tombstones lack)
+        # must not see them
+        saved_transform = self.ingest_transform
+        self.ingest_transform = None
+        try:
+            summary = self.run(epoch_files=[[] for _ in committed] + [files])
+        finally:
+            self.ingest_transform = saved_transform
         summary["tombstones"] = n_tomb
         return summary
 
@@ -1263,6 +1271,12 @@ class CdcEngine:
                 (int(p.get("lsn_hi", -1)) for p in latest["partitions"].values()),
                 default=-1,
             )
+            # event-time high-water mark: every new partition adopts the
+            # GLOBAL max (conservative — the lateness bound can only flag
+            # MORE events as late, never silently disable the quarantine)
+            ts_vals = [int(p["ts_hi"]) for p in latest["partitions"].values()
+                       if p.get("ts_hi") is not None]
+            ts_hi_global = max(ts_vals) if ts_vals else None
 
             # unified state schema across old partitions (schema evolution)
             @ray.remote(num_cpus=0)
@@ -1394,6 +1408,7 @@ class CdcEngine:
                     "rows_state": 0,
                     "rows_live": 0,
                     "lsn_hi": wm_hi,
+                    "ts_hi": ts_hi_global,
                 }
                 for p in range(new_p)
             }
@@ -1432,6 +1447,16 @@ class CdcEngine:
                     "metrics": {"mirror_of": self.out_dir},
                     "partitioning": new_identity,
                 }
+            if self.late_manifest is not None:
+                # the audit chain is NOT rekeyed (historical layout), but
+                # its manifest re-commits in the same transaction so the
+                # sibling epochs never diverge
+                mig_manifests["late"] = self.late_manifest
+                mig_records["late"] = {
+                    "partitions": self.late_manifest.pointers(),
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": new_identity,
+                }
             if len(mig_manifests) == 1:
                 self.manifest.commit(epoch, pointers, metrics, new_identity)
             else:
@@ -1440,6 +1465,8 @@ class CdcEngine:
                 self.manifest.vacuum(self.vacuum_retain)
                 if self.index_manifest is not None:
                     self.index_manifest.vacuum(self.vacuum_retain)
+                if self.postings_manifest is not None:
+                    self.postings_manifest.vacuum(self.vacuum_retain)
             self.num_partitions = new_p
             self.turn_block = new_tb
             return {

@@ -1201,6 +1201,11 @@ def media_chunk_dedup(sf_dir: str):
             sel = text.filter(pa.array(mask))
             out.append(pc.utf8_slice_codeunits(sel, start, start + 64))
             k += 1
+        if not out:  # block of only empty/null texts contributes no chunks
+            return pa.table(
+                {"chunk": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
         chunks = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out])
         g = (
             pa.table({"chunk": chunks})

@@ -67,6 +67,11 @@ def two_sample_scan(
     """
     import pyarrow.compute as pc
 
+    # the per-block partial pipeline feeds BOTH the split sampling and the
+    # range assignment — checkpoint it once instead of re-scanning the
+    # source table twice
+    ds = ds.materialize()
+
     # --- sample DISTINCT split points on the value axis -------------------
     def sample(t: pa.Table) -> pa.Table:
         v = t.column(value_col).combine_chunks()

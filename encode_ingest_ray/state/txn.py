@@ -44,7 +44,7 @@ import tempfile
 
 from encode_ingest_ray.state.manifest import Manifest
 
-_TXN_RE = re.compile(r"txn-(\d{6})\.json$")
+_TXN_RE = re.compile(r"txn-(\d+)\.json$")
 
 
 class TxnLog:

@@ -279,3 +279,40 @@ def test_search_require_all(events_dir, tmp_path):
     got = _table(eng.search([t0, t1], require_all=True))
     assert {(r["conv_id"], r["turn_idx"]) for r in got.to_pylist()} == both
     assert both
+
+
+def test_delete_where_bypasses_ingest_transform(events_dir, tmp_path):
+    """Retention tombstones lack payload columns; a payload-touching ingest
+    transform must not see the synthetic epoch."""
+    def upper_text(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("text")
+        return t.set_column(i, "text", pc.utf8_upper(t.column("text")))
+
+    eng = CdcEngine(
+        str(tmp_path / "dt"), num_partitions=8, num_actors=2,
+        ingest_transform=upper_text,
+    )
+    eng.run(events_dir)
+    res = eng.delete_where(
+        lambda t: pc.equal(t.column("role"), "tool"), columns=["role"]
+    )
+    assert res["tombstones"] > 0 and res["epochs_run"] == 1
+    got = _table(eng.final_dataset())
+    assert "tool" not in set(pc.unique(got.column("role")).to_pylist())
+    assert eng.ingest_transform is upper_text  # restored
+
+
+def test_migrate_preserves_lateness_state(events_dir, tmp_path):
+    """Post-migration pointers must carry ts_hi so the quarantine stays
+    armed, and the late manifest must stay in epoch lockstep."""
+    from encode_ingest_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "ml")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, lateness_us=3_600_000_000)
+    eng.run(events_dir)
+    eng.migrate(new_num_partitions=4)
+    e2 = CdcEngine(out, num_actors=2)
+    for ptr in e2.manifest.pointers().values():
+        assert ptr.get("ts_hi") is not None
+    assert Manifest(out).committed_epochs() == \
+        Manifest(e2.late_root).committed_epochs()
