@@ -328,6 +328,10 @@ _FAMILY_COVERED = {
     "leakage_safe_split",        # assembly family — sequence_packing keeps
                                  # the row; cluster-keyed split composing
                                  # near_dup_clusters (its tier-0 sibling)
+    "jl_project_embeddings",     # ANN/embedding family — ann_brute_force
+                                 # keeps the row; the dimensionality-
+                                 # reduction (sign-free) twin of ann_lsh's
+                                 # integer planes
 }
 
 

@@ -1288,3 +1288,62 @@ def leakage_safe_split(sf_dir: str):
     return clusters.map_batches(
         add_split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _jl_sql(dim: int = 64, num_planes: int = 8) -> str:
+    """JL projection oracle: the same seeded integer plane matrix inlined,
+    dot products pivoted to columns."""
+    from encode_ingest_ray.stages.ann import HyperplaneLsh
+
+    h = HyperplaneLsh(dim, num_planes)  # seed=23 — same instance the query builds
+    vals = ", ".join(
+        f"({p}, {j + 1}, {int(h.planes[j, p])})"
+        for p in range(num_planes)
+        for j in range(dim)
+    )
+    cols = ", ".join(
+        f"CAST(MAX(CASE WHEN pidx = {p} THEN dot END) AS BIGINT) AS c{p}"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH planes(pidx, j, w) AS (VALUES {vals}),
+v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+      FROM embeddings),
+dots AS (
+  SELECT v.vec_id, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
+  FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.pidx)
+SELECT vec_id, {cols} FROM dots GROUP BY vec_id
+"""
+
+
+@register("jl_project_embeddings", _jl_sql())
+def jl_project_embeddings(sf_dir: str):
+    """Johnson-Lindenstrauss random projection of the embedding table to 8
+    integer components — the dimensionality-reduction preprocessing step
+    (Achlioptas 2003: ±bounded integer projections satisfy the JL lemma)
+    ahead of clustering/ANN at 100 TB.  Pure per-block matmul of the
+    milli-quantized vectors against the seeded integer plane matrix
+    (the ann_lsh planes WITHOUT the sign collapse) — zero exchanges, and
+    the same matrix inlines into the SQL oracle for bit-exact parity."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.ann import HyperplaneLsh, _matrix, _quantize_milli
+
+    h = HyperplaneLsh(64, 8)
+    ds = _sized_read(
+        os.path.join(sf_dir, "embeddings.parquet"), ["vec_id", "embedding"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        mat = _matrix(t, "embedding")
+        dots = _quantize_milli(mat) @ h.planes if m else np.empty((0, 8), np.int64)
+        cols = {"vec_id": t.column("vec_id")}
+        for p in range(8):
+            cols[f"c{p}"] = pa.array(dots[:, p].astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
