@@ -496,7 +496,7 @@ def _ann_lsh_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
     return f"""
 WITH planes(pidx, j, w) AS (VALUES {vals}),
 v AS (SELECT vec_id, embedding,
-        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+        list_transform(embedding, x -> CAST(ROUND(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS vq
       FROM embeddings),
 dots AS (
   SELECT v.vec_id, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
@@ -610,7 +610,7 @@ def _near_dup_sql(
     return f"""
 WITH planes(band, pidx, j, w) AS (VALUES {vals}),
 v AS (SELECT vec_id, embedding,
-        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+        list_transform(embedding, x -> CAST(ROUND(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS vq
       FROM embeddings),
 dots AS (
   SELECT v.vec_id, p.band, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
@@ -677,7 +677,7 @@ def _ann_ivf_sql(dim: int = 64, n_anchors: int = 16, nprobe: int = 2, k: int = 5
     return f"""
 WITH anchors(cid, j, w) AS (VALUES {vals}),
 v AS (SELECT vec_id, embedding,
-        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+        list_transform(embedding, x -> CAST(ROUND(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS vq
       FROM embeddings),
 dots AS (
   SELECT v.vec_id, a.cid, SUM(v.vq[a.j] * a.w) AS dot
@@ -1034,7 +1034,7 @@ def _kmeans_sql(k: int = 4, dim: int = 64) -> str:
     return f"""
 WITH pos(j) AS (SELECT unnest(range(1, {dim + 1}))),
 v AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+        list_transform(embedding, x -> CAST(ROUND(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS vq
       FROM embeddings),
 c1 AS (SELECT vec_id AS cid, vq FROM v WHERE vec_id < {k}),
 d1 AS (
@@ -1308,7 +1308,7 @@ def _jl_sql(dim: int = 64, num_planes: int = 8) -> str:
     return f"""
 WITH planes(pidx, j, w) AS (VALUES {vals}),
 v AS (SELECT vec_id,
-        list_transform(embedding, x -> CAST(ROUND(1000 * x) AS BIGINT)) AS vq
+        list_transform(embedding, x -> CAST(ROUND(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS vq
       FROM embeddings),
 dots AS (
   SELECT v.vec_id, p.pidx, SUM(v.vq[p.j] * p.w) AS dot
