@@ -134,6 +134,9 @@ def main(argv=None) -> int:
     f.add_argument("--out", required=True)
     f.add_argument("--dest", required=True)
     f.add_argument("--overwrite", action="store_true")
+    f.add_argument("--epoch", type=int, default=None,
+                   help="export a historical commit (time travel, within "
+                        "vacuum retention)")
 
     s = sub.add_parser("status", help="print the latest manifest summary")
     s.add_argument("--out", required=True)
@@ -405,7 +408,8 @@ def main(argv=None) -> int:
             )
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
-            print(json.dumps(eng.write_final(args.dest, overwrite=args.overwrite)))
+            print(json.dumps(eng.write_final(
+                args.dest, overwrite=args.overwrite, epoch=args.epoch)))
         elif args.cmd == "diff":
             from encode_ingest_ray.stages.diff import snapshot_diff
 

@@ -1480,7 +1480,8 @@ class CdcEngine:
             self.manifest.release_run_lock()
 
     def write_final(
-        self, final_dir: str, overwrite: bool = False, num_output_partitions: int | None = None
+        self, final_dir: str, overwrite: bool = False,
+        num_output_partitions: int | None = None, epoch: int | None = None,
     ) -> dict:
         """Materialize the live table as per-conversation Parquet — the
         north-rule output step: engine partitions are SALTED (one
@@ -1488,7 +1489,9 @@ class CdcEngine:
         so the sink re-exchanges by bare conv_id and sorts each output
         partition by (conv_id, turn_idx).  Every conversation lands whole
         and turn-ordered in exactly one file.  Resumable: existing output
-        files are skipped unless ``overwrite``."""
+        files are skipped unless ``overwrite``.  ``epoch`` exports a
+        historical commit (time-travel materialization, valid within
+        vacuum retention)."""
         import zlib
 
         import numpy as np
@@ -1496,7 +1499,7 @@ class CdcEngine:
 
         os.makedirs(final_dir, exist_ok=True)
         P = num_output_partitions or self.num_partitions
-        ds = self.final_dataset()
+        ds = self.final_dataset(epoch=epoch)
 
         def add_bucket(t: pa.Table) -> pa.Table:
             conv = t.column("conv_id").combine_chunks().dictionary_encode()
