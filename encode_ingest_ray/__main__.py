@@ -248,6 +248,8 @@ def main(argv=None) -> int:
         }
         if part.get("index_columns"):
             out["index_columns"] = part["index_columns"]
+        if part.get("postings_column"):
+            out["postings_column"] = part["postings_column"]
         if part.get("lateness_us") is not None:
             out["lateness_us"] = part["lateness_us"]
             late = Manifest(os.path.join(args.out, "late")).latest()
