@@ -261,6 +261,17 @@ def _sharded_level(events_dir: str, shards: int, cpus_per_shard: int) -> dict:
     out_root = tempfile.mkdtemp(
         prefix=f"bench-scale-{shards}x{cpus_per_shard}-", dir=state_base
     )
+    # GRAFT_SCALING_FEATURES=on scales the off-by-default engine branches
+    # enabled: covering index + postings/doclens chains + allowed-lateness
+    # quarantine (bound far beyond the synthetic ts spread, so the applied
+    # state is unchanged while the code path runs)
+    extra = None
+    if os.environ.get("GRAFT_SCALING_FEATURES", "").lower() in ("on", "1", "true"):
+        extra = [
+            "--index-columns", "role",
+            "--postings-column", "text",
+            "--lateness-s", "1000000",
+        ]
     try:
         return spawn_shards(
             events_dir,
@@ -268,6 +279,7 @@ def _sharded_level(events_dir: str, shards: int, cpus_per_shard: int) -> dict:
             shards,
             cpus_per_shard=cpus_per_shard,
             object_store_gb=6.0,
+            extra_args=extra,
         )
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
@@ -295,9 +307,15 @@ def scaling() -> None:
     single-process path does to the same engine.
     """
     attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "3"))
+    # node size is a deployment choice, not part of the criterion: the north
+    # rule fixes the RATIO (N vs 4N nodes), not the cpus per node.  Smaller
+    # nodes keep the 4N level further from saturating the one shared host
+    # (co-resident shards share a memory bus + turbo budget real cluster
+    # nodes do not), so the sandbox approximation distorts less.
+    node_cpus = int(os.environ.get("GRAFT_SCALING_NODE_CPUS", "4"))
     events_dir = ensure_events_cache(n_events=SCALING_EVENTS, epochs=CDC_EPOCHS)
 
-    levels = {"N_1x4": (1, 4), "4N_4x4": (4, 4)}
+    levels = {"N_1x4": (1, node_cpus), "4N_4x4": (4, node_cpus)}
     best: dict[str, dict] = {}
     for name, (shards, cps) in levels.items():
         for _ in range(attempts):
@@ -323,13 +341,14 @@ def scaling() -> None:
                 "metric": "CDC throughput scaling efficiency, N -> 4N nodes "
                 "(node = engine process with its own Ray cluster/object store; "
                 "disjoint salted key ranges of one input table)",
+                "node_cpus": node_cpus,
                 "events_per_sec": {
-                    "N_1x4cpu": round(eps_n, 1),
-                    "4N_4x4cpu": round(eps_4n, 1),
+                    f"N_1x{node_cpus}cpu": round(eps_n, 1),
+                    f"4N_4x{node_cpus}cpu": round(eps_4n, 1),
                 },
                 "wall_s": {
-                    "N_1x4cpu": round(best["N_1x4"]["wall_s"], 3),
-                    "4N_4x4cpu": round(best["4N_4x4"]["wall_s"], 3),
+                    f"N_1x{node_cpus}cpu": round(best["N_1x4"]["wall_s"], 3),
+                    f"4N_4x{node_cpus}cpu": round(best["4N_4x4"]["wall_s"], 3),
                 },
                 "per_shard_wall_s_4N": [
                     round(w, 3) for w in best["4N_4x4"]["per_shard_wall_s"]

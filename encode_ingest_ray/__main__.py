@@ -232,7 +232,13 @@ def main(argv=None) -> int:
 
     if args.cmd == "status":
         from encode_ingest_ray.state.manifest import Manifest
+        from encode_ingest_ray.state.txn import TxnLog
 
+        # roll any in-flight multi-table txn forward BEFORE reading the
+        # manifests (cheap no-op when the txn log is empty) — otherwise a
+        # crash between the txn record rename and the last promotion shows
+        # sibling tables at diverging epochs until the next engine init
+        TxnLog(args.out).recover()
         rec = Manifest(args.out).latest()
         if rec is None:
             print(json.dumps({"committed_epochs": 0}))

@@ -647,7 +647,7 @@ class CdcEngine:
         self,
         conv_ids: list[str],
         columns: list[str] | None = None,
-        max_turn: int = 4096,
+        max_turn: int | None = None,
         epoch: int | None = None,
     ) -> "ray.data.Dataset":
         """Point lookup with PARTITION PRUNING: the partition id is a pure
@@ -655,17 +655,51 @@ class CdcEngine:
         conversation's rows can only live in the ≤ ``max_turn//turn_block+1``
         partitions its salted sub-keys map to — at 64 Ki partitions a
         single-conversation read touches ~64 of them, not the table.
-        ``max_turn`` bounds the turn range considered (turns above it would
-        live in unprobed partitions); the fixture generator caps hot
-        conversations at 4096.  Returns the live rows of the requested
+
+        The turn bound derives from COMMITTED metadata: every flush tracks
+        the partition's ``turn_hi`` high-water mark, so the default probes
+        exactly the turn range the table can contain — no silent truncation
+        for long conversations.  An explicit ``max_turn`` narrows the probe
+        (a deliberate prefix read) and warns if the table holds higher
+        turns; chains committed before turn_hi existed fall back to 4096
+        with a warning.  Returns the live rows of the requested
         conversations only (merge-on-read + exact conv filter), with
         optional ``columns`` projection pushdown."""
+        import warnings
         import zlib
 
         import numpy as np
 
         from encode_ingest_ray.state.partition import mix_partition
 
+        rec = (
+            self.manifest.latest()
+            if epoch is None
+            else self.manifest.read_epoch(epoch)
+        )
+        pointers = dict(rec["partitions"]) if rec else {}
+        his = [
+            int(p["turn_hi"])
+            for p in pointers.values()
+            if p.get("turn_hi") is not None
+        ]
+        committed_hi = max(his) if his else None
+        if max_turn is None:
+            if committed_hi is None:
+                if pointers:
+                    warnings.warn(
+                        "table predates turn_hi pointer metadata; probing "
+                        "turns 0..4096 — pass max_turn explicitly for "
+                        "longer conversations"
+                    )
+                max_turn = 4096
+            else:
+                max_turn = committed_hi
+        elif committed_hi is not None and committed_hi > max_turn:
+            warnings.warn(
+                f"lookup bounded at max_turn={max_turn} but the table holds "
+                f"turns up to {committed_hi}; higher turns are not probed"
+            )
         tbs = np.arange(0, max_turn // self.turn_block + 1, dtype=np.uint64)
         turns = (tbs * np.uint64(self.turn_block)).astype(np.int64)
         cand: set[int] = set()
@@ -677,9 +711,9 @@ class CdcEngine:
                 .tolist()
             )
         parts = {
-            p: info
-            for p, info in self.partition_files(epoch).items()
-            if p in cand
+            int(p): {"base": ptr.get("base"), "deltas": list(ptr.get("deltas", []))}
+            for p, ptr in pointers.items()
+            if int(p) in cand
         }
         ds = self._merge_on_read(parts, columns)
         want = pa.array(sorted(set(conv_ids)), pa.string())
@@ -810,10 +844,11 @@ class CdcEngine:
         as the entropy/PSI oracles, so a SQL brute-force scan reproduces
         the ranking bit-for-bit.
 
-        Plan: (1) per-partition corpus-stats pass over the narrow postings
-        chain (distinct valid keys → N, Σdl partials — at production scale
-        these two numbers live as pointer statistics maintained at
-        compaction; the exact scan keeps the oracle honest here); (2) the
+        Plan: (1) corpus stats (N, Σdl) read straight off the manifest
+        pointers — the flush maintains them exactly per partition by
+        LWW-folding the narrow doclens sidecar chain (state/merger.py
+        project_doclens/doc_stats_of), so no pre-scan runs (pre-sidecar
+        chains fall back to the exact validity-joined scan); (2) the
         partition-local validity probe (as ``search``) returning hits with
         (tf, dl); (3) tiny df reduce per query token; (4) a vectorized
         scoring pass + one (conv, turn) combine exchange of score partials.
@@ -903,25 +938,40 @@ class CdcEngine:
             hit = cand.join(live, keys=["conv_id", "turn_idx", "lsn"], join_type="inner")
             return hit if hit.num_rows else None
 
-        def stats(batch: pa.Table) -> pa.Table:
-            n = s = 0
-            for row in batch.to_pylist():
-                hit = _valid(row, ["conv_id", "turn_idx", "lsn", "dl"])
-                if hit is None:
-                    continue
-                d = hit.group_by(["conv_id", "turn_idx", "lsn", "dl"]).aggregate([])
-                n += d.num_rows
-                s += int(pc.sum(d.column("dl")).as_py() or 0)
-            return pa.table({"n": pa.array([n], pa.int64()),
-                             "s": pa.array([s], pa.int64())})
+        # corpus stats (N, Σdl) come off the MANIFEST POINTERS: the flush
+        # maintains exact per-partition doc_stats by LWW-folding the narrow
+        # doclens sidecar chain, so a ranked search issues no corpus
+        # pre-scan at all.  Chains committed before the sidecar existed
+        # (any pointer missing doc_stats) fall back to the exact
+        # validity-joined scan — same numbers, paid at read time.
+        ptr_stats = [
+            ptr.get("doc_stats")
+            for _, ptr in sorted(post.items())
+        ]
+        if ptr_stats and all(s is not None for s in ptr_stats):
+            n_docs = sum(s["n"] for s in ptr_stats)
+            sum_dl = sum(s["s"] for s in ptr_stats)
+        else:
 
-        stat_rows = (
-            ray.data.from_items(items)
-            .map_batches(stats, batch_size=1, batch_format="pyarrow")
-            .take_all()
-        )
-        n_docs = sum(r["n"] for r in stat_rows)
-        sum_dl = sum(r["s"] for r in stat_rows)
+            def stats(batch: pa.Table) -> pa.Table:
+                n = s = 0
+                for row in batch.to_pylist():
+                    hit = _valid(row, ["conv_id", "turn_idx", "lsn", "dl"])
+                    if hit is None:
+                        continue
+                    d = hit.group_by(["conv_id", "turn_idx", "lsn", "dl"]).aggregate([])
+                    n += d.num_rows
+                    s += int(pc.sum(d.column("dl")).as_py() or 0)
+                return pa.table({"n": pa.array([n], pa.int64()),
+                                 "s": pa.array([s], pa.int64())})
+
+            stat_rows = (
+                ray.data.from_items(items)
+                .map_batches(stats, batch_size=1, batch_format="pyarrow")
+                .take_all()
+            )
+            n_docs = sum(r["n"] for r in stat_rows)
+            sum_dl = sum(r["s"] for r in stat_rows)
         if n_docs == 0:
             return ray.data.from_items([]).map_batches(lambda t: out_empty)
 
@@ -1239,7 +1289,9 @@ class CdcEngine:
         from encode_ingest_ray.state.merger import (
             _atomic_write,
             _part_dir,
+            doc_stats_of,
             load_partition_state,
+            project_doclens,
             project_index,
             project_postings,
         )
@@ -1352,6 +1404,8 @@ class CdcEngine:
                                 f"base-{epoch:06d}-mig.parquet",
                             ),
                         )
+                    dl_base = ""
+                    dsn = dss = 0
                     if postings_root is not None:
                         _atomic_write(
                             project_postings(sub, postings_column or "text"),
@@ -1360,6 +1414,17 @@ class CdcEngine:
                                 f"base-{epoch:06d}-mig.parquet",
                             ),
                         )
+                        # doclens sidecar + exact corpus stats migrate with
+                        # the chain (sub is LWW-reduced: old-partition states
+                        # are reduced and their keys disjoint)
+                        dltab = project_doclens(sub, postings_column or "text")
+                        dl_base = os.path.join(
+                            _part_dir(postings_root, int(p)),
+                            f"dlbase-{epoch:06d}-mig.parquet",
+                        )
+                        _atomic_write(dltab, dl_base)
+                        st = doc_stats_of(dltab)
+                        dsn, dss = st["n"], st["s"]
                     live = int(
                         pc.sum(
                             pc.not_equal(sub.column("op"), pa.scalar("delete"))
@@ -1372,6 +1437,10 @@ class CdcEngine:
                             "base": path,
                             "rows_state": sub.num_rows,
                             "rows_live": live,
+                            "turn_hi": int(pc.max(sub.column("turn_idx")).as_py()),
+                            "dl_base": dl_base,
+                            "doc_n": dsn,
+                            "doc_s": dss,
                         }
                     )
                 if not rows:
@@ -1381,6 +1450,10 @@ class CdcEngine:
                             "base": pa.array([], pa.string()),
                             "rows_state": pa.array([], pa.int64()),
                             "rows_live": pa.array([], pa.int64()),
+                            "turn_hi": pa.array([], pa.int64()),
+                            "dl_base": pa.array([], pa.string()),
+                            "doc_n": pa.array([], pa.int64()),
+                            "doc_s": pa.array([], pa.int64()),
                         }
                     )
                 return pa.Table.from_pylist(rows)
@@ -1409,6 +1482,13 @@ class CdcEngine:
                     "rows_live": 0,
                     "lsn_hi": wm_hi,
                     "ts_hi": ts_hi_global,
+                    "turn_hi": None,
+                    **(
+                        {"dl_base": None, "dl_deltas": [],
+                         "doc_stats": {"n": 0, "s": 0}}
+                        if postings_root is not None
+                        else {}
+                    ),
                 }
                 for p in range(new_p)
             }
@@ -1419,7 +1499,14 @@ class CdcEngine:
                     base=r["base"],
                     rows_state=r["rows_state"],
                     rows_live=r["rows_live"],
+                    turn_hi=r["turn_hi"],
                 )
+                if postings_root is not None:
+                    pointers[str(r["part"])].update(
+                        dl_base=r["dl_base"] or None,
+                        dl_deltas=[],
+                        doc_stats={"n": r["doc_n"], "s": r["doc_s"]},
+                    )
             new_identity = {"num_partitions": new_p, "turn_block": new_tb,
                             "index_columns": self.index_columns,
                             "lateness_us": self.lateness_us,

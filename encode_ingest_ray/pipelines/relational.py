@@ -654,17 +654,21 @@ def warehouse_weekly_report(sf_dir: str):
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
-    reg_of_nat = {
-        r["n_nationkey"]: r["n_regionkey"] for r in nation.to_pylist()
-    }
-    name_of_reg = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    # nation/region are O(25)/O(5) rows — fold them into dense positional
+    # take-arrays so the customer-scale mapping below is ONE vectorized
+    # double-take (no Python loop over the 150k/SF-row customer dim; the
+    # old list-comprehension fold was the driver-side hot spot at SF100).
+    nk = nation.column("n_nationkey").to_numpy()
+    reg_of_nat_arr = np.zeros(int(nk.max()) + 1, dtype=np.int64)
+    reg_of_nat_arr[nk] = nation.column("n_regionkey").to_numpy()
+    rk = region.column("r_regionkey").to_numpy()
+    name_of_reg_arr = np.empty(int(rk.max()) + 1, dtype=object)
+    name_of_reg_arr[rk] = region.column("r_name").to_numpy(zero_copy_only=False)
     ck = cust.column("c_custkey").to_numpy()
     cn = cust.column("c_nationkey").to_numpy()
     order_ck = np.argsort(ck)
     cust_sorted = ck[order_ck]
-    regname_sorted = np.array(
-        [name_of_reg[reg_of_nat[int(n)]] for n in cn[order_ck]], dtype=object
-    )
+    regname_sorted = name_of_reg_arr[reg_of_nat_arr[cn[order_ck]]]
     lookup = ray.put((cust_sorted, regname_sorted))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])

@@ -110,6 +110,7 @@ def spawn_shards(
     object_store_gb: float | None = 4.0,
     env_extra: dict | None = None,
     pin_cores: bool = True,
+    extra_args: list[str] | None = None,
 ) -> dict:
     """Launch ``shard_count`` INDEPENDENT engine processes (each its own Ray
     cluster — the multi-node analog) over disjoint key ranges of one table;
@@ -145,6 +146,8 @@ def spawn_shards(
             cmd += ["--partitions", str(num_partitions)]
         if object_store_gb:
             cmd += ["--object-store-gb", str(object_store_gb)]
+        if extra_args:
+            cmd += list(extra_args)
         env = dict(os.environ)
         env.pop("RAY_ADDRESS", None)  # each child starts its own local cluster
         if env_extra:

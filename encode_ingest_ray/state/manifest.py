@@ -193,6 +193,12 @@ class Manifest:
                     referenced.add(os.path.abspath(ptr["base"]))
                 for d in ptr.get("deltas", []):
                     referenced.add(os.path.abspath(d))
+                # doclens sidecar chain (BM25 pointer stats) lives beside
+                # the postings files and ages out by the same rule
+                if ptr.get("dl_base"):
+                    referenced.add(os.path.abspath(ptr["dl_base"]))
+                for d in ptr.get("dl_deltas", []):
+                    referenced.add(os.path.abspath(d))
         deleted = 0
         freed = 0
         for f in glob.glob(os.path.join(self.root, "part=*", "*.parquet")):

@@ -139,6 +139,53 @@ def project_postings(table: pa.Table, column: str) -> pa.Table:
                       ("turn_idx", "ascending")])
 
 
+def project_doclens(table: pa.Table, column: str) -> pa.Table:
+    """Doc-length sidecar projection: ONE row per key-version carrying the
+    LWW merge metadata plus ``dl`` (the version's non-empty whitespace token
+    count over ``column`` — bit-identical to the ``dl`` project_postings
+    emits, 0 for tombstones / null / pre-evolution rows).  The sidecar chain
+    is a narrow LWW mini-table: folding it with the standard merge-on-read
+    kernel yields each key's live ``dl``, which is how the flush maintains
+    the partition's exact BM25 corpus stats (n_docs, Σdl) as pointer
+    statistics — ``search_ranked`` then issues ZERO corpus pre-scans."""
+    import numpy as np
+
+    meta = {c: table.column(c) for c in INDEX_META_COLUMNS}
+    if column not in table.column_names or table.num_rows == 0:
+        return pa.table(
+            {**meta, "dl": pa.array(np.zeros(table.num_rows, np.int64))}
+        )
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(table.column(column).combine_chunks(), ""))
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(row_of[keep], minlength=table.num_rows).astype(np.int64)
+    return pa.table({**meta, "dl": pa.array(dl)})
+
+
+def doc_stats_of(doclens: pa.Table | None) -> dict:
+    """Exact BM25 corpus stats of an LWW-REDUCED doclens table: documents
+    with a live, ≥1-token version (the same population the postings chain's
+    validity join yields — tokenless live rows have no postings rows)."""
+    if doclens is None or doclens.num_rows == 0:
+        return {"n": 0, "s": 0}
+    live = doclens.filter(
+        pc.and_(
+            pc.not_equal(doclens.column("op"), pa.scalar("delete")),
+            pc.greater(doclens.column("dl"), pa.scalar(0)),
+        )
+    )
+    return {
+        "n": live.num_rows,
+        "s": int(pc.sum(live.column("dl")).as_py() or 0),
+    }
+
+
 #: merge metadata the LWW kernel + live projection require from every file
 LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
@@ -266,9 +313,14 @@ def _flush_partitions(
                     "rows_live": prev.get("rows_live"),
                     "lsn_hi": max(wm, epoch_lsn_hi),
                     "ts_hi": prev.get("ts_hi"),
+                    "turn_hi": prev.get("turn_hi"),
                     "late_delta": late_path,
                     "metrics": metrics,
                 }
+                if postings_root is not None:
+                    out[part]["dl_base"] = prev.get("dl_base")
+                    out[part]["dl_deltas"] = list(prev.get("dl_deltas", []))
+                    out[part]["doc_stats"] = prev.get("doc_stats")
             continue
         delta = lww_reduce(fresh)
         wm = max(wm, epoch_lsn_hi)
@@ -276,9 +328,18 @@ def _flush_partitions(
         ts_hi = int(pc.max(pc.cast(fresh.column("ts"), pa.int64())).as_py())
         if prev_ts is not None:
             ts_hi = max(prev_ts, ts_hi)
+        # committed turn high-water: lets point lookups derive the exact
+        # partition-pruning bound instead of trusting a caller guess
+        turn_hi = int(pc.max(fresh.column("turn_idx")).as_py())
+        prev_turn = prev.get("turn_hi")
+        if prev_turn is not None:
+            turn_hi = max(int(prev_turn), turn_hi)
 
         deltas = list(prev.get("deltas", []))
         base = prev.get("base")
+        dl_base = prev.get("dl_base")
+        dl_deltas = list(prev.get("dl_deltas", []))
+        doc_stats = None
         rows_state = None
         rows_live = None
         if len(deltas) + 1 >= compact_every:
@@ -303,6 +364,15 @@ def _flush_partitions(
                     project_postings(state, postings_column or "text"),
                     os.path.join(_part_dir(postings_root, part), f"base-{epoch:06d}.parquet"),
                 )
+                # doclens sidecar compacts with it; state is already
+                # LWW-reduced, so the corpus stats read straight off
+                dltab = project_doclens(state, postings_column or "text")
+                dl_base = os.path.join(
+                    _part_dir(postings_root, part), f"dlbase-{epoch:06d}.parquet"
+                )
+                _atomic_write(dltab, dl_base)
+                dl_deltas = []
+                doc_stats = doc_stats_of(dltab)
             deltas = []
             rows_state = state.num_rows
             rows_live = int(
@@ -322,6 +392,20 @@ def _flush_partitions(
                     project_postings(delta, postings_column or "text"),
                     os.path.join(_part_dir(postings_root, part), f"delta-{epoch:06d}.parquet"),
                 )
+                dlpath = os.path.join(
+                    _part_dir(postings_root, part), f"dldelta-{epoch:06d}.parquet"
+                )
+                _atomic_write(
+                    project_doclens(delta, postings_column or "text"), dlpath
+                )
+                dl_deltas.append(dlpath)
+                # exact incremental corpus stats: LWW-fold the NARROW sidecar
+                # chain (one row per key-version, no text) — O(partition key
+                # versions since last compaction) per dirty partition, ~2% of
+                # the bytes a main-chain fold would touch
+                doc_stats = doc_stats_of(
+                    load_partition_state({"base": dl_base, "deltas": dl_deltas})
+                )
             deltas.append(dpath)
 
         metrics["rows_delta"] = delta.num_rows
@@ -335,9 +419,14 @@ def _flush_partitions(
             "rows_live": rows_live,
             "lsn_hi": wm,
             "ts_hi": ts_hi,
+            "turn_hi": turn_hi,
             "late_delta": late_path,
             "metrics": metrics,
         }
+        if postings_root is not None:
+            out[part]["dl_base"] = dl_base
+            out[part]["dl_deltas"] = dl_deltas
+            out[part]["doc_stats"] = doc_stats
     return out
 
 
