@@ -1157,6 +1157,154 @@ class CdcEngine:
             read_file, batch_size=1, batch_format="pyarrow"
         )
 
+    # -- binary payload (file) ingest ----------------------------------
+    def ingest_payloads(
+        self,
+        ds: "ray.data.Dataset",
+        id_col: str = "file_id",
+        payload_col: str = "payload",
+        batch_size: int | None = 1024,
+    ) -> dict:
+        """Bulk binary-payload ingest — the reference's file-submission path
+        (hack/bulk-ingest-explorer-files.py TDR bulk-load jobs;
+        FileBackfillGenerator.scala:16-74 deterministic target-path
+        contract) re-expressed for the lake.
+
+        Payload bytes stage CONTENT-ADDRESSED under
+        ``files/cas/<md5[:2]>/<md5>.bin`` — write-if-absent gives md5 dedup
+        AND idempotent replay (a re-run re-derives the same paths and skips
+        existing blobs).  The ``(file_id, md5, nbytes, relpath)`` reference
+        rows land as a registry epoch under ``files/refs/epoch-KKKKKK/``
+        (the whole directory is re-staged on replay, so nondeterministic
+        block boundaries cannot duplicate rows), and the registry manifest
+        publishes in the SAME TxnLog transaction as the live table's
+        manifest — a crash can never expose blobs with half a registry
+        epoch, or sibling manifests at diverging states.  The registry is
+        append-only (like the late-quarantine audit chain): epochs
+        accumulate; blobs are immortal until an explicit GC.
+
+        Stats note: ``blobs_written`` can over-count under concurrent
+        same-blob races (both tasks see absent, both write identical
+        bytes); the registry and CAS contents stay exact.
+        """
+        import shutil
+
+        files_root = os.path.join(self.out_dir, "files")
+        reg = Manifest(files_root)
+        latest = reg.latest()
+        k = (int(latest["epoch"]) + 1) if latest else 0
+        refs_rel = os.path.join("refs", f"epoch-{k:06d}")
+        refs_dir = os.path.join(files_root, refs_rel)
+        if os.path.isdir(refs_dir):
+            # crashed previous attempt at this epoch: re-stage from scratch
+            shutil.rmtree(refs_dir)
+        os.makedirs(refs_dir, exist_ok=True)
+        cas_root = os.path.join(files_root, "cas")
+
+        def stage(t: pa.Table) -> pa.Table:
+            import hashlib
+
+            import pyarrow.parquet as pq
+
+            pays = t.column(payload_col).to_pylist()
+            md5s, sizes, rels = [], [], []
+            new_blobs = new_bytes = 0
+            for b in pays:
+                b = b if isinstance(b, (bytes, bytearray)) else bytes(b)
+                h = hashlib.md5(b).hexdigest()
+                rel = f"cas/{h[:2]}/{h}.bin"
+                path = os.path.join(files_root, rel)
+                if not os.path.exists(path):
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    tmp = f"{path}.tmp-{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(b)
+                    os.replace(tmp, path)
+                    new_blobs += 1
+                    new_bytes += len(b)
+                md5s.append(h)
+                sizes.append(len(b))
+                rels.append(rel)
+            refs = pa.table(
+                {
+                    "file_id": t.column(id_col),
+                    "md5": pa.array(md5s, pa.string()),
+                    "nbytes": pa.array(sizes, pa.int64()),
+                    "relpath": pa.array(rels, pa.string()),
+                }
+            )
+            # block-content-derived name: unique across disjoint blocks,
+            # stable enough for debugging; exactly-once comes from the
+            # directory re-stage + manifest commit, not the file names
+            tag = hashlib.md5(
+                "\x00".join(str(i) for i in refs.column("file_id").to_pylist()).encode()
+            ).hexdigest()[:16]
+            pq.write_table(refs, os.path.join(refs_dir, f"refs-{tag}.parquet"))
+            return pa.table(
+                {
+                    "n": pa.array([len(pays)], pa.int64()),
+                    "new_blobs": pa.array([new_blobs], pa.int64()),
+                    "new_bytes": pa.array([new_bytes], pa.int64()),
+                }
+            )
+
+        stats = ds.map_batches(
+            stage, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size,
+        ).take_all()
+        totals = {
+            "files": sum(r["n"] for r in stats),
+            "blobs_written": sum(r["new_blobs"] for r in stats),
+            "bytes_written": sum(r["new_bytes"] for r in stats),
+        }
+        reg_pointers = dict((latest or {}).get("partitions") or {})
+        dirs = list((reg_pointers.get("refs") or {}).get("dirs", []))
+        dirs.append(refs_rel)
+        reg_pointers["refs"] = {"dirs": dirs}
+        reg_record = {
+            "partitions": reg_pointers,
+            "metrics": totals,
+            "partitioning": None,
+        }
+        live_latest = self.manifest.latest()
+        if live_latest is None:
+            reg.commit(k, **reg_record)
+        else:
+            self.txn.commit(
+                int(live_latest["epoch"]),
+                {"live": self.manifest, "files": reg},
+                {
+                    "live": {
+                        "partitions": live_latest["partitions"],
+                        "metrics": live_latest["metrics"],
+                        "partitioning": live_latest.get("partitioning"),
+                    },
+                    "files": reg_record,
+                },
+                epochs={"files": k},
+            )
+        return {"epoch": k, **totals}
+
+    def payload_registry(self) -> "ray.data.Dataset":
+        """Streaming view of the committed payload registry: one
+        ``(file_id, md5, nbytes, relpath)`` row per ingested reference,
+        across all registry epochs."""
+        files_root = os.path.join(self.out_dir, "files")
+        rec = Manifest(files_root).latest()
+        if rec is None:
+            raise ValueError("no payloads ingested (ingest_payloads never ran)")
+        dirs = rec["partitions"]["refs"]["dirs"]
+        paths = sorted(
+            f
+            for d in dirs
+            for f in glob.glob(os.path.join(files_root, d, "*.parquet"))
+        )
+        return ray.data.read_parquet(paths)
+
+    def payload_path(self, md5: str) -> str:
+        """Absolute CAS path of a payload by content hash."""
+        return os.path.join(self.out_dir, "files", "cas", md5[:2], f"{md5}.bin")
+
     def final_dataset(
         self, epoch: int | None = None, columns: list[str] | None = None
     ) -> "ray.data.Dataset":

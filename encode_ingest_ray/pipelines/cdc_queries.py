@@ -1013,3 +1013,49 @@ def cdc_search_ranked(sf_dir: str):
     )
     engine.run(events_dir)
     return engine.search_ranked(['view:{"k":', 'click:{"k":'])
+
+
+#: Content-addressed payload registry: the md5/path mapping is a pure
+#: function of the bytes, so DuckDB re-derives it from the source table.
+CDC_FILE_INGEST_SQL = """
+SELECT doc_id AS file_id,
+       md5(text) AS md5,
+       octet_length(CAST(text AS BLOB)) AS nbytes,
+       'cas/' || substr(md5(text), 1, 2) || '/' || md5(text) || '.bin'
+         AS relpath
+FROM documents
+"""
+
+
+@register("cdc_file_ingest", CDC_FILE_INGEST_SQL)
+def cdc_file_ingest(sf_dir: str):
+    """Bulk binary-payload ingest (CdcEngine.ingest_payloads) — the
+    reference's file-submission analog (hack/bulk-ingest-explorer-files.py
+    bulk-load jobs; FileBackfillGenerator.scala:16-74 target paths):
+    document bytes stage content-addressed under files/cas/<md5[:2]>/,
+    write-if-absent dedups identical payloads, and the (file_id, md5,
+    nbytes, relpath) registry commits two-phase.  The oracle re-derives
+    the registry from the bytes — path contract + hashes exact."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcfi-{uuid.uuid4().hex[:8]}-")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+            }
+        )
+
+    payloads = docs.map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=8,
+                       num_actors=2)
+    engine.ingest_payloads(payloads)
+    return engine.payload_registry()

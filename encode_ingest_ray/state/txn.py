@@ -60,14 +60,20 @@ class TxnLog:
         epoch: int,
         manifests: dict[str, Manifest],
         records: dict[str, dict],
+        epochs: dict[str, int] | None = None,
     ) -> None:
-        """Atomically commit ``epoch`` across every manifest in
-        ``manifests``.  ``records[name]`` holds the kwargs for
-        ``Manifest.stage`` (partitions / metrics / partitioning)."""
+        """Atomically commit across every manifest in ``manifests``.
+        ``records[name]`` holds the kwargs for ``Manifest.stage``
+        (partitions / metrics / partitioning).  Every manifest commits at
+        ``epoch`` unless ``epochs[name]`` overrides it — sibling tables
+        with INDEPENDENT epoch counters (e.g. the payload-file registry)
+        still publish atomically with the live table."""
+        eps = {name: (epochs or {}).get(name, epoch) for name in manifests}
         for name, man in manifests.items():
-            man.stage(epoch, **records[name])
+            man.stage(eps[name], **records[name])
         rec = {
             "epoch": epoch,
+            "epochs": eps,
             "manifest_dirs": {name: man.dir for name, man in manifests.items()},
         }
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".tmp-txn-")
@@ -80,8 +86,8 @@ class TxnLog:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        for man in manifests.values():
-            man.publish(epoch)
+        for name, man in manifests.items():
+            man.publish(eps[name])
         os.unlink(self._record_path(epoch))
 
     def recover(self) -> int:
@@ -97,14 +103,16 @@ class TxnLog:
             with open(os.path.join(self.dir, name)) as f:
                 rec = json.load(f)
             epoch = int(rec["epoch"])
-            for mdir in rec["manifest_dirs"].values():
-                staged = os.path.join(mdir, f".staged-epoch={epoch:06d}.json")
-                final = os.path.join(mdir, f"epoch={epoch:06d}.json")
+            eps = rec.get("epochs") or {}
+            for mname, mdir in rec["manifest_dirs"].items():
+                e = int(eps.get(mname, epoch))
+                staged = os.path.join(mdir, f".staged-epoch={e:06d}.json")
+                final = os.path.join(mdir, f"epoch={e:06d}.json")
                 if os.path.exists(staged):
                     os.replace(staged, final)
                 elif not os.path.exists(final):
                     raise RuntimeError(
-                        f"txn record {name} references epoch {epoch} of "
+                        f"txn record {name} references epoch {e} of "
                         f"{mdir!r} but neither staged nor committed manifest "
                         "exists — staging is write-ahead, so this indicates "
                         "external file loss"

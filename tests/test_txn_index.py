@@ -190,3 +190,136 @@ def test_lookup_partition_pruning(events_dir, tmp_path):
     narrow = _table(eng.lookup(convs, columns=["conv_id", "turn_idx", "role"]))
     assert narrow.column_names == ["conv_id", "turn_idx", "role"]
     assert narrow.equals(want.select(["conv_id", "turn_idx", "role"]))
+
+
+def test_payload_ingest_cas_dedup_and_crash(events_dir, tmp_path):
+    """Binary payload ingest: content-addressed staging dedups by md5,
+    the registry pairs atomically with the live manifest via TxnLog, and
+    a crash in any window replays to the identical registry."""
+    import hashlib
+
+    out = str(tmp_path / "pay")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(events_dir)
+
+    n_ids, n_distinct = 200, 50
+    payloads = [f"payload-{i % n_distinct}".encode() * 3 for i in range(n_ids)]
+    src = pa.table(
+        {
+            "file_id": pa.array([f"f{i:04d}" for i in range(n_ids)]),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(src)
+    res = eng.ingest_payloads(ds)
+    assert res["files"] == n_ids and res["blobs_written"] == n_distinct
+
+    reg = _table_any(eng.payload_registry())
+    assert reg.num_rows == n_ids
+    assert len(set(reg.column("md5").to_pylist())) == n_distinct
+    cas = glob.glob(os.path.join(out, "files", "cas", "*", "*.bin"))
+    assert len(cas) == n_distinct
+    # path contract + content round-trip
+    row = reg.slice(0, 1).to_pylist()[0]
+    with open(eng.payload_path(row["md5"]), "rb") as f:
+        b = f.read()
+    assert hashlib.md5(b).hexdigest() == row["md5"]
+    assert len(b) == row["nbytes"]
+
+    # crash window A: refs staged + CAS written, manifest never committed
+    # -> replaying the ingest rebuilds epoch 1 exactly, zero new blobs
+    files_man = Manifest(os.path.join(out, "files"))
+    res2 = eng.ingest_payloads(ds)  # legitimate second epoch (append)
+    assert res2["epoch"] == 1 and res2["blobs_written"] == 0
+    os.unlink(os.path.join(files_man.dir, "epoch=000001.json"))
+    res3 = eng.ingest_payloads(ds)  # replay of the "crashed" epoch 1
+    assert res3["epoch"] == 1 and res3["blobs_written"] == 0
+    reg2 = _table_any(eng.payload_registry())
+    assert reg2.num_rows == 2 * n_ids  # epochs 0+1, no duplicate rows
+
+    # crash window B: txn record written, files manifest promoted but live
+    # not re-published -> recover() at next engine init rolls forward
+    live_man = Manifest(out)
+    last_live = live_man.committed_epochs()[-1]
+    final = os.path.join(live_man.dir, f"epoch={last_live:06d}.json")
+    os.replace(final, live_man.staged_path(last_live))
+    with open(os.path.join(out, "_txn", f"txn-{last_live:06d}.json"), "w") as f:
+        json.dump(
+            {
+                "epoch": last_live,
+                "epochs": {"live": last_live, "files": 1},
+                "manifest_dirs": {"live": live_man.dir, "files": files_man.dir},
+            },
+            f,
+        )
+    eng2 = CdcEngine(out, num_actors=2)
+    assert Manifest(out).committed_epochs()[-1] == last_live
+    assert _table_any(eng2.payload_registry()).num_rows == 2 * n_ids
+
+
+def _table_any(ds) -> pa.Table:
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables(tabs, promote_options="default").combine_chunks()
+
+
+def test_quad_chain_crash_window_heals(events_dir, tmp_path):
+    """Lateness + covering index + postings all enabled: every epoch's
+    TxnLog txn spans FOUR manifests.  A crash that promotes only two of
+    them must heal at the next engine init, leaving all four chains at the
+    same epoch and every read surface consistent."""
+    out = str(tmp_path / "quad")
+    eng = CdcEngine(
+        out, num_partitions=8, num_actors=2, compact_every=2,
+        index_columns=["role"], postings_column="text",
+        lateness_us=10**15,
+    )
+    eng.run(events_dir)
+    live_man = Manifest(out)
+    idx_man = Manifest(eng.index_root)
+    post_man = Manifest(eng.postings_root)
+    late_man = Manifest(eng.late_root)
+    last = live_man.committed_epochs()[-1]
+    assert (idx_man.committed_epochs()[-1] == post_man.committed_epochs()[-1]
+            == late_man.committed_epochs()[-1] == last)
+    want_live = _table(eng.final_dataset())
+    want_stats = {
+        p: ptr.get("doc_stats")
+        for p, ptr in live_man.pointers().items()
+    }
+
+    # rewind postings + late back into the crash window (live/index stayed
+    # promoted), write the txn record, heal on init
+    for man in (post_man, late_man):
+        final = os.path.join(man.dir, f"epoch={last:06d}.json")
+        os.replace(final, man.staged_path(last))
+    with open(os.path.join(out, "_txn", f"txn-{last:06d}.json"), "w") as f:
+        json.dump(
+            {
+                "epoch": last,
+                "manifest_dirs": {
+                    "live": live_man.dir, "index": idx_man.dir,
+                    "postings": post_man.dir, "late": late_man.dir,
+                },
+            },
+            f,
+        )
+    assert post_man.committed_epochs()[-1] < last
+
+    eng2 = CdcEngine(out, num_actors=2)
+    for man in (Manifest(out), Manifest(eng2.index_root),
+                Manifest(eng2.postings_root), Manifest(eng2.late_root)):
+        assert man.committed_epochs()[-1] == last
+    assert _table(eng2.final_dataset()).equals(want_live)
+    assert {
+        p: ptr.get("doc_stats") for p, ptr in eng2.manifest.pointers().items()
+    } == want_stats
+    # replay is a no-op; a follow-up migrate keeps all four in lockstep
+    assert eng2.run(events_dir)["epochs_run"] == 0
+    eng2.migrate(new_num_partitions=4)
+    e3 = CdcEngine(out, num_actors=2)
+    mans = [Manifest(out), Manifest(e3.index_root),
+            Manifest(e3.postings_root), Manifest(e3.late_root)]
+    assert len({m.committed_epochs()[-1] for m in mans}) == 1
+    assert _table(e3.final_dataset()).equals(want_live)
