@@ -335,18 +335,51 @@ _FAMILY_COVERED = {
 }
 
 
+#: Round-4 driver window: the correctness driver snapshots the FIRST ~50
+#: queries, so this list IS what gets independently re-verified this round.
+#: Rotation policy (VERDICT.md r3 item 6): 24 flagship / uniquely-shaped
+#: representatives stay from the round-3 window (already driver-green in
+#: CORRECTNESS_r03), and 26 exact-oracle queries the driver has NEVER
+#: checked rotate in — every family keeps at least one representative in
+#: the window (the rotated-out rep's family sibling enters instead).
+#: Every registered query, windowed or not, still passes the local gate
+#: (tools/check_oracles.py at sf0.01 and sf0.1, FAILURES: 0).
+_TIER0_R4 = frozenset({
+    # kept from the round-3 window (driver-green in r03)
+    "cdc_upsert_engine", "cdc_scd2_history", "incremental_user_totals",
+    "corpus_prep", "incremental_dedup", "near_dup_clusters",
+    "sequence_packing", "kmeans_embeddings", "ks_test_price_flag",
+    "basket_overlap_pairs", "spatial_pairs_customers", "dq_checks_orders",
+    "heavy_hitters_events", "entity_file_transform", "modality_classify",
+    "summarize_audits_full", "antibody_m2n", "ri_sweep_orphan_refs",
+    "crawl_reachability", "dbapi_source_scan", "funnel_signup_purchase",
+    "lm_perplexity_score", "media_frame_sample", "tf_idf_topk",
+    # rotated in — never driver-checked before round 4
+    "cdc_file_ingest", "cdc_search_ranked", "cdc_text_search",
+    "cdc_covering_index", "cdc_retention_delete", "cdc_schema_widening",
+    "cdc_ingest_transform", "cdc_schema_evolution", "cdc_epoch_diff",
+    "merge_into_orders", "sssp_copurchase", "psi_value_drift",
+    "mannwhitney_price_flag", "pagerank_lineitem", "warehouse_weekly_report",
+    "q3_shipping_priority", "global_rank_orders", "moving_sum_orders",
+    "ohlc_user_daily", "substring_dup_stats", "inverted_index",
+    "minhash_lsh_pairs", "cohort_retention_weekly", "profile_orders_columns",
+    "chi2_event_dow", "gap_fill_interpolate",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
-    Three tiers, registration order preserved within each: (0) one
-    exact-oracle representative per operator family — sized to the driver's
-    ~50-row snapshot so every family lands a three-check row; (1)
-    exact-oracle siblings whose family is already represented
-    (`_FAMILY_COVERED`); (2) rows-only sketch/ANN entries."""
+    Three tiers, registration order preserved within each: (0) this
+    round's 50-query driver window (`_TIER0_R4` — one representative per
+    operator family, rotated each round so the driver re-verifies a fresh
+    subset); (1) exact-oracle siblings outside the window (the historical
+    per-family demotions live in `_FAMILY_COVERED`); (2) rows-only
+    sketch/ANN entries."""
     def _prio(name: str) -> int:
         if name not in registry.ORACLE:
             return 2
-        return 1 if name in _FAMILY_COVERED else 0
+        return 0 if name in _TIER0_R4 else 1
 
     names = sorted(registry.QUERIES, key=lambda n: (_prio(n),))  # stable
     return {n: registry.QUERIES[n] for n in names}
