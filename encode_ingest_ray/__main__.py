@@ -141,6 +141,16 @@ def main(argv=None) -> int:
     s = sub.add_parser("status", help="print the latest manifest summary")
     s.add_argument("--out", required=True)
 
+    fi = sub.add_parser(
+        "ingest-files",
+        help="bulk binary payload ingest: stage a directory's files "
+             "content-addressed under <out>/files/cas (md5 dedup, "
+             "idempotent replay) and commit the reference registry "
+             "atomically with the table manifest",
+    )
+    fi.add_argument("--src", required=True, help="directory of payload files")
+    fi.add_argument("--out", required=True, help="committed table root")
+
     se = sub.add_parser(
         "search",
         help="full-text search over the live table via the engine-maintained "
@@ -452,6 +462,25 @@ def main(argv=None) -> int:
             else:
                 hits = eng.search(args.tokens, require_all=args.all)
             print(hits.limit(args.limit).to_pandas().to_string())
+        elif args.cmd == "ingest-files":
+            import re
+
+            import pyarrow as pa
+
+            src = os.path.abspath(args.src)
+            ds = ray.data.read_binary_files(src, include_paths=True)
+            prefix = f"^{re.escape(src)}/?"
+
+            def to_payload(t: "pa.Table") -> "pa.Table":
+                import pyarrow.compute as pc
+
+                rel = pc.replace_substring_regex(t.column("path"), prefix, "")
+                return pa.table({"file_id": rel, "payload": t.column("bytes")})
+
+            eng = CdcEngine(args.out)
+            print(json.dumps(eng.ingest_payloads(ds.map_batches(
+                to_payload, batch_format="pyarrow", zero_copy_batch=True,
+            ))))
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)
             print(

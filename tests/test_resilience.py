@@ -183,3 +183,81 @@ def test_vacuum_gc_and_resume(many_epochs, tmp_path):
     # idempotent re-run over the vacuumed table: everything skips
     again = CdcEngine(out).run(events_dir)
     assert again["epochs_run"] == 0
+
+
+def test_kill9_process_resume_120_epochs(tmp_path):
+    """The bigger soak shape, test-sized (tools/soak.py runs it at 10^8
+    events): 120 epochs through a REAL process boundary — the engine child
+    is SIGKILLed mid-run (no atexit, no cleanup), a fresh process resumes,
+    a replay is a no-op, and the final state equals an uninterrupted
+    single-shot run partition-for-partition plus the DuckDB-equivalent
+    LWW oracle."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    events_dir = str(tmp_path / "ev")
+    meta = generate_cdc_events(
+        events_dir, n_events=120_000, n_convs=400, epochs=120, seed=17,
+        dup_ratio=0.05, evolve_at_lsn=80_000,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    env.pop("RAY_ADDRESS", None)
+
+    def cmd(out):
+        return [sys.executable, "-m", "encode_ingest_ray", "--num-cpus", "4",
+                "run", "--events", events_dir, "--out", out,
+                "--partitions", "8"]
+
+    out_k = str(tmp_path / "killed")
+    p = subprocess.Popen(cmd(out_k), env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    # kill once a prefix of epochs has committed but well before the end
+    from encode_ingest_ray.state.manifest import Manifest
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        n = len(Manifest(out_k).committed_epochs())
+        if n >= 20:
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.2)
+    assert p.poll() is None, "engine finished before the kill window"
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+    committed_at_kill = len(Manifest(out_k).committed_epochs())
+    assert 0 < committed_at_kill < 120
+
+    import json as _json
+
+    r = subprocess.run(cmd(out_k), env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    resume = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert resume["epochs_skipped"] == committed_at_kill
+    assert resume["epochs_run"] == 120 - committed_at_kill
+    r2 = subprocess.run(cmd(out_k), env=env, capture_output=True, text=True)
+    replay = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert replay["epochs_run"] == 0 and replay["epochs_skipped"] == 120
+
+    # uninterrupted single-shot reference in ANOTHER fresh process
+    out_s = str(tmp_path / "single")
+    r3 = subprocess.run(cmd(out_s), env=env, capture_output=True, text=True)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+
+    eng_k = CdcEngine(out_k, num_actors=2)
+    eng_s = CdcEngine(out_s, num_actors=2)
+    got = eng_k.final_table()
+    ref = eng_s.final_table()
+    cols = sorted(got.column_names)
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.select(cols).sort_by(key).equals(ref.select(cols).sort_by(key))
+    want = expected_final_state(meta["files"])
+    assert got.num_rows == want.num_rows
+    assert got.sort_by(key).to_pandas()["text"].tolist() == \
+        want.to_pandas()["text"].tolist()
+    # 120 epochs with default compact_every=8: chains stayed bounded
+    for info in eng_k.partition_files().values():
+        assert len(info["deltas"]) < 8
