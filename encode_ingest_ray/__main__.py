@@ -177,6 +177,45 @@ def main(argv=None) -> int:
     df.add_argument("--dest", default=None, help="write the change rows here")
     df.add_argument("--limit", type=int, default=10)
 
+    ch = sub.add_parser(
+        "changes",
+        help="read the record-level changefeed for a committed-epoch window "
+             "(epoch-tagged LWW change rows, tombstones included; horizon = "
+             "vacuum retention)",
+    )
+    ch.add_argument("--out", required=True, help="committed table root")
+    ch.add_argument("--since-epoch", type=int, default=-1,
+                    help="exclusive lower bound (default -1 = from start)")
+    ch.add_argument("--to-epoch", type=int, default=None,
+                    help="inclusive upper bound (default latest)")
+    ch.add_argument("--dest", default=None, help="write the window here")
+    ch.add_argument("--limit", type=int, default=10)
+
+    co = sub.add_parser(
+        "consume",
+        help="consumer-group changefeed delivery: write every change file "
+             "past the named consumer's checkpoint to --dest at "
+             "deterministic paths, then advance the checkpoint (crash "
+             "anywhere before the ack -> the rerun overwrites the same "
+             "bytes)",
+    )
+    co.add_argument("name", help="consumer group name")
+    co.add_argument("--out", required=True, help="committed table root")
+    co.add_argument("--dest", required=True, help="delivery directory")
+    co.add_argument("--max-epochs", type=int, default=None,
+                    help="bound one call's window (pagination)")
+
+    rst = sub.add_parser(
+        "restore",
+        help="roll the table back to a committed epoch (atomic manifest "
+             "re-commit, zero data movement; valid within vacuum retention; "
+             "later source epochs stay committed = their effects are "
+             "discarded, new epochs apply on top)",
+    )
+    rst.add_argument("--out", required=True)
+    rst.add_argument("--epoch", type=int, required=True,
+                     help="committed epoch to restore to")
+
     mg = sub.add_parser(
         "migrate",
         help="partition evolution: rewrite the committed table under a new "
@@ -481,6 +520,22 @@ def main(argv=None) -> int:
             print(json.dumps(eng.ingest_payloads(ds.map_batches(
                 to_payload, batch_format="pyarrow", zero_copy_batch=True,
             ))))
+        elif args.cmd == "changes":
+            eng = CdcEngine(args.out)
+            feed = eng.changes(since_epoch=args.since_epoch,
+                               to_epoch=args.to_epoch)
+            if args.dest:
+                feed.write_parquet(args.dest)
+                print(json.dumps({"dest": args.dest, "rows": feed.count()}))
+            else:
+                print(feed.limit(args.limit).to_pandas().to_string())
+        elif args.cmd == "consume":
+            eng = CdcEngine(args.out)
+            print(json.dumps(eng.consume(
+                args.name, args.dest, max_epochs=args.max_epochs)))
+        elif args.cmd == "restore":
+            eng = CdcEngine(args.out)
+            print(json.dumps(eng.restore(args.epoch)))
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)
             print(

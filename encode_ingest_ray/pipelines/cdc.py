@@ -29,8 +29,10 @@ replay exactly-once.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
+import tempfile
 import time
 from functools import partial
 
@@ -43,6 +45,13 @@ from encode_ingest_ray.state.manifest import Manifest
 from encode_ingest_ray.state.merger import PartitionMerger
 from encode_ingest_ray.state.partition import DEFAULT_TURN_BLOCK
 from encode_ingest_ray.state.wire import pack_table
+
+
+class ChangefeedHorizonError(RuntimeError):
+    """A requested changefeed epoch's files are unavailable (pre-feature
+    manifest, or aged out by vacuum retention).  The consumer must re-sync
+    from a snapshot (``final_dataset``) and restart the feed — the Delta
+    CDF / Kafka log-retention contract."""
 
 
 def discover_epoch_files(events_dir: str) -> list[list[str]]:
@@ -452,13 +461,22 @@ class CdcEngine:
         per_part_metrics: dict[str, dict] = {}
         totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0,
                   "quarantined_late": 0}
+        # record-level changefeed: this epoch's per-partition change files
+        # (the ``cdf`` field is transient flush output, like late_delta —
+        # it must NOT persist in the cumulative pointer map, where it would
+        # outlive its epoch)
+        changes: list[str] = []
         for staged in staged_maps:
             for p, ptr in staged.items():
                 m = ptr.pop("metrics", {})
+                cdf = ptr.pop("cdf", None)
+                if cdf:
+                    changes.append(cdf)
                 per_part_metrics[str(p)] = m
                 for k in totals:
                     totals[k] += m.get(k, 0)
                 pointers[str(p)] = ptr
+        changes.sort()
         commit_s = time.perf_counter() - t1
         metrics = {
             **totals,
@@ -494,7 +512,7 @@ class CdcEngine:
         manifests: dict[str, "Manifest"] = {"live": self.manifest}
         records: dict[str, dict] = {
             "live": {"partitions": pointers, "metrics": metrics,
-                     "partitioning": partitioning}
+                     "partitioning": partitioning, "changes": changes}
         }
         if self.index_manifest is not None:
             # covering index: the mirrored file chains publish in the same
@@ -525,7 +543,8 @@ class CdcEngine:
                 "partitioning": partitioning,
             }
         if len(manifests) == 1:
-            self.manifest.commit(epoch, pointers, metrics, partitioning)
+            self.manifest.commit(epoch, pointers, metrics, partitioning,
+                                 changes=changes)
         else:
             self.txn.commit(epoch, manifests, records)
         if self.vacuum_retain is not None:
@@ -1157,6 +1176,290 @@ class CdcEngine:
             read_file, batch_size=1, batch_format="pyarrow"
         )
 
+    # -- changefeed (consumable CDC stream) ------------------------------
+    def changes(
+        self, since_epoch: int = -1, to_epoch: int | None = None
+    ) -> "ray.data.Dataset":
+        """The change stream for epochs in ``(since_epoch, to_epoch]`` —
+        the per-epoch LWW-folded rows each commit applied (tombstones
+        included, ``op='delete'``), tagged with an ``epoch`` column.  This
+        is the Delta-Lake-CDF / Debezium-topic analog: downstream systems
+        sync incrementally in O(changes), never O(table).
+
+        Every manifest records its epoch's change files in a record-level
+        ``changes`` list (state/manifest.py); on non-compaction epochs the
+        file IS the pointer-chain delta (zero extra writes), compaction
+        epochs pay one extra small file so the feed stays gap-free.  The
+        horizon is vacuum retention: epochs whose files were vacuumed raise
+        ``ChangefeedHorizonError`` — a lagging consumer re-syncs from a
+        snapshot (``final_dataset``), exactly the Delta CDF rule.
+
+        Driver cost: one manifest JSON + one parquet footer per change file
+        in the window (incremental windows are a handful of epochs); file
+        reads and schema alignment run as Ray tasks.
+        """
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+
+        items = self._change_items(since_epoch, to_epoch)
+        if not items:
+            return ray.data.from_items([])
+        import pyarrow.parquet as pq
+
+        unified = None
+        for it in items:
+            s = pq.read_schema(it["path"])
+            unified = s if unified is None else unify_schemas(unified, s)
+
+        def read_change_file(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            tabs = []
+            for row in batch.to_pylist():
+                t = align_to_schema(pq.read_table(row["path"]), unified)
+                tabs.append(t.add_column(
+                    0, pa.field("epoch", pa.int64()),
+                    pa.array([row["epoch"]] * t.num_rows, pa.int64()),
+                ))
+            return pa.concat_tables(tabs)
+
+        return ray.data.from_items(items).map_batches(
+            read_change_file, batch_size=1, batch_format="pyarrow"
+        )
+
+    def _change_items(
+        self, since_epoch: int, to_epoch: int | None
+    ) -> list[dict]:
+        """(epoch, path) list for the window ``(since_epoch, to_epoch]`` —
+        raises ChangefeedHorizonError when any requested epoch's files are
+        gone (pre-feature manifest or vacuumed)."""
+        epochs = self.manifest.committed_epochs()
+        want = [
+            e for e in epochs
+            if e > since_epoch and (to_epoch is None or e <= to_epoch)
+        ]
+        items: list[dict] = []
+        for e in want:
+            rec = self.manifest.read_epoch(e)
+            ch = rec.get("changes")
+            if ch is None:
+                raise ChangefeedHorizonError(
+                    f"epoch {e} carries no changefeed record (committed "
+                    "before the feed existed, or rewritten); re-sync the "
+                    "consumer from a snapshot (final_dataset) and restart "
+                    f"the feed past epoch {e}"
+                )
+            for f in ch:
+                if not os.path.exists(f):
+                    raise ChangefeedHorizonError(
+                        f"changefeed file {f!r} for epoch {e} was vacuumed "
+                        f"(retain_epochs={self.vacuum_retain}); the consumer "
+                        "lags past the feed horizon — re-sync from a snapshot"
+                    )
+                items.append({"epoch": e, "path": f})
+        return items
+
+    _CONSUMER_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def _consumer_path(self, name: str) -> str:
+        if not self._CONSUMER_RE.match(name):
+            raise ValueError(
+                f"consumer name {name!r} must match {self._CONSUMER_RE.pattern}"
+            )
+        return os.path.join(self.out_dir, "_consumers", f"{name}.json")
+
+    def consumer_epoch(self, name: str) -> int:
+        """Last epoch this consumer group acknowledged (-1 = new consumer,
+        next consume delivers from the first committed epoch = the initial
+        snapshot load, all inserts)."""
+        path = self._consumer_path(name)
+        if not os.path.exists(path):
+            return -1
+        with open(path) as f:
+            return int(json.load(f)["epoch"])
+
+    def ack(self, name: str, epoch: int) -> None:
+        """Advance a consumer checkpoint (atomic tmp+rename — a torn write
+        can never half-advance).  ``consume`` calls this after delivery;
+        custom consumers over ``changes()`` call it themselves once their
+        downstream effect is durable."""
+        path = self._consumer_path(name)
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-ack-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"epoch": int(epoch), "updated_unix": time.time()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def consume(
+        self, name: str, dest: str, max_epochs: int | None = None
+    ) -> dict:
+        """Consumer-group delivery: write every change file past the
+        checkpoint into ``dest`` (one parquet per source file at a
+        DETERMINISTIC path keyed by epoch+partition), then advance the
+        checkpoint.  A crash anywhere before the ack makes the rerun
+        overwrite the same bytes — at-least-once work, exactly-once end
+        state, no coordination.  ``max_epochs`` bounds one call's window
+        (pagination for a consumer far behind)."""
+        since = self.consumer_epoch(name)
+        avail = [e for e in self.manifest.committed_epochs() if e > since]
+        if max_epochs is not None:
+            avail = avail[:max_epochs]
+        if not avail:
+            return {"consumer": name, "from_epoch": since, "to_epoch": since,
+                    "epochs": 0, "rows": 0, "files": 0}
+        to = avail[-1]
+        items = self._change_items(since, to)
+        os.makedirs(dest, exist_ok=True)
+
+        def deliver(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            rows = 0
+            for row in batch.to_pylist():
+                t = _pq.read_table(row["path"])
+                t = t.add_column(
+                    0, pa.field("epoch", pa.int64()),
+                    pa.array([row["epoch"]] * t.num_rows, pa.int64()),
+                )
+                m = re.search(r"part=(\d+)", row["path"])
+                part = int(m.group(1)) if m else 0
+                # deterministic dest path keyed by (epoch, partition):
+                # a replayed delivery overwrites the same file byte-for-byte
+                tmp_suffix = f"changes-{row['epoch']:06d}-{part:04d}.parquet"
+                tmp = os.path.join(dest, f".tmp-{tmp_suffix}")
+                _pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(dest, tmp_suffix))
+                rows += t.num_rows
+            return pa.table({"rows": pa.array([rows], pa.int64()),
+                             "files": pa.array([batch.num_rows], pa.int64())})
+
+        stats = (
+            ray.data.from_items(items)
+            .map_batches(deliver, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
+        self.ack(name, to)
+        return {
+            "consumer": name, "from_epoch": since, "to_epoch": to,
+            "epochs": len(avail),
+            "rows": int(sum(r["rows"] for r in stats)),
+            "files": int(sum(r["files"] for r in stats)),
+        }
+
+    def restore(self, to_epoch: int) -> dict:
+        """Roll the table back to a committed epoch's state (Delta-Lake
+        RESTORE analog): atomically RE-commit the LATEST epoch's manifest
+        with the historical epoch's cumulative pointer map + partitioning
+        identity.  Zero data movement — manifests are pointer maps, so a
+        restore is one JSON swap no matter the table size.
+
+        Semantics, all consequences of the pointer re-commit:
+
+        - Source epochs in ``(to_epoch, latest]`` stay *committed* (the
+          resume index is dense), so replaying their event files is a
+          no-op — their effects are discarded, which is the restore
+          contract.  NEW source epochs apply on top of the restored state.
+        - Valid while vacuum retention still covers ``to_epoch``'s files
+          (checked up front; a vacuumed target raises with the retention
+          bound — the same horizon rule as time travel and the changefeed).
+        - Sibling chains (covering index, postings+doclens) re-commit their
+          own historical records in the same TxnLog transaction; the
+          allowed-lateness audit chain is append-only history and is NOT
+          rolled back (it re-commits at its latest, like ``migrate``).
+        - The restore commit carries NO ``changes`` record *by design*:
+          its logical change set is the inverse of every discarded epoch,
+          which nothing stores.  A changefeed window crossing it raises
+          ``ChangefeedHorizonError`` — lagging consumers re-sync from a
+          snapshot, exactly the Delta CDF rule for RESTORE/rewrite commits.
+        """
+        self.manifest.acquire_run_lock()
+        try:
+            latest = self.manifest.latest()
+            if latest is None:
+                raise ValueError("nothing committed yet — nothing to restore")
+            epoch = latest["epoch"]
+            if to_epoch == epoch:
+                return {"epoch": epoch, "restored_to": to_epoch, "noop": True}
+            if to_epoch not in self.manifest.committed_epochs():
+                raise ValueError(
+                    f"epoch {to_epoch} was never committed "
+                    f"(committed: {self.manifest.committed_epochs()})"
+                )
+            rec = self.manifest.read_epoch(to_epoch)
+            pointers = dict(rec["partitions"])
+            missing = [
+                f
+                for ptr in pointers.values()
+                for f in ([ptr["base"]] if ptr.get("base") else [])
+                + list(ptr.get("deltas", []))
+                if not os.path.exists(f)
+            ]
+            if missing:
+                raise ValueError(
+                    f"epoch {to_epoch} is past the restore horizon: "
+                    f"{len(missing)} of its state files were vacuumed "
+                    f"(retain_epochs={self.vacuum_retain}), e.g. "
+                    f"{missing[0]!r}"
+                )
+            identity = rec.get("partitioning") or latest.get("partitioning")
+            metrics = {"restored_from": epoch, "restored_to": to_epoch}
+            manifests: dict[str, Manifest] = {"live": self.manifest}
+            records: dict[str, dict] = {
+                "live": {"partitions": pointers, "metrics": metrics,
+                         "partitioning": identity}
+            }
+            if self.index_manifest is not None:
+                idx_rec = self.index_manifest.read_epoch(to_epoch)
+                manifests["index"] = self.index_manifest
+                records["index"] = {
+                    "partitions": idx_rec["partitions"],
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": identity,
+                }
+            if self.postings_manifest is not None:
+                post_rec = self.postings_manifest.read_epoch(to_epoch)
+                manifests["postings"] = self.postings_manifest
+                records["postings"] = {
+                    "partitions": post_rec["partitions"],
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": identity,
+                }
+            if self.late_manifest is not None:
+                manifests["late"] = self.late_manifest
+                records["late"] = {
+                    "partitions": self.late_manifest.pointers(),
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": identity,
+                }
+            if len(manifests) == 1:
+                self.manifest.commit(
+                    epoch, pointers, metrics, identity
+                )
+            else:
+                self.txn.commit(epoch, manifests, records)
+            # restored pointers are now the latest manifest's references, so
+            # vacuum keeps them; newer-epoch files age out per retention
+            if self.vacuum_retain is not None:
+                self.manifest.vacuum(self.vacuum_retain)
+                if self.index_manifest is not None:
+                    self.index_manifest.vacuum(self.vacuum_retain)
+                if self.postings_manifest is not None:
+                    self.postings_manifest.vacuum(self.vacuum_retain)
+            if identity:
+                self.num_partitions = identity.get(
+                    "num_partitions", self.num_partitions)
+                self.turn_block = identity.get("turn_block", self.turn_block)
+            return {"epoch": epoch, "restored_to": to_epoch,
+                    "partitions": len(pointers)}
+        finally:
+            self.manifest.release_run_lock()
+
     # -- binary payload (file) ingest ----------------------------------
     def ingest_payloads(
         self,
@@ -1278,6 +1581,7 @@ class CdcEngine:
                         "partitions": live_latest["partitions"],
                         "metrics": live_latest["metrics"],
                         "partitioning": live_latest.get("partitioning"),
+                        "changes": live_latest.get("changes"),
                     },
                     "files": reg_record,
                 },
@@ -1662,9 +1966,14 @@ class CdcEngine:
             metrics = dict(latest.get("metrics", {}))
             metrics["migrated_from"] = old
             mig_manifests: dict[str, Manifest] = {"live": self.manifest}
+            # a migration re-commits the SAME epoch with no new changes:
+            # the epoch's changefeed files carry forward verbatim (they sit
+            # under the OLD layout's part dirs, which is fine — the feed is
+            # rows, not partitioning; vacuum retention still bounds them)
             mig_records: dict[str, dict] = {
                 "live": {"partitions": pointers, "metrics": metrics,
-                         "partitioning": new_identity}
+                         "partitioning": new_identity,
+                         "changes": latest.get("changes")}
             }
             if self.index_manifest is not None:
                 mig_manifests["index"] = self.index_manifest
@@ -1693,7 +2002,8 @@ class CdcEngine:
                     "partitioning": new_identity,
                 }
             if len(mig_manifests) == 1:
-                self.manifest.commit(epoch, pointers, metrics, new_identity)
+                self.manifest.commit(epoch, pointers, metrics, new_identity,
+                                     changes=latest.get("changes"))
             else:
                 self.txn.commit(epoch, mig_manifests, mig_records)
             if self.vacuum_retain is not None:

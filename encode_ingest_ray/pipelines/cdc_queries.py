@@ -1059,3 +1059,94 @@ def cdc_file_ingest(sf_dir: str):
                        num_actors=2)
     engine.ingest_payloads(payloads)
     return engine.payload_registry()
+
+
+#: Record-level changefeed: each epoch's change set is the per-key LWW
+#: winner among that epoch's rows (tombstones included) — with the fixture's
+#: disjoint LSN ranges the watermark drops nothing, so SQL re-derives every
+#: epoch's fold with one window function over the epoch-bucketed stream.
+CDC_CHANGEFEED_SQL = f"""
+WITH bounds AS (SELECT (MAX(event_id) + 3) // 3 AS size FROM events),
+ev AS (
+  SELECT *, lsn // (SELECT size FROM bounds) AS epoch FROM ({_DERIVE_SQL})
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY epoch, conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT epoch, conv_id, turn_idx, role, text, tool, ts, op, lsn
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_changefeed", CDC_CHANGEFEED_SQL)
+def cdc_changefeed(sf_dir: str):
+    """Consumable CDC stream (Delta-CDF / Debezium-topic analog,
+    CdcEngine.changes): every commit records its epoch's LWW-folded change
+    files in the manifest; the feed reads them back epoch-tagged so a
+    downstream system syncs in O(changes) not O(table).  On non-compaction
+    epochs the change file IS the pointer-chain delta (zero extra writes).
+    The oracle re-derives each epoch's fold via one window function over
+    the epoch-bucketed derived stream — rows, tombstones and tags exact.
+    Reference parity: the diff→soft-delete→append sync's published diff
+    table (orchestration/templates/ingest-processed-data.yaml:85-172)."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcfeed-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16,
+                       num_actors=4)
+    engine.run(events_dir)
+    return engine.changes()
+
+
+#: RESTORE then continue: 4 fixture epochs; run 0-2, roll back to epoch 1
+#: (discarding epoch 2's effects), then apply epoch 3 on top.  The final
+#: state is the LWW fold of events in epochs {0,1,3} — a replay of epoch
+#: 2's files after the restore must stay a no-op (its source epoch remains
+#: committed), which is exactly what the oracle's lsn-range filter proves.
+CDC_RESTORE_SQL = f"""
+WITH bound AS (
+  SELECT (MAX(event_id) + 4) // 4 AS size FROM events
+),
+ev AS (
+  SELECT * FROM ({_DERIVE_SQL})
+  WHERE lsn < 2 * (SELECT size FROM bound)
+     OR lsn >= 3 * (SELECT size FROM bound)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_restore", CDC_RESTORE_SQL)
+def cdc_restore(sf_dir: str):
+    """Table rollback (Delta-Lake RESTORE analog, CdcEngine.restore): one
+    atomic manifest re-commit swaps the live pointer map for a committed
+    historical epoch's — zero data movement at any table size.  Discarded
+    source epochs stay committed (replaying their files is a no-op) while
+    NEW epochs apply on top of the restored state; the oracle folds exactly
+    the surviving LSN ranges (epochs 0,1,3 of 4).  The reference has no
+    rollback story (a bad ingest means manual BigQuery surgery); a
+    lakehouse-grade sink needs this for bad-batch recovery."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+    work = tempfile.mkdtemp(prefix=f"cdcrest-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=4)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16,
+                       num_actors=4)
+    files = discover_epoch_files(events_dir)
+    engine.run(epoch_files=files[:3])   # epochs 0,1,2
+    engine.restore(to_epoch=1)          # discard epoch 2
+    engine.run(epoch_files=files)       # 0-2 skipped; epoch 3 applies on top
+    return engine.final_dataset()

@@ -117,13 +117,22 @@ class Manifest:
         partitions: dict[str, dict],
         metrics: dict,
         partitioning: dict | None = None,
+        changes: list[str] | None = None,
     ) -> dict:
         """Atomically publish the cumulative pointer map for ``epoch``.
         ``partitioning`` records the key->partition function parameters so a
         resume with different parameters can be rejected (a silent re-key
-        would duplicate keys across partitions)."""
+        would duplicate keys across partitions).  ``changes`` is the
+        record-level changefeed file list: the per-epoch LWW-folded change
+        rows THIS commit applied (one parquet file per dirty partition) —
+        the consumable CDC stream.  It is record-level rather than a
+        pointer field because the pointer map is cumulative (a partition's
+        pointer outlives the epoch that wrote it) while a change set belongs
+        to exactly one epoch."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
                "partitioning": partitioning}
+        if changes is not None:
+            rec["changes"] = changes
         self._write_json_atomic(rec, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
         return rec
 
@@ -138,6 +147,7 @@ class Manifest:
         partitions: dict[str, dict],
         metrics: dict,
         partitioning: dict | None = None,
+        changes: list[str] | None = None,
     ) -> str:
         """Write the epoch's manifest record to a STAGED path (atomic, but
         not yet visible as a commit).  ``TxnLog.commit`` publishes staged
@@ -145,6 +155,8 @@ class Manifest:
         — the cross-table commit point."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
                "partitioning": partitioning}
+        if changes is not None:
+            rec["changes"] = changes
         path = self.staged_path(epoch)
         self._write_json_atomic(rec, path)
         return path
@@ -199,6 +211,11 @@ class Manifest:
                     referenced.add(os.path.abspath(ptr["dl_base"]))
                 for d in ptr.get("dl_deltas", []):
                     referenced.add(os.path.abspath(d))
+            # changefeed files of retained epochs stay readable — the
+            # retention window IS the feed's horizon (a consumer lagging
+            # past it must re-sync from a snapshot, the Delta-CDF rule)
+            for c in rec.get("changes") or []:
+                referenced.add(os.path.abspath(c))
         deleted = 0
         freed = 0
         for f in glob.glob(os.path.join(self.root, "part=*", "*.parquet")):

@@ -315,6 +315,7 @@ def _flush_partitions(
                     "ts_hi": prev.get("ts_hi"),
                     "turn_hi": prev.get("turn_hi"),
                     "late_delta": late_path,
+                    "cdf": None,
                     "metrics": metrics,
                 }
                 if postings_root is not None:
@@ -342,6 +343,12 @@ def _flush_partitions(
         doc_stats = None
         rows_state = None
         rows_live = None
+        # the epoch's change rows ALWAYS publish as a standalone file — the
+        # consumable changefeed (manifest record-level ``changes`` list).
+        # On non-compaction epochs it doubles as the pointer-chain delta; a
+        # compaction epoch folds the delta into the base, so the feed costs
+        # one extra small write there.  Vacuum retention is the horizon.
+        cdf_path = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
         if len(deltas) + 1 >= compact_every:
             # amortized compaction: fold base+deltas+this delta into a base
             state = load_partition_state({"base": base, "deltas": deltas})
@@ -373,6 +380,7 @@ def _flush_partitions(
                 _atomic_write(dltab, dl_base)
                 dl_deltas = []
                 doc_stats = doc_stats_of(dltab)
+            _atomic_write(delta, cdf_path)
             deltas = []
             rows_state = state.num_rows
             rows_live = int(
@@ -380,7 +388,7 @@ def _flush_partitions(
                 or 0
             )
         else:
-            dpath = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
+            dpath = cdf_path
             _atomic_write(delta, dpath)
             if index_root is not None:
                 _atomic_write(
@@ -421,6 +429,7 @@ def _flush_partitions(
             "ts_hi": ts_hi,
             "turn_hi": turn_hi,
             "late_delta": late_path,
+            "cdf": cdf_path,
             "metrics": metrics,
         }
         if postings_root is not None:

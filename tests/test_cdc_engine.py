@@ -289,10 +289,13 @@ def test_migrate_partitioning_preserves_table_and_resume(gen, tmp_path):
     # referenced; every on-disk state file is in the latest-2 manifests
     refs = set()
     for ep in e2.manifest.committed_epochs()[-2:]:
-        for ptr in e2.manifest.read_epoch(ep)["partitions"].values():
+        rec = e2.manifest.read_epoch(ep)
+        for ptr in rec["partitions"].values():
             if ptr.get("base"):
                 refs.add(os.path.abspath(ptr["base"]))
             refs.update(os.path.abspath(d) for d in ptr.get("deltas", []))
+        # retained epochs keep their changefeed files (the feed horizon)
+        refs.update(os.path.abspath(c) for c in rec.get("changes") or [])
     e2.manifest.vacuum(2)
     on_disk = {
         os.path.abspath(f)

@@ -155,10 +155,13 @@ def test_vacuum_gc_and_resume(many_epochs, tmp_path):
     man = resumed.manifest
     referenced = set()
     for e in man.committed_epochs()[-2:]:
-        for ptr in man.read_epoch(e)["partitions"].values():
+        rec = man.read_epoch(e)
+        for ptr in rec["partitions"].values():
             if ptr.get("base"):
                 referenced.add(os.path.abspath(ptr["base"]))
             referenced.update(os.path.abspath(d) for d in ptr.get("deltas", []))
+        # retained epochs keep their changefeed files (the feed horizon)
+        referenced.update(os.path.abspath(c) for c in rec.get("changes") or [])
     on_disk = {
         os.path.abspath(f) for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
     }
