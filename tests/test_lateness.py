@@ -33,7 +33,13 @@ def _table(ds) -> pa.Table:
     if not tabs:
         return pa.table({})
     t = pa.concat_tables(tabs, promote_options="default").combine_chunks()
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    keys = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    # the late AUDIT table keeps every quarantined raw event, so
+    # (conv_id, turn_idx) is not unique — without the lsn tiebreak the
+    # sort isn't total and .equals() flakes on block arrival order
+    if "lsn" in t.column_names:
+        keys.append(("lsn", "ascending"))
+    return t.sort_by(keys)
 
 
 def test_quarantine_replay_equivalence(events_dir, tmp_path):
