@@ -216,6 +216,26 @@ def main(argv=None) -> int:
     rst.add_argument("--epoch", type=int, required=True,
                      help="committed epoch to restore to")
 
+    rp = sub.add_parser(
+        "replicate",
+        help="maintain --out as a replica of --source by consuming its "
+             "changefeed (incremental, exactly-once; replica may use its "
+             "own partitioning/index; falls back to a snapshot bootstrap "
+             "past the feed horizon; refuses to diverge across a source "
+             "restore)",
+    )
+    rp.add_argument("--out", required=True, help="replica table root")
+    rp.add_argument("--source", required=True, help="source table root")
+    rp.add_argument("--max-epochs", type=int, default=None,
+                    help="bound one call's window (pagination)")
+    rp.add_argument("--partitions", type=int, default=None,
+                    help="replica partition count (defaults like run)")
+    rp.add_argument("--actors", type=int, default=None)
+    rp.add_argument("--bootstrap", choices=["auto", "always", "never"],
+                    default="auto",
+                    help="snapshot-bootstrap policy when the incremental "
+                         "feed is unavailable (default auto)")
+
     mg = sub.add_parser(
         "migrate",
         help="partition evolution: rewrite the committed table under a new "
@@ -536,6 +556,13 @@ def main(argv=None) -> int:
         elif args.cmd == "restore":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.restore(args.epoch)))
+        elif args.cmd == "replicate":
+            src = CdcEngine(args.source)
+            rep = CdcEngine(args.out, num_partitions=args.partitions,
+                            num_actors=args.actors)
+            boot = {"auto": "auto", "always": True, "never": False}[args.bootstrap]
+            print(json.dumps(rep.replicate_from(
+                src, max_epochs=args.max_epochs, bootstrap=boot)))
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)
             print(

@@ -407,6 +407,11 @@ class CdcEngine:
 
     def _exchange(self, epoch: int, files: list[str]) -> dict:
         t0 = time.perf_counter()
+        if not files:
+            # a pending epoch with no input files (e.g. a replicated source
+            # epoch whose change set was empty) still commits — the resume
+            # index stays dense — but exchanges nothing
+            return {"rows_raw": 0, "rows_routed": 0, "exchange_s": 0.0}
         # routing parallelism == input shard count (epochs are directories of
         # moderate files).  Pin one block per shard: Ray's min-parallelism
         # heuristic otherwise re-splits blocks ~7x (SplitBlocks), which both
@@ -423,7 +428,13 @@ class CdcEngine:
             # one block per shard file: full read->route fusion (no raw row
             # ever crosses the object store; SplitBlocks would split reads
             # into separate blocks and break the fusion)
-            ds = ray.data.read_parquet(files, override_num_blocks=len(files))
+            # partitioning=None: epochs are explicit FILE lists, never hive
+            # layouts — inference would inject a spurious `part` column when
+            # replication bootstrap feeds source chain files that live under
+            # `part=NNNNN/` state directories
+            ds = ray.data.read_parquet(
+                files, override_num_blocks=len(files), partitioning=None
+            )
             route_rows = ds.map_batches(
                 partial(
                     _route_batch,
@@ -1409,10 +1420,15 @@ class CdcEngine:
                 )
             identity = rec.get("partitioning") or latest.get("partitioning")
             metrics = {"restored_from": epoch, "restored_to": to_epoch}
+            # restore is a history REWRITE at an existing epoch number: bump
+            # the restore generation so changefeed replicas that already
+            # synced past to_epoch detect the rollback instead of silently
+            # diverging (see replicate_from's cursor check)
+            gen = self.manifest._carried_restore_gen() + 1
             manifests: dict[str, Manifest] = {"live": self.manifest}
             records: dict[str, dict] = {
                 "live": {"partitions": pointers, "metrics": metrics,
-                         "partitioning": identity}
+                         "partitioning": identity, "restore_gen": gen}
             }
             if self.index_manifest is not None:
                 idx_rec = self.index_manifest.read_epoch(to_epoch)
@@ -1439,7 +1455,7 @@ class CdcEngine:
                 }
             if len(manifests) == 1:
                 self.manifest.commit(
-                    epoch, pointers, metrics, identity
+                    epoch, pointers, metrics, identity, restore_gen=gen
                 )
             else:
                 self.txn.commit(epoch, manifests, records)
@@ -1459,6 +1475,179 @@ class CdcEngine:
                     "partitions": len(pointers)}
         finally:
             self.manifest.release_run_lock()
+
+    # -- changefeed-driven replication ----------------------------------
+    def replicate_from(
+        self,
+        source: "CdcEngine",
+        *,
+        max_epochs: int | None = None,
+        bootstrap: bool | str = "auto",
+    ) -> dict:
+        """Maintain this table as a REPLICA of ``source`` by consuming its
+        changefeed: every source epoch past the replica's last commit is
+        applied as the SAME-numbered replica epoch, reading the source's
+        change files directly as event inputs (change rows are plain
+        event-schema LWW winners, tombstones included, so they stream
+        through the normal ``run()`` path — exchange, watermarks, two-phase
+        commit, index/postings/lateness siblings all intact).
+
+        The replica's own committed-epoch set IS the replication
+        checkpoint: a crash anywhere re-runs only uncommitted epochs
+        (exactly-once end state with zero extra bookkeeping).  Cost is
+        O(changes) per call, never O(table); change files cross as
+        zero-copy parquet reads of source storage (nothing is copied or
+        materialized on the driver).  The replica may keep its OWN
+        partitioning, covering index, postings and lateness policy — so
+        replication doubles as online re-partitioning / re-indexing.
+
+        **Bootstrap** (``"auto"``/``True``/``False``): when the feed
+        horizon has passed (epochs vacuumed, a pre-feed commit, or a
+        source RESTORE — ``ChangefeedHorizonError``), ``"auto"`` falls
+        back to a state-snapshot catch-up: commit empty epochs up to the
+        source's latest and apply the source's ENTIRE pointer-chain file
+        set (base + deltas) as that epoch.  LWW is associative and
+        durable state retains tombstones (state/lww.py), so folding the
+        chain converges the replica to the source state exactly — for a
+        fresh replica AND for a lagged one (every replica key exists in
+        source state with an lsn at least as high).  ``True`` forces the
+        snapshot path; ``False`` propagates the horizon error.
+
+        Contract (the log-segmentation the engine itself assumes): a
+        source epoch's change rows carry lsns greater than every lsn the
+        replica already applied to the partitions they land in.  This
+        holds automatically when source epochs segment a global lsn log
+        (the normal CDC shape, and the fixture generator's), or when the
+        replica keeps the source's partitioning identity.
+
+        **Rollback fence**: a source RESTORE rewrites content at an
+        existing epoch number, which a checkpoint alone cannot see.  The
+        replica pins the source's ``restore_gen`` (bumped by every
+        restore, carried forward by ordinary commits); on mismatch this
+        raises instead of diverging — rebuild the replica from a fresh
+        directory (one bootstrap call).  A fresh replica whose first sync
+        merely CROSSES an old restore epoch hits the changefeed horizon
+        and auto-bootstraps, which is safe (it holds no discarded rows).
+
+        Reference analog: the reference's per-table diff→soft-delete→
+        append sync pushes each table to ONE downstream store
+        (/root/reference/orchestration/templates/ingest-processed-data
+        .yaml:85-172); this generalizes it to engine→engine sync with a
+        durable cursor, the Delta-Lake "deep clone + CDF catch-up" shape.
+        """
+        if os.path.realpath(source.out_dir) == os.path.realpath(self.out_dir):
+            raise ValueError("replica and source are the same table")
+        # rollback fence: a source RESTORE rewrites content at an existing
+        # epoch number, so a caught-up replica would otherwise diverge with
+        # no signal (no new epoch ever crosses its checkpoint).  The replica
+        # pins the restore generation it synced under; a mismatch means
+        # epochs it already applied may have been discarded upstream — LWW
+        # cannot roll back higher-lsn rows, so incremental sync (and even a
+        # snapshot bootstrap) can no longer converge.  Rebuild the replica
+        # (fresh directory + bootstrap) to recover.
+        src_gen = int((source.manifest.latest() or {}).get("restore_gen", 0) or 0)
+        cursor_path = os.path.join(self.out_dir, "_replication", "cursor.json")
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                pinned = int(json.load(f).get("gen", 0))
+            if pinned != src_gen:
+                raise ValueError(
+                    f"source {source.out_dir!r} history was rewritten "
+                    f"(restore_gen {pinned} -> {src_gen}) since this replica "
+                    "last synced; epochs the replica already applied may be "
+                    "rolled back upstream — rebuild the replica from a fresh "
+                    "directory (bootstrap replays the current source state)"
+                )
+        committed = self.manifest.committed_epochs()
+        since = committed[-1] if committed else -1
+        src_committed = source.manifest.committed_epochs()
+        src_latest = src_committed[-1] if src_committed else -1
+        if since > src_latest:
+            raise ValueError(
+                f"replica {self.out_dir!r} is at epoch {since}, AHEAD of "
+                f"source {source.out_dir!r} at {src_latest} — not a replica "
+                "of this source (or the source was rebuilt); start a fresh "
+                "replica directory"
+            )
+        avail = [e for e in src_committed if e > since]
+        if max_epochs is not None:
+            avail = avail[:max_epochs]
+        summary_base = {"from_epoch": since, "to_epoch": since,
+                        "bootstrapped": False}
+        if not avail:
+            return {**summary_base, "epochs_run": 0, "epochs_skipped": 0,
+                    "events_raw": 0, "events_applied": 0,
+                    "dup_lsn_dropped": 0, "quarantined_late": 0,
+                    "wall_s": 0.0}
+        to = avail[-1]
+        if avail != list(range(since + 1, to + 1)):
+            raise ValueError(
+                f"source committed epochs have gaps in ({since}, {to}]: "
+                f"{avail} — replica epoch numbering mirrors the source 1:1"
+            )
+        epoch_files: list[list[str]] | None = None
+        if bootstrap is not True:
+            try:
+                items = source._change_items(since, to)
+            except ChangefeedHorizonError:
+                if bootstrap != "auto":
+                    raise
+            else:
+                by_epoch: dict[int, list[str]] = {}
+                for it in items:
+                    by_epoch.setdefault(it["epoch"], []).append(it["path"])
+                epoch_files = [[] for _ in range(since + 1)] + [
+                    sorted(by_epoch.get(e, ())) for e in range(since + 1, to + 1)
+                ]
+        if epoch_files is None:
+            # snapshot catch-up: the source's full current chain applies as
+            # the latest epoch (empty fillers keep the resume index dense).
+            # The snapshot is the state AS OF src_latest, so it must commit
+            # AS src_latest — max_epochs pagination does not apply here
+            to = src_latest
+            chain = [
+                f
+                for ptr in source.manifest.pointers().values()
+                for f in ([ptr["base"]] if ptr.get("base") else [])
+                + list(ptr.get("deltas", []))
+            ]
+            missing = [f for f in chain if not os.path.exists(f)]
+            if missing:
+                raise ValueError(
+                    f"source state file {missing[0]!r} is gone — cannot "
+                    "bootstrap from a partially vacuumed source"
+                )
+            epoch_files = [[] for _ in range(to)] + [sorted(chain)]
+            summary_base["bootstrapped"] = True
+        # change rows are already source-transformed: the replica's
+        # ingest_transform must not see them (same rule as delete_where's
+        # engine-authored tombstones)
+        saved_transform = self.ingest_transform
+        self.ingest_transform = None
+        try:
+            summary = self.run(epoch_files=epoch_files)
+        finally:
+            self.ingest_transform = saved_transform
+        # pin the source generation we synced under (atomic tmp+rename; a
+        # crash before this line re-runs the gen check against an unchanged
+        # source next call — safe).  Single-writer source assumed during one
+        # sync call, the same assumption run()'s lock makes for the table.
+        os.makedirs(os.path.dirname(cursor_path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(cursor_path), prefix=".tmp-cursor-"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"gen": src_gen, "epoch": int(to)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        summary.update(summary_base)
+        summary["to_epoch"] = to
+        return summary
 
     # -- binary payload (file) ingest ----------------------------------
     def ingest_payloads(

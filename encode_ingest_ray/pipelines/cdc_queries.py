@@ -1150,3 +1150,34 @@ def cdc_restore(sf_dir: str):
     engine.restore(to_epoch=1)          # discard epoch 2
     engine.run(epoch_files=files)       # 0-2 skipped; epoch 3 applies on top
     return engine.final_dataset()
+
+
+@register("cdc_replication", CDC_FINAL_SQL)
+def cdc_replication(sf_dir: str):
+    """Changefeed-driven replication (CdcEngine.replicate_from): a replica
+    engine with DIFFERENT partitioning syncs from the source's record-level
+    changefeed in two incremental calls (mid-stream catch-up, then tail),
+    its committed-epoch set acting as the exactly-once checkpoint.  Change
+    files stream through the replica's normal exchange/LWW path, so
+    replication doubles as online re-partitioning; cost per call is
+    O(changes), never O(table).  The oracle is the full LWW fold — replica
+    state must equal source state exactly, tombstones resolved.  Reference
+    analog: the per-table diff→soft-delete→append push sync
+    (orchestration/templates/ingest-processed-data.yaml:85-172),
+    generalized to engine→engine sync with a durable cursor."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+    work = tempfile.mkdtemp(prefix=f"cdcrepl-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    files = discover_epoch_files(events_dir)
+    src = CdcEngine(os.path.join(work, "src"), num_partitions=16,
+                    num_actors=4, vacuum_retain=None)
+    rep = CdcEngine(os.path.join(work, "rep"), num_partitions=10,
+                    num_actors=4)
+    src.run(epoch_files=files[:2])
+    rep.replicate_from(src)            # catch up to epoch 1
+    src.run(epoch_files=files)         # epoch 2
+    rep.replicate_from(src)            # incremental tail
+    return rep.final_dataset()

@@ -111,6 +111,17 @@ class Manifest:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    def _carried_restore_gen(self) -> int:
+        """History-rewrite generation carried forward from the latest commit.
+        ``restore()`` bumps it (its pointer re-commit rewrites table CONTENT
+        at an existing epoch number); every ordinary commit — run epochs,
+        migrate, delete_where — inherits it.  Changefeed consumers and
+        replicas pin the generation they synced under: a mismatch means the
+        source history was rolled back underneath them and incremental sync
+        can no longer converge (pipelines/cdc.py replicate_from)."""
+        prev = self.latest()
+        return int(prev.get("restore_gen", 0) or 0) if prev else 0
+
     def commit(
         self,
         epoch: int,
@@ -118,6 +129,7 @@ class Manifest:
         metrics: dict,
         partitioning: dict | None = None,
         changes: list[str] | None = None,
+        restore_gen: int | None = None,
     ) -> dict:
         """Atomically publish the cumulative pointer map for ``epoch``.
         ``partitioning`` records the key->partition function parameters so a
@@ -130,7 +142,9 @@ class Manifest:
         pointer outlives the epoch that wrote it) while a change set belongs
         to exactly one epoch."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
-               "partitioning": partitioning}
+               "partitioning": partitioning,
+               "restore_gen": (self._carried_restore_gen()
+                               if restore_gen is None else int(restore_gen))}
         if changes is not None:
             rec["changes"] = changes
         self._write_json_atomic(rec, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
@@ -148,13 +162,16 @@ class Manifest:
         metrics: dict,
         partitioning: dict | None = None,
         changes: list[str] | None = None,
+        restore_gen: int | None = None,
     ) -> str:
         """Write the epoch's manifest record to a STAGED path (atomic, but
         not yet visible as a commit).  ``TxnLog.commit`` publishes staged
         manifests across several tables after one atomic transaction record
         — the cross-table commit point."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
-               "partitioning": partitioning}
+               "partitioning": partitioning,
+               "restore_gen": (self._carried_restore_gen()
+                               if restore_gen is None else int(restore_gen))}
         if changes is not None:
             rec["changes"] = changes
         path = self.staged_path(epoch)
