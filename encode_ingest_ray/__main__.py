@@ -78,6 +78,15 @@ def main(argv=None) -> int:
                         "further behind the partition's applied high-water "
                         "mark divert to the append-only late/ audit table "
                         "(committed atomically with the live table)")
+    r.add_argument("--expect-not-null", action="append", default=None,
+                   metavar="COL",
+                   help="ingest expectation: quarantine epoch-winning "
+                        "versions whose COL is null to the expect/ audit "
+                        "table (repeatable; rule name not_null_COL)")
+    r.add_argument("--expect-nonempty", action="append", default=None,
+                   metavar="COL",
+                   help="ingest expectation: quarantine versions whose COL "
+                        "is null or '' (repeatable; rule name nonempty_COL)")
     r.add_argument("--warmup", action="store_true",
                    help="spin up the worker pool with an untimed tiny read "
                         "before running (bench parity)")
@@ -394,6 +403,17 @@ def main(argv=None) -> int:
                 if args.lateness_s is not None else None
             )
             postings_column = args.postings_column
+            expectations = None
+            if args.expect_not_null or args.expect_nonempty:
+                from encode_ingest_ray.pipelines.cdc import (
+                    expect_nonempty, expect_not_null,
+                )
+
+                expectations = {}
+                for c in args.expect_not_null or []:
+                    expectations[f"not_null_{c}"] = expect_not_null(c)
+                for c in args.expect_nonempty or []:
+                    expectations[f"nonempty_{c}"] = expect_nonempty(c)
             if args.shard_index is not None:
                 from encode_ingest_ray.pipelines.sharded import shard_epoch_files
 
@@ -403,6 +423,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
+                    expectations=expectations,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -425,6 +446,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
+                    expectations=expectations,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -433,6 +455,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
+                    expectations=expectations,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

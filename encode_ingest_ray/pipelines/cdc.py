@@ -182,6 +182,23 @@ def _route_batch(
     )
 
 
+def expect_not_null(col: str):
+    """Canned ingest expectation: the payload column must be non-null."""
+    def pred(t: pa.Table) -> pa.Array:
+        return pc.is_valid(t.column(col))
+    return pred
+
+
+def expect_nonempty(col: str):
+    """Canned ingest expectation: non-null and not the empty string."""
+    def pred(t: pa.Table) -> pa.Array:
+        c = t.column(col)
+        return pc.and_(
+            pc.is_valid(c), pc.not_equal(pc.cast(c, pa.string()), pa.scalar(""))
+        )
+    return pred
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -198,6 +215,7 @@ class CdcEngine:
         lateness_us: int | None = None,
         ingest_transform=None,
         postings_column: str | None = None,
+        expectations: dict | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -268,6 +286,19 @@ class CdcEngine:
         #: deterministic (replays re-apply it).  NOT persisted — a resuming
         #: engine must be constructed with the same callable.
         self.ingest_transform = ingest_transform
+        #: ingest expectations (Delta-Live-Tables analog): ordered
+        #: {rule_name: predicate(pa.Table) -> BooleanArray of PASS}.  Each
+        #: rule gates a key's EPOCH-WINNING version at flush (post-LWW —
+        #: deterministic under any blocking; tombstones bypass); failing
+        #: winners divert to the append-only expect/ audit chain with a
+        #: ``reason`` column and the key keeps its previous state.  Like
+        #: ingest_transform, callables are NOT persisted — a resuming
+        #: engine must be constructed with the same dict; predicates must
+        #: be deterministic (a replayed epoch re-stages identical files).
+        self.expectations = expectations
+        self.expect_root = (
+            os.path.join(out_dir, "expect") if expectations is not None else None
+        )
         self.num_partitions = num_partitions
         self.num_actors = num_actors
         self.turn_block = turn_block
@@ -286,6 +317,15 @@ class CdcEngine:
         )
         self.postings_manifest = (
             Manifest(self.postings_root) if self.postings_root is not None else None
+        )
+        # the expect chain stays readable on a resume that did not re-supply
+        # the (non-persistable) predicate callables
+        if self.expect_root is None:
+            prior = os.path.join(out_dir, "expect")
+            if os.path.isdir(os.path.join(prior, "_manifest")):
+                self.expect_root = prior
+        self.expect_manifest = (
+            Manifest(self.expect_root) if self.expect_root is not None else None
         )
         self._actors: list | None = None
         # partitioning is part of the table's durable identity: state files
@@ -321,6 +361,8 @@ class CdcEngine:
                     self.index_root, self.index_columns,
                     self.late_root, self.lateness_us,
                     self.postings_root, self.postings_column,
+                    self.expect_root if self.expectations is not None else None,
+                    self.expectations,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -357,7 +399,7 @@ class CdcEngine:
             epoch_files = discover_epoch_files(events_dir)
         summary = {"epochs_run": 0, "epochs_skipped": 0, "events_raw": 0,
                    "events_applied": 0, "dup_lsn_dropped": 0,
-                   "quarantined_late": 0, "wall_s": 0.0}
+                   "quarantined_late": 0, "expect_failed": 0, "wall_s": 0.0}
         t0 = time.perf_counter()
         # no overlapping runs against one output (reference: cron
         # concurrencyPolicy: Forbid); a crashed holder's lock self-releases
@@ -471,7 +513,7 @@ class CdcEngine:
         pointers = self.manifest.pointers()
         per_part_metrics: dict[str, dict] = {}
         totals = {"events_in": 0, "dup_lsn_dropped": 0, "applied": 0,
-                  "quarantined_late": 0}
+                  "quarantined_late": 0, "expect_failed": 0}
         # record-level changefeed: this epoch's per-partition change files
         # (the ``cdf`` field is transient flush output, like late_delta —
         # it must NOT persist in the cumulative pointer map, where it would
@@ -520,6 +562,20 @@ class CdcEngine:
         else:
             for ptr in pointers.values():
                 ptr.pop("late_delta", None)
+        # expectation-quarantine chain: same append-only accumulation shape
+        # as the lateness audit chain
+        expect_pointers = None
+        if self.expectations is not None and self.expect_manifest is not None:
+            expect_pointers = self.expect_manifest.pointers()
+            for p, ptr in pointers.items():
+                ep = ptr.pop("expect_delta", None)
+                if ep:
+                    entry = expect_pointers.setdefault(p, {"deltas": []})
+                    if ep not in entry["deltas"]:
+                        entry["deltas"].append(ep)
+        else:
+            for ptr in pointers.values():
+                ptr.pop("expect_delta", None)
         manifests: dict[str, "Manifest"] = {"live": self.manifest}
         records: dict[str, dict] = {
             "live": {"partitions": pointers, "metrics": metrics,
@@ -553,6 +609,13 @@ class CdcEngine:
                 "metrics": {"mirror_of": self.out_dir},
                 "partitioning": partitioning,
             }
+        if expect_pointers is not None:
+            manifests["expect"] = self.expect_manifest
+            records["expect"] = {
+                "partitions": expect_pointers,
+                "metrics": {"expect_failed": metrics.get("expect_failed", 0)},
+                "partitioning": partitioning,
+            }
         if len(manifests) == 1:
             self.manifest.commit(epoch, pointers, metrics, partitioning,
                                  changes=changes)
@@ -571,6 +634,7 @@ class CdcEngine:
         summary["events_applied"] += totals["applied"]
         summary["dup_lsn_dropped"] += totals["dup_lsn_dropped"]
         summary["quarantined_late"] += totals["quarantined_late"]
+        summary["expect_failed"] += totals["expect_failed"]
         return metrics
 
     def tail(
@@ -1187,6 +1251,47 @@ class CdcEngine:
             read_file, batch_size=1, batch_format="pyarrow"
         )
 
+    def expect_dataset(self) -> "ray.data.Dataset":
+        """The expectation-quarantine audit table: each key's epoch-winning
+        version that FAILED an ingest expectation (op + lsn kept), tagged
+        with the first-failing rule name in ``reason``.  Append-only, like
+        the lateness audit chain; triage, fix and re-drive the rows through
+        a later epoch to apply them (their lsns already advanced the
+        watermark, so re-driving needs fresh lsns — the same contract as
+        any corrected upstream event)."""
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+
+        if self.expect_manifest is None:
+            raise ValueError(
+                "engine has no expectations (and no committed expect chain)"
+            )
+        files = [
+            d
+            for ptr in self.expect_manifest.pointers().values()
+            for d in ptr.get("deltas", [])
+        ]
+        if not files:
+            return ray.data.from_items([])
+        import pyarrow.parquet as pq
+
+        unified = None
+        for f in files:
+            s = pq.read_schema(f)
+            unified = s if unified is None else unify_schemas(unified, s)
+
+        def read_file(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            tabs = [
+                align_to_schema(pq.read_table(row["path"]), unified)
+                for row in batch.to_pylist()
+            ]
+            return pa.concat_tables(tabs) if tabs else unified.empty_table()
+
+        return ray.data.from_items([{"path": f} for f in files]).map_batches(
+            read_file, batch_size=1, batch_format="pyarrow"
+        )
+
     # -- changefeed (consumable CDC stream) ------------------------------
     def changes(
         self, since_epoch: int = -1, to_epoch: int | None = None
@@ -1450,6 +1555,14 @@ class CdcEngine:
                 manifests["late"] = self.late_manifest
                 records["late"] = {
                     "partitions": self.late_manifest.pointers(),
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": identity,
+                }
+            if self.expect_manifest is not None:
+                # append-only audit history, not rolled back (like late)
+                manifests["expect"] = self.expect_manifest
+                records["expect"] = {
+                    "partitions": self.expect_manifest.pointers(),
                     "metrics": {"mirror_of": self.out_dir},
                     "partitioning": identity,
                 }
@@ -2187,6 +2300,14 @@ class CdcEngine:
                 mig_manifests["late"] = self.late_manifest
                 mig_records["late"] = {
                     "partitions": self.late_manifest.pointers(),
+                    "metrics": {"mirror_of": self.out_dir},
+                    "partitioning": new_identity,
+                }
+            if self.expect_manifest is not None:
+                # expectation-quarantine audit: same not-rekeyed rule
+                mig_manifests["expect"] = self.expect_manifest
+                mig_records["expect"] = {
+                    "partitions": self.expect_manifest.pointers(),
                     "metrics": {"mirror_of": self.out_dir},
                     "partitioning": new_identity,
                 }

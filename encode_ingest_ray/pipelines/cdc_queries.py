@@ -1152,6 +1152,89 @@ def cdc_restore(sf_dir: str):
     return engine.final_dataset()
 
 
+#: Ingest expectations gate each key's EPOCH-WINNING version (post-LWW,
+#: deterministic under any blocking; tombstones bypass): the live table is
+#: the cross-epoch LWW fold of winners that pass, the quarantine table is
+#: the winners that fail, tagged with the rule name.
+_EXPECT_WINNERS_SQL = f"""
+WITH bounds AS (SELECT (MAX(event_id) + 3) // 3 AS size FROM events),
+ev AS (
+  SELECT *, lsn // (SELECT size FROM bounds) AS epoch FROM ({_DERIVE_SQL})
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY epoch, conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+win AS (SELECT * FROM ranked WHERE rn = 1)
+"""
+
+CDC_EXPECTATIONS_SQL = f"""
+{_EXPECT_WINNERS_SQL},
+keep AS (SELECT * FROM win WHERE op = 'delete' OR role <> 'tool'),
+refold AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn2
+  FROM keep
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM refold WHERE rn2 = 1 AND op <> 'delete'
+"""
+
+CDC_EXPECT_QUARANTINE_SQL = f"""
+{_EXPECT_WINNERS_SQL}
+SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn,
+       'role_not_tool' AS reason
+FROM win WHERE op <> 'delete' AND role = 'tool'
+"""
+
+
+def _role_not_tool(t: pa.Table) -> pa.Array:
+    return pc.not_equal(t.column("role"), pa.scalar("tool"))
+
+
+def _expectation_engine(sf_dir: str):
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcexp-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        expectations={"role_not_tool": _role_not_tool},
+    )
+    engine.run(events_dir)
+    return engine
+
+
+@register("cdc_expectations", CDC_EXPECTATIONS_SQL)
+def cdc_expectations(sf_dir: str):
+    """Ingest expectations (Delta-Live-Tables 'expect or drop' analog): a
+    declarative row-quality rule gates each key's epoch-winning version at
+    flush — evaluated post-LWW so the outcome is a pure function of the
+    input epoch (the block-level combiner makes per-raw-row checks depend
+    on block boundaries), committed atomically with the live table via the
+    TxnLog transaction.  Failing winners divert to the append-only expect/
+    audit chain and the key keeps its previous committed state; tombstones
+    bypass the rules (deletes are engine semantics, not payload).  The
+    oracle gates each epoch's window-function winner and refolds — live
+    rows exact.  Reference analog: the reference validates referential
+    integrity post-hoc in SQL views (analogs.py RI sweep); this moves the
+    gate INTO the exactly-once ingest path."""
+    return _expectation_engine(sf_dir).final_dataset()
+
+
+@register("cdc_expect_quarantine", CDC_EXPECT_QUARANTINE_SQL)
+def cdc_expect_quarantine(sf_dir: str):
+    """The expectation-quarantine audit table for cdc_expectations: each
+    failing epoch-winner lands append-only with op/lsn intact plus the
+    first-failing rule name in ``reason`` — the triage/re-drive surface
+    (fix upstream, re-emit with fresh lsns).  Oracle: the failing winners
+    of every epoch, exact."""
+    return _expectation_engine(sf_dir).expect_dataset()
+
+
 @register("cdc_replication", CDC_FINAL_SQL)
 def cdc_replication(sf_dir: str):
     """Changefeed-driven replication (CdcEngine.replicate_from): a replica

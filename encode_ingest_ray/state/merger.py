@@ -241,6 +241,8 @@ def _flush_partitions(
     lateness_us: int | None = None,
     postings_root: str | None = None,
     postings_column: str | None = None,
+    expect_root: str | None = None,
+    expectations: dict | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -324,6 +326,39 @@ def _flush_partitions(
                     out[part]["doc_stats"] = prev.get("doc_stats")
             continue
         delta = lww_reduce(fresh)
+        expect_path = None
+        expect_failed = 0
+        if expectations and delta.num_rows:
+            # ingest expectations (Delta-Live-Tables analog) gate each key's
+            # EPOCH-WINNING version — evaluated post-LWW so the outcome is a
+            # pure function of the input epoch (the block-level combiner may
+            # drop superseded versions before flush, so per-raw-row checks
+            # would depend on block boundaries).  Tombstones are engine
+            # semantics, not payload rows: they bypass the rules.  A failing
+            # winner is diverted whole (with a first-failing-rule ``reason``)
+            # to the append-only expect/ audit chain and the key keeps its
+            # previous committed state; failed lsns still advance the
+            # watermark (epoch_lsn_hi above), so replays stay exactly-once.
+            reason = pa.nulls(delta.num_rows, pa.string())
+            not_delete = pc.not_equal(delta.column("op"), pa.scalar("delete"))
+            for rule_name, pred in expectations.items():
+                ok = pc.fill_null(pc.cast(pred(delta), pa.bool_()), False)
+                fails_now = pc.and_(
+                    pc.and_(pc.invert(ok), not_delete), pc.is_null(reason)
+                )
+                reason = pc.if_else(fails_now, pa.scalar(rule_name), reason)
+            fail_mask = pc.is_valid(reason)
+            expect_failed = int(pc.sum(fail_mask).as_py() or 0)
+            if expect_failed:
+                failed = delta.filter(fail_mask).append_column(
+                    "reason", reason.filter(fail_mask)
+                )
+                expect_path = os.path.join(
+                    _part_dir(expect_root, part), f"delta-{epoch:06d}.parquet"
+                )
+                _atomic_write(failed, expect_path)
+                delta = delta.filter(pc.invert(fail_mask))
+        metrics["expect_failed"] = expect_failed
         wm = max(wm, epoch_lsn_hi)
         prev_ts = prev.get("ts_hi")
         ts_hi = int(pc.max(pc.cast(fresh.column("ts"), pa.int64())).as_py())
@@ -429,6 +464,7 @@ def _flush_partitions(
             "ts_hi": ts_hi,
             "turn_hi": turn_hi,
             "late_delta": late_path,
+            "expect_delta": expect_path,
             "cdf": cdf_path,
             "metrics": metrics,
         }
@@ -456,6 +492,8 @@ class PartitionMerger:
         lateness_us: int | None = None,
         postings_root: str | None = None,
         postings_column: str | None = None,
+        expect_root: str | None = None,
+        expectations: dict | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -467,6 +505,8 @@ class PartitionMerger:
         self.lateness_us = lateness_us
         self.postings_root = postings_root
         self.postings_column = postings_column
+        self.expect_root = expect_root
+        self.expectations = expectations
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -536,6 +576,8 @@ class PartitionMerger:
                 self.lateness_us,
                 self.postings_root,
                 self.postings_column,
+                self.expect_root,
+                self.expectations,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
