@@ -78,6 +78,11 @@ def main(argv=None) -> int:
                         "further behind the partition's applied high-water "
                         "mark divert to the append-only late/ audit table "
                         "(committed atomically with the live table)")
+    r.add_argument("--changefeed-preimages", action="store_true",
+                   help="retraction-capable changefeed (Delta-CDF 'full' "
+                        "mode): each commit also stores the previous live "
+                        "version of every touched key; enables "
+                        "`changes --cdf` and incremental downstream MVs")
     r.add_argument("--expect-not-null", action="append", default=None,
                    metavar="COL",
                    help="ingest expectation: quarantine epoch-winning "
@@ -199,6 +204,10 @@ def main(argv=None) -> int:
                     help="inclusive upper bound (default latest)")
     ch.add_argument("--dest", default=None, help="write the window here")
     ch.add_argument("--limit", type=int, default=10)
+    ch.add_argument("--cdf", action="store_true",
+                    help="emit the retraction-capable view (_change_type in "
+                         "{insert, update_preimage, update_postimage, "
+                         "delete}); requires run --changefeed-preimages")
 
     co = sub.add_parser(
         "consume",
@@ -403,6 +412,7 @@ def main(argv=None) -> int:
                 if args.lateness_s is not None else None
             )
             postings_column = args.postings_column
+            cdf_pre = True if args.changefeed_preimages else None
             expectations = None
             if args.expect_not_null or args.expect_nonempty:
                 from encode_ingest_ray.pipelines.cdc import (
@@ -423,7 +433,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
-                    expectations=expectations,
+                    expectations=expectations, changefeed_preimages=cdf_pre,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -446,7 +456,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
-                    expectations=expectations,
+                    expectations=expectations, changefeed_preimages=cdf_pre,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -455,7 +465,7 @@ def main(argv=None) -> int:
                     args.out, num_partitions=args.partitions,
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
-                    expectations=expectations,
+                    expectations=expectations, changefeed_preimages=cdf_pre,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":
@@ -565,8 +575,9 @@ def main(argv=None) -> int:
             ))))
         elif args.cmd == "changes":
             eng = CdcEngine(args.out)
-            feed = eng.changes(since_epoch=args.since_epoch,
-                               to_epoch=args.to_epoch)
+            reader = eng.changes_cdf if args.cdf else eng.changes
+            feed = reader(since_epoch=args.since_epoch,
+                          to_epoch=args.to_epoch)
             if args.dest:
                 feed.write_parquet(args.dest)
                 print(json.dumps({"dest": args.dest, "rows": feed.count()}))

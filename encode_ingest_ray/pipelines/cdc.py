@@ -216,6 +216,7 @@ class CdcEngine:
         ingest_transform=None,
         postings_column: str | None = None,
         expectations: dict | None = None,
+        changefeed_preimages: bool | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -277,6 +278,14 @@ class CdcEngine:
         # but an explicit new value simply applies going forward
         if lateness_us is None and committed is not None:
             lateness_us = committed.get("lateness_us")
+        # changefeed preimages are the same kind of policy knob: adopt the
+        # committed value so a resume keeps the feed retraction-capable
+        # (Delta-CDF "full" mode); an explicit value applies going forward
+        if changefeed_preimages is None:
+            changefeed_preimages = bool(
+                committed.get("changefeed_preimages")
+            ) if committed else False
+        self.changefeed_preimages = bool(changefeed_preimages)
         self.lateness_us = lateness_us
         self.late_root = (
             os.path.join(out_dir, "late") if lateness_us is not None else None
@@ -363,6 +372,7 @@ class CdcEngine:
                     self.postings_root, self.postings_column,
                     self.expect_root if self.expectations is not None else None,
                     self.expectations,
+                    self.changefeed_preimages,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -519,17 +529,22 @@ class CdcEngine:
         # it must NOT persist in the cumulative pointer map, where it would
         # outlive its epoch)
         changes: list[str] = []
+        preimages: list[str] = []
         for staged in staged_maps:
             for p, ptr in staged.items():
                 m = ptr.pop("metrics", {})
                 cdf = ptr.pop("cdf", None)
                 if cdf:
                     changes.append(cdf)
+                pre = ptr.pop("pre", None)
+                if pre:
+                    preimages.append(pre)
                 per_part_metrics[str(p)] = m
                 for k in totals:
                     totals[k] += m.get(k, 0)
                 pointers[str(p)] = ptr
         changes.sort()
+        preimages.sort()
         commit_s = time.perf_counter() - t1
         metrics = {
             **totals,
@@ -546,6 +561,7 @@ class CdcEngine:
             "index_columns": self.index_columns,
             "lateness_us": self.lateness_us,
             "postings_column": self.postings_column,
+            "changefeed_preimages": self.changefeed_preimages,
         }
         # late-quarantine chain: accumulate this epoch's per-partition late
         # deltas (riding the flush pointers) onto the committed late map —
@@ -581,6 +597,8 @@ class CdcEngine:
             "live": {"partitions": pointers, "metrics": metrics,
                      "partitioning": partitioning, "changes": changes}
         }
+        if self.changefeed_preimages:
+            records["live"]["preimages"] = preimages
         if self.index_manifest is not None:
             # covering index: the mirrored file chains publish in the same
             # transaction — a crash can never expose tables at different
@@ -617,8 +635,10 @@ class CdcEngine:
                 "partitioning": partitioning,
             }
         if len(manifests) == 1:
-            self.manifest.commit(epoch, pointers, metrics, partitioning,
-                                 changes=changes)
+            self.manifest.commit(
+                epoch, pointers, metrics, partitioning, changes=changes,
+                preimages=preimages if self.changefeed_preimages else None,
+            )
         else:
             self.txn.commit(epoch, manifests, records)
         if self.vacuum_retain is not None:
@@ -1340,6 +1360,132 @@ class CdcEngine:
 
         return ray.data.from_items(items).map_batches(
             read_change_file, batch_size=1, batch_format="pyarrow"
+        )
+
+    def changes_cdf(
+        self, since_epoch: int = -1, to_epoch: int | None = None
+    ) -> "ray.data.Dataset":
+        """The retraction-capable change stream (Delta-CDF "full" analog):
+        every change row tagged ``_change_type`` ∈ {insert,
+        update_preimage, update_postimage, delete} plus ``epoch``.
+        Requires the table to have run with ``changefeed_preimages=True``
+        for the whole window (each commit then stores an update-preimage
+        sidecar next to its change file); epochs without preimage records
+        raise ``ChangefeedHorizonError`` — tagging updates as inserts
+        would silently corrupt a downstream incremental MV.
+
+        Semantics per epoch and key (one winner per epoch, post-LWW):
+        new key → postimage tagged ``insert``; existing live key updated →
+        OLD row tagged ``update_preimage`` + new row ``update_postimage``;
+        existing live key tombstoned → OLD row tagged ``delete``; a
+        tombstone on an absent key is a no-op and emits nothing.  The
+        telescoping invariant downstream MVs rely on:
+        Σ(post-rows) − Σ(pre-rows) per key over any prefix of epochs ==
+        the live table — signed aggregation of the stream maintains any
+        sum/count-shaped view in O(changes) with no table rescans.
+        """
+        from encode_ingest_ray.schema import align_to_schema, unify_schemas
+
+        epochs = self.manifest.committed_epochs()
+        want = [
+            e for e in epochs
+            if e > since_epoch and (to_epoch is None or e <= to_epoch)
+        ]
+        items: list[dict] = []
+        paths_for_schema: list[str] = []
+        for e in want:
+            rec = self.manifest.read_epoch(e)
+            ch = rec.get("changes")
+            pre = rec.get("preimages")
+            if ch is None or pre is None:
+                raise ChangefeedHorizonError(
+                    f"epoch {e} has no CDF preimage record (committed "
+                    "without changefeed_preimages=True, or rewritten); "
+                    "re-sync downstream views from a snapshot"
+                )
+            missing = [f for f in list(ch) + list(pre) if not os.path.exists(f)]
+            if missing:
+                raise ChangefeedHorizonError(
+                    f"CDF file {missing[0]!r} for epoch {e} was vacuumed "
+                    f"(retain_epochs={self.vacuum_retain}); re-sync from a "
+                    "snapshot"
+                )
+            pre_by_part = {
+                int(re.search(r"part=(\d+)", f).group(1)): f for f in pre
+            }
+            for f in ch:
+                part = int(re.search(r"part=(\d+)", f).group(1))
+                # "" not None: from_items infers one schema across items
+                items.append({"epoch": e, "delta": f,
+                              "pre": pre_by_part.get(part, "")})
+            paths_for_schema += list(ch) + list(pre)
+        if not items:
+            return ray.data.from_items([])
+        import pyarrow.parquet as pq
+
+        unified = None
+        for f in paths_for_schema:
+            s = pq.read_schema(f)
+            unified = s if unified is None else unify_schemas(unified, s)
+        keys = ["conv_id", "turn_idx"]
+
+        def tag(t: pa.Table, label: str, epoch: int) -> pa.Table:
+            t = align_to_schema(t, unified)
+            t = t.add_column(
+                0, pa.field("epoch", pa.int64()),
+                pa.array([epoch] * t.num_rows, pa.int64()),
+            )
+            return t.append_column(
+                "_change_type", pa.array([label] * t.num_rows, pa.string())
+            )
+
+        def read_pair(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            out = []
+            for row in batch.to_pylist():
+                d = pq.read_table(row["delta"])
+                e = row["epoch"]
+                live = d.filter(
+                    pc.not_equal(d.column("op"), pa.scalar("delete"))
+                )
+                if not row["pre"]:
+                    # no key this epoch touched previously existed live:
+                    # everything applied is an insert; tombstones on absent
+                    # keys are no-ops
+                    if live.num_rows:
+                        out.append(tag(live, "insert", e))
+                    continue
+                p = pq.read_table(row["pre"])
+                del_keys = d.filter(
+                    pc.equal(d.column("op"), pa.scalar("delete"))
+                ).select(keys)
+                out.append(tag(
+                    p.join(del_keys, keys=keys, join_type="left semi"),
+                    "delete", e,
+                ))
+                out.append(tag(
+                    p.join(del_keys, keys=keys, join_type="left anti"),
+                    "update_preimage", e,
+                ))
+                prev_keys = p.select(keys)
+                out.append(tag(
+                    live.join(prev_keys, keys=keys, join_type="left semi"),
+                    "update_postimage", e,
+                ))
+                out.append(tag(
+                    live.join(prev_keys, keys=keys, join_type="left anti"),
+                    "insert", e,
+                ))
+            out = [t for t in out if t.num_rows]
+            if not out:
+                sch = unified.insert(0, pa.field("epoch", pa.int64()))
+                sch = sch.append(pa.field("_change_type", pa.string()))
+                return sch.empty_table()
+            return pa.concat_tables(out)
+
+        return ray.data.from_items(items).map_batches(
+            read_pair, batch_size=1, batch_format="pyarrow"
         )
 
     def _change_items(
@@ -2264,7 +2410,8 @@ class CdcEngine:
             new_identity = {"num_partitions": new_p, "turn_block": new_tb,
                             "index_columns": self.index_columns,
                             "lateness_us": self.lateness_us,
-                            "postings_column": self.postings_column}
+                            "postings_column": self.postings_column,
+                            "changefeed_preimages": self.changefeed_preimages}
             metrics = dict(latest.get("metrics", {}))
             metrics["migrated_from"] = old
             mig_manifests: dict[str, Manifest] = {"live": self.manifest}
@@ -2275,7 +2422,8 @@ class CdcEngine:
             mig_records: dict[str, dict] = {
                 "live": {"partitions": pointers, "metrics": metrics,
                          "partitioning": new_identity,
-                         "changes": latest.get("changes")}
+                         "changes": latest.get("changes"),
+                         "preimages": latest.get("preimages")}
             }
             if self.index_manifest is not None:
                 mig_manifests["index"] = self.index_manifest
@@ -2313,7 +2461,8 @@ class CdcEngine:
                 }
             if len(mig_manifests) == 1:
                 self.manifest.commit(epoch, pointers, metrics, new_identity,
-                                     changes=latest.get("changes"))
+                                     changes=latest.get("changes"),
+                                     preimages=latest.get("preimages"))
             else:
                 self.txn.commit(epoch, mig_manifests, mig_records)
             if self.vacuum_retain is not None:

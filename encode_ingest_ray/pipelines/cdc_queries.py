@@ -1235,6 +1235,141 @@ def cdc_expect_quarantine(sf_dir: str):
     return _expectation_engine(sf_dir).expect_dataset()
 
 
+#: Retraction-capable changefeed (Delta-CDF "full" mode): per epoch and key,
+#: the winner plus — when the key previously existed live — its committed
+#: preimage.  "Previously existed live" = the max-(ts, lsn) winner among
+#: PRIOR epochs is not a tombstone (exactly the engine's chain state).
+CDC_CHANGEFEED_CDF_SQL = f"""
+WITH bounds AS (SELECT (MAX(event_id) + 3) // 3 AS size FROM events),
+ev AS (
+  SELECT *, lsn // (SELECT size FROM bounds) AS epoch FROM ({_DERIVE_SQL})
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY epoch, conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+win AS (SELECT * FROM ranked WHERE rn = 1),
+prevw AS (
+  SELECT w.epoch AS epoch, w.op AS w_op,
+         p.conv_id, p.turn_idx, p.role, p.text, p.tool, p.ts, p.op, p.lsn,
+         row_number() OVER (PARTITION BY w.epoch, w.conv_id, w.turn_idx
+                            ORDER BY p.ts DESC, p.lsn DESC) AS prn
+  FROM win w JOIN win p
+    ON p.conv_id = w.conv_id AND p.turn_idx = w.turn_idx
+   AND p.epoch < w.epoch
+),
+pre AS (SELECT * FROM prevw WHERE prn = 1 AND op <> 'delete')
+SELECT epoch, conv_id, turn_idx, role, text, tool, ts, op, lsn,
+       CASE WHEN w_op = 'delete' THEN 'delete'
+            ELSE 'update_preimage' END AS _change_type
+FROM pre
+UNION ALL
+SELECT w.epoch, w.conv_id, w.turn_idx, w.role, w.text, w.tool, w.ts, w.op,
+       w.lsn,
+       CASE WHEN pre.conv_id IS NULL THEN 'insert'
+            ELSE 'update_postimage' END AS _change_type
+FROM win w LEFT JOIN pre
+  ON pre.epoch = w.epoch AND pre.conv_id = w.conv_id
+ AND pre.turn_idx = w.turn_idx
+WHERE w.op <> 'delete'
+"""
+
+
+def _preimage_engine(sf_dir: str):
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdccdf-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(
+        os.path.join(work, "out"), num_partitions=16, num_actors=4,
+        changefeed_preimages=True, vacuum_retain=None,
+    )
+    engine.run(events_dir)
+    return engine
+
+
+@register("cdc_changefeed_cdf", CDC_CHANGEFEED_CDF_SQL)
+def cdc_changefeed_cdf(sf_dir: str):
+    """Retraction-capable changefeed (CdcEngine.changes_cdf, the Delta-CDF
+    'full' / Debezium-before-image analog): with changefeed_preimages=True
+    every commit also stores the previous committed LIVE version of each
+    touched key (one chain read per dirty partition — the price of
+    retraction feeds, opt-in), and the feed tags rows _change_type ∈
+    {insert, update_preimage, update_postimage, delete} (deletes carry the
+    OLD row; tombstones on absent keys are no-ops).  Downstream views
+    maintain sums/counts in O(changes) via signed aggregation — see
+    cdc_incremental_mv.  The oracle re-derives preimages as the
+    max-(ts,lsn) prior-epoch winner when live — rows and tags exact."""
+    return _preimage_engine(sf_dir).changes_cdf()
+
+
+#: The MV a CDF consumer maintains: live per-conversation turn count and
+#: text size — equal to aggregating the final live table, by telescoping.
+CDC_INCREMENTAL_MV_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+),
+live AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT)   AS text_chars
+FROM live GROUP BY conv_id
+"""
+
+
+@register("cdc_incremental_mv", CDC_INCREMENTAL_MV_SQL)
+def cdc_incremental_mv(sf_dir: str):
+    """Incremental materialized view maintained purely from the CDF stream
+    (never a table rescan): each change row becomes a signed partial
+    (+1/+chars for insert/update_postimage, −1/−chars for update_preimage/
+    delete); the partials from two feed windows — the initial load (epochs
+    ≤1) and the incremental tail (epoch 2) — fold in one bucketed-sum
+    exchange, exactly how a downstream view keeps up per epoch.
+    Telescoping makes the result equal the live table's per-conversation
+    aggregates (fully-deleted conversations cancel to zero and drop).  The
+    oracle aggregates the final live fold directly — values exact."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    engine = _preimage_engine(sf_dir)
+
+    def signed(t: pa.Table) -> pa.Table:
+        pos = pc.is_in(
+            t.column("_change_type"),
+            value_set=pa.array(["insert", "update_postimage"]),
+        )
+        n = pc.if_else(pos, pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64()))
+        chars = pc.multiply(
+            pc.cast(pc.utf8_length(t.column("text")), pa.int64()), n
+        )
+        return pa.table(
+            {"conv_id": t.column("conv_id"), "n_turns": n, "text_chars": chars}
+        )
+
+    initial = engine.changes_cdf(to_epoch=1).map_batches(
+        signed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tail = engine.changes_cdf(since_epoch=1).map_batches(
+        signed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    mv = bucketed_sum_combine(
+        initial.union(tail), ["conv_id"], ["n_turns", "text_chars"]
+    )
+
+    def drop_cancelled(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("n_turns"), pa.scalar(0)))
+
+    return mv.map_batches(
+        drop_cancelled, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 @register("cdc_replication", CDC_FINAL_SQL)
 def cdc_replication(sf_dir: str):
     """Changefeed-driven replication (CdcEngine.replicate_from): a replica

@@ -130,6 +130,7 @@ class Manifest:
         partitioning: dict | None = None,
         changes: list[str] | None = None,
         restore_gen: int | None = None,
+        preimages: list[str] | None = None,
     ) -> dict:
         """Atomically publish the cumulative pointer map for ``epoch``.
         ``partitioning`` records the key->partition function parameters so a
@@ -147,6 +148,8 @@ class Manifest:
                                if restore_gen is None else int(restore_gen))}
         if changes is not None:
             rec["changes"] = changes
+        if preimages is not None:
+            rec["preimages"] = preimages
         self._write_json_atomic(rec, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
         return rec
 
@@ -163,6 +166,7 @@ class Manifest:
         partitioning: dict | None = None,
         changes: list[str] | None = None,
         restore_gen: int | None = None,
+        preimages: list[str] | None = None,
     ) -> str:
         """Write the epoch's manifest record to a STAGED path (atomic, but
         not yet visible as a commit).  ``TxnLog.commit`` publishes staged
@@ -174,6 +178,8 @@ class Manifest:
                                if restore_gen is None else int(restore_gen))}
         if changes is not None:
             rec["changes"] = changes
+        if preimages is not None:
+            rec["preimages"] = preimages
         path = self.staged_path(epoch)
         self._write_json_atomic(rec, path)
         return path
@@ -228,15 +234,18 @@ class Manifest:
                     referenced.add(os.path.abspath(ptr["dl_base"]))
                 for d in ptr.get("dl_deltas", []):
                     referenced.add(os.path.abspath(d))
-            # changefeed files of retained epochs stay readable — the
-            # retention window IS the feed's horizon (a consumer lagging
-            # past it must re-sync from a snapshot, the Delta-CDF rule)
+            # changefeed files (and their CDF preimage sidecars) of retained
+            # epochs stay readable — the retention window IS the feed's
+            # horizon (a consumer lagging past it must re-sync from a
+            # snapshot, the Delta-CDF rule)
             for c in rec.get("changes") or []:
+                referenced.add(os.path.abspath(c))
+            for c in rec.get("preimages") or []:
                 referenced.add(os.path.abspath(c))
         deleted = 0
         freed = 0
         for f in glob.glob(os.path.join(self.root, "part=*", "*.parquet")):
-            m = re.search(r"(?:base|delta)-(\d+)(?:-mig)?\.parquet$", f)
+            m = re.search(r"(?:base|delta|pre)-(\d+)(?:-mig)?\.parquet$", f)
             if m is None or int(m.group(1)) > latest_epoch:
                 continue
             if os.path.abspath(f) in referenced:

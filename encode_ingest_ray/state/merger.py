@@ -243,6 +243,7 @@ def _flush_partitions(
     postings_column: str | None = None,
     expect_root: str | None = None,
     expectations: dict | None = None,
+    cdf_preimages: bool = False,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -384,9 +385,38 @@ def _flush_partitions(
         # compaction epoch folds the delta into the base, so the feed costs
         # one extra small write there.  Vacuum retention is the horizon.
         cdf_path = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
-        if len(deltas) + 1 >= compact_every:
+        compacting = len(deltas) + 1 >= compact_every
+        pre_path = None
+        prev_state = None
+        if (cdf_preimages or compacting) and (base or deltas):
+            # one chain read serves both the preimage lookup and (on
+            # compaction epochs) the base fold
+            prev_state = load_partition_state({"base": base, "deltas": deltas})
+        if cdf_preimages and delta.num_rows and prev_state is not None:
+            # Delta-CDF "full" mode: the previous committed LIVE version of
+            # every key this epoch touches, written as a sidecar next to the
+            # change file (manifest record-level ``preimages`` list).  The
+            # preimage derives from COMMITTED state, so replays re-stage
+            # identical bytes.  Cost: the chain read above per dirty
+            # partition per epoch — the price of retraction-capable feeds;
+            # opt-in (changefeed_preimages=True).
+            live_prev = prev_state.filter(
+                pc.not_equal(prev_state.column("op"), pa.scalar("delete"))
+            )
+            if live_prev.num_rows:
+                pre = live_prev.join(
+                    delta.select(["conv_id", "turn_idx"]),
+                    keys=["conv_id", "turn_idx"],
+                    join_type="left semi",
+                )
+                if pre.num_rows:
+                    pre_path = os.path.join(
+                        _part_dir(out_dir, part), f"pre-{epoch:06d}.parquet"
+                    )
+                    _atomic_write(pre, pre_path)
+        if compacting:
             # amortized compaction: fold base+deltas+this delta into a base
-            state = load_partition_state({"base": base, "deltas": deltas})
+            state = prev_state
             state = (
                 delta if state is None else lww_reduce(_concat_unified([state, delta]))
             )
@@ -466,6 +496,7 @@ def _flush_partitions(
             "late_delta": late_path,
             "expect_delta": expect_path,
             "cdf": cdf_path,
+            "pre": pre_path,
             "metrics": metrics,
         }
         if postings_root is not None:
@@ -494,6 +525,7 @@ class PartitionMerger:
         postings_column: str | None = None,
         expect_root: str | None = None,
         expectations: dict | None = None,
+        cdf_preimages: bool = False,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -507,6 +539,7 @@ class PartitionMerger:
         self.postings_column = postings_column
         self.expect_root = expect_root
         self.expectations = expectations
+        self.cdf_preimages = cdf_preimages
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -578,6 +611,7 @@ class PartitionMerger:
                 self.postings_column,
                 self.expect_root,
                 self.expectations,
+                self.cdf_preimages,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
