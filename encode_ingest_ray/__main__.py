@@ -351,6 +351,32 @@ def main(argv=None) -> int:
                     len(p.get("deltas", []))
                     for p in late["partitions"].values()
                 )
+        if part.get("changefeed_preimages"):
+            out["changefeed_preimages"] = True
+        if os.path.isdir(os.path.join(args.out, "expect", "_manifest")):
+            exp = Manifest(os.path.join(args.out, "expect")).latest()
+            if exp:
+                out["expect_files"] = sum(
+                    len(p.get("deltas", []))
+                    for p in exp["partitions"].values()
+                )
+        out["restore_gen"] = int(rec.get("restore_gen", 0) or 0)
+        # replication: this table's upstream cursor (if it is a replica)
+        # and its downstream consumer-group checkpoints (if any)
+        cur = os.path.join(args.out, "_replication", "cursor.json")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                out["replication_cursor"] = json.load(f)
+        cons_dir = os.path.join(args.out, "_consumers")
+        if os.path.isdir(cons_dir):
+            out["consumers"] = {}
+            for name in sorted(os.listdir(cons_dir)):
+                if name.endswith(".json") and not name.startswith("."):
+                    with open(os.path.join(cons_dir, name)) as f:
+                        epoch = int(json.load(f)["epoch"])
+                    out["consumers"][name[:-5]] = {
+                        "epoch": epoch, "lag": rec["epoch"] - epoch,
+                    }
         print(json.dumps(out))
         return 0
 

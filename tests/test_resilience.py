@@ -264,3 +264,72 @@ def test_kill9_process_resume_120_epochs(tmp_path):
     # 120 epochs with default compact_every=8: chains stayed bounded
     for info in eng_k.partition_files().values():
         assert len(info["deltas"]) < 8
+
+
+def test_kill9_replication_resume(tmp_path):
+    """Replication crash window through a REAL process boundary: the
+    `replicate` CLI child is SIGKILLed mid-catch-up, a fresh process
+    resumes from the replica's committed-epoch checkpoint, a further call
+    is a no-op, and the replica equals the source exactly (on different
+    partitioning)."""
+    import json as _json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    events_dir = str(tmp_path / "ev")
+    generate_cdc_events(
+        events_dir, n_events=60_000, n_convs=300, epochs=60, seed=29,
+        dup_ratio=0.05,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    env.pop("RAY_ADDRESS", None)
+    src_out = str(tmp_path / "src")
+    r = subprocess.run(
+        [sys.executable, "-m", "encode_ingest_ray", "--num-cpus", "4",
+         "run", "--events", events_dir, "--out", src_out,
+         "--partitions", "8"],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    rep_out = str(tmp_path / "rep")
+    repl_cmd = [sys.executable, "-m", "encode_ingest_ray", "--num-cpus", "4",
+                "replicate", "--out", rep_out, "--source", src_out,
+                "--partitions", "5"]
+    p = subprocess.Popen(repl_cmd, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    from encode_ingest_ray.state.manifest import Manifest
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        n = len(Manifest(rep_out).committed_epochs())
+        if n >= 10:
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.2)
+    assert p.poll() is None, "replication finished before the kill window"
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+    at_kill = len(Manifest(rep_out).committed_epochs())
+    assert 0 < at_kill < 60
+
+    r2 = subprocess.run(repl_cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    resume = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert resume["from_epoch"] == at_kill - 1
+    assert resume["to_epoch"] == 59
+    assert resume["epochs_run"] == 60 - at_kill
+    r3 = subprocess.run(repl_cmd, env=env, capture_output=True, text=True)
+    replay = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert replay["epochs_run"] == 0
+
+    src = CdcEngine(src_out, num_actors=2)
+    rep = CdcEngine(rep_out, num_actors=2)
+    got, ref = rep.final_table(), src.final_table()
+    cols = sorted(got.column_names)
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert got.select(cols).sort_by(key).equals(ref.select(cols).sort_by(key))
