@@ -392,7 +392,18 @@ def cdc_schema_evolution(sf_dir: str):
     _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3, evolve_at=EVOLVE_AT)
     engine = CdcEngine(os.path.join(work, "out"), num_partitions=16, num_actors=4)
     engine.run(events_dir)
-    return engine.final_dataset()
+
+    def ensure_model(t: pa.Table) -> pa.Table:
+        # a corpus small enough that NO event reaches EVOLVE_AT never grows
+        # the column at all (sf0.001); the oracle still projects it as
+        # all-null — align the degenerate case instead of dropping the col
+        if "model" in t.column_names:
+            return t
+        return t.append_column("model", pa.nulls(t.num_rows, pa.string()))
+
+    return engine.final_dataset().map_batches(
+        ensure_model, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 CDC_TOMBSTONES_SQL = f"""
