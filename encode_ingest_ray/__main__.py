@@ -267,6 +267,23 @@ def main(argv=None) -> int:
                          "fold every base+delta chain into one compacted "
                          "base per partition)")
 
+    rn = sub.add_parser(
+        "rename-column",
+        help="metadata-only column rename (one manifest re-commit; old "
+             "files map at read via the epoch-stamped schema log)",
+    )
+    rn.add_argument("--out", required=True)
+    rn.add_argument("--from", dest="old", required=True, metavar="OLD")
+    rn.add_argument("--to", dest="new", required=True, metavar="NEW")
+
+    dc = sub.add_parser(
+        "drop-column",
+        help="metadata-only column drop (the column leaves the logical "
+             "schema; later ingest may re-introduce the name as a new column)",
+    )
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--column", required=True)
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query over a table directory "
@@ -361,6 +378,8 @@ def main(argv=None) -> int:
                     for p in exp["partitions"].values()
                 )
         out["restore_gen"] = int(rec.get("restore_gen", 0) or 0)
+        if rec.get("schema_log"):
+            out["schema_log"] = rec["schema_log"]
         # replication: this table's upstream cursor (if it is a replica)
         # and its downstream consumer-group checkpoints (if any)
         cur = os.path.join(args.out, "_replication", "cursor.json")
@@ -623,6 +642,12 @@ def main(argv=None) -> int:
             boot = {"auto": "auto", "always": True, "never": False}[args.bootstrap]
             print(json.dumps(rep.replicate_from(
                 src, max_epochs=args.max_epochs, bootstrap=boot)))
+        elif args.cmd == "rename-column":
+            eng = CdcEngine(args.out)
+            print(json.dumps(eng.rename_column(args.old, args.new)))
+        elif args.cmd == "drop-column":
+            eng = CdcEngine(args.out)
+            print(json.dumps(eng.drop_column(args.column)))
         elif args.cmd == "migrate":
             eng = CdcEngine(args.out)
             print(

@@ -336,6 +336,11 @@ class CdcEngine:
         self.expect_manifest = (
             Manifest(self.expect_root) if self.expect_root is not None else None
         )
+        #: replication-only: a schema log to commit with the next run()'s
+        #: epochs instead of carrying the (empty) local one — a replica
+        #: mirrors the source's rename/drop history so its identically
+        #: epoch-numbered files map identically (see replicate_from)
+        self._schema_log_override: list | None = None
         self._actors: list | None = None
         # partitioning is part of the table's durable identity: state files
         # are keyed by hash(conv_id, turn_idx//turn_block) % num_partitions,
@@ -353,6 +358,123 @@ class CdcEngine:
                 f"num_partitions={self.num_partitions}, turn_block={self.turn_block}. "
                 "Resume with the original parameters."
             )
+
+    # -- schema evolution (metadata-only rename / drop) -------------------
+    def schema_log(self, epoch: int | None = None) -> list:
+        """The committed schema-evolution log (state/schemalog.py) — of the
+        latest commit, or of a historical epoch's record (time travel)."""
+        rec = (
+            self.manifest.latest()
+            if epoch is None
+            else self.manifest.read_epoch(epoch)
+        )
+        return list((rec or {}).get("schema_log") or [])
+
+    def _effective_schema_log(self) -> list:
+        return (
+            self._schema_log_override
+            if self._schema_log_override is not None
+            else self.schema_log()
+        )
+
+    def _logical_columns(self, pointers: dict, log: list) -> set[str]:
+        """Current logical column set: union of every pointer file's footer
+        schema mapped through the log.  Footer-only reads, driver-side —
+        acceptable for a rare admin operation (one IO per chain file)."""
+        import pyarrow.parquet as pq
+
+        from encode_ingest_ray.state.schemalog import file_epoch, map_schema
+
+        cols: set[str] = set()
+        for ptr in pointers.values():
+            for f in ([ptr["base"]] if ptr.get("base") else []) + list(
+                ptr.get("deltas", [])
+            ):
+                s = pq.read_schema(f)
+                cols.update(map_schema(s, file_epoch(f), log).names)
+        return cols
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column RENAME: one manifest re-commit, zero data
+        movement (Iceberg/Delta column-mapping analog).  The entry is
+        epoch-stamped: files committed up to now keep their physical name
+        and are mapped at read; ingest from here on must use the NEW name
+        (an old-named column in later events is a fresh additive column).
+        Forbidden for LWW key/merge metadata and for configured
+        ``index_columns`` / ``postings_column`` (the mirrored chains key on
+        them).  The lateness/expectation audit chains keep raw physical
+        rows (they record what the source SENT); ``consume`` also stays
+        physical (its replay contract is byte-equality) — ``changes()`` /
+        ``changes_cdf()`` / all table reads are logical."""
+        return self._schema_op({"op": "rename", "from": old, "to": new})
+
+    def drop_column(self, column: str) -> dict:
+        """Metadata-only column DROP: the column leaves the logical schema
+        everywhere up to this commit; later ingest may re-introduce the
+        name as a NEW column (old files' values stay invisible — the
+        epoch-stamp rule in state/schemalog.py)."""
+        return self._schema_op({"op": "drop", "column": column})
+
+    def _schema_op(self, entry: dict) -> dict:
+        from encode_ingest_ray.state.merger import LWW_META_COLUMNS
+
+        self.manifest.acquire_run_lock()
+        try:
+            latest = self.manifest.latest()
+            if latest is None:
+                raise ValueError("nothing committed yet — no schema to evolve")
+            epoch = int(latest["epoch"])
+            log = list(latest.get("schema_log") or [])
+            protected = set(LWW_META_COLUMNS)
+            protected.update(self.index_columns or [])
+            if self.postings_column:
+                protected.add(self.postings_column)
+            target = entry["from"] if entry["op"] == "rename" else entry["column"]
+            if target in protected:
+                raise ValueError(
+                    f"column {target!r} is protected (LWW key/merge metadata, "
+                    "covering-index or postings column) — it cannot be "
+                    "renamed or dropped"
+                )
+            logical = self._logical_columns(latest["partitions"], log)
+            if target not in logical:
+                raise ValueError(
+                    f"column {target!r} is not in the table's logical schema "
+                    f"({sorted(logical)})"
+                )
+            if entry["op"] == "rename":
+                new = entry["to"]
+                if new == entry["from"]:
+                    raise ValueError("rename to the same name is a no-op")
+                if new in protected:
+                    raise ValueError(
+                        f"cannot rename onto protected name {new!r}"
+                    )
+                if new in logical:
+                    raise ValueError(
+                        f"column {new!r} already exists in the logical schema"
+                    )
+            stamped = {"epoch": epoch, **entry}
+            new_log = log + [stamped]
+            metrics = dict(latest.get("metrics", {}))
+            metrics["schema_op"] = stamped
+            # same-epoch manifest re-commit (the migrate/restore pattern):
+            # pointers, partitioning, changefeed records all carry verbatim;
+            # only the schema log grows.  Sibling chains don't carry the log
+            # (index/postings columns are rename-protected), so the single
+            # live-manifest commit is atomic on its own.
+            self.manifest.commit(
+                epoch,
+                dict(latest["partitions"]),
+                metrics,
+                latest.get("partitioning"),
+                changes=latest.get("changes"),
+                preimages=latest.get("preimages"),
+                schema_log=new_log,
+            )
+            return {"epoch": epoch, "schema_log": new_log}
+        finally:
+            self.manifest.release_run_lock()
 
     # -- actor pool ------------------------------------------------------
     def _spawn_actors(self) -> list:
@@ -373,6 +495,7 @@ class CdcEngine:
                     self.expect_root if self.expectations is not None else None,
                     self.expectations,
                     self.changefeed_preimages,
+                    self._effective_schema_log(),
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -597,6 +720,10 @@ class CdcEngine:
             "live": {"partitions": pointers, "metrics": metrics,
                      "partitioning": partitioning, "changes": changes}
         }
+        if self._schema_log_override is not None:
+            # replication: commit the source's schema history with every
+            # mirrored epoch (None = carry the local log forward as usual)
+            records["live"]["schema_log"] = self._schema_log_override
         if self.changefeed_preimages:
             records["live"]["preimages"] = preimages
         if self.index_manifest is not None:
@@ -638,6 +765,7 @@ class CdcEngine:
             self.manifest.commit(
                 epoch, pointers, metrics, partitioning, changes=changes,
                 preimages=preimages if self.changefeed_preimages else None,
+                schema_log=self._schema_log_override,
             )
         else:
             self.txn.commit(epoch, manifests, records)
@@ -829,7 +957,9 @@ class CdcEngine:
             for p, ptr in pointers.items()
             if int(p) in cand
         }
-        ds = self._merge_on_read(parts, columns)
+        ds = self._merge_on_read(
+            parts, columns, schema_log=list((rec or {}).get("schema_log") or [])
+        )
         want = pa.array(sorted(set(conv_ids)), pa.string())
 
         def keep(t: pa.Table) -> pa.Table:
@@ -1335,15 +1465,19 @@ class CdcEngine:
         reads and schema alignment run as Ray tasks.
         """
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
+        from encode_ingest_ray.state.schemalog import map_schema, map_table
 
         items = self._change_items(since_epoch, to_epoch)
         if not items:
             return ray.data.from_items([])
         import pyarrow.parquet as pq
 
+        # the stream is LOGICAL: pre-rename epochs' files map to current
+        # names (a change file of epoch e maps with file-epoch e)
+        log = self.schema_log()
         unified = None
         for it in items:
-            s = pq.read_schema(it["path"])
+            s = map_schema(pq.read_schema(it["path"]), it["epoch"], log)
             unified = s if unified is None else unify_schemas(unified, s)
 
         def read_change_file(batch: pa.Table) -> pa.Table:
@@ -1351,7 +1485,8 @@ class CdcEngine:
 
             tabs = []
             for row in batch.to_pylist():
-                t = align_to_schema(pq.read_table(row["path"]), unified)
+                t = map_table(pq.read_table(row["path"]), row["epoch"], log)
+                t = align_to_schema(t, unified)
                 tabs.append(t.add_column(
                     0, pa.field("epoch", pa.int64()),
                     pa.array([row["epoch"]] * t.num_rows, pa.int64()),
@@ -1385,14 +1520,16 @@ class CdcEngine:
         sum/count-shaped view in O(changes) with no table rescans.
         """
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
+        from encode_ingest_ray.state.schemalog import map_schema, map_table
 
+        log = self.schema_log()
         epochs = self.manifest.committed_epochs()
         want = [
             e for e in epochs
             if e > since_epoch and (to_epoch is None or e <= to_epoch)
         ]
         items: list[dict] = []
-        paths_for_schema: list[str] = []
+        paths_for_schema: list[tuple[str, int]] = []
         for e in want:
             rec = self.manifest.read_epoch(e)
             ch = rec.get("changes")
@@ -1418,14 +1555,14 @@ class CdcEngine:
                 # "" not None: from_items infers one schema across items
                 items.append({"epoch": e, "delta": f,
                               "pre": pre_by_part.get(part, "")})
-            paths_for_schema += list(ch) + list(pre)
+            paths_for_schema += [(f, e) for f in list(ch) + list(pre)]
         if not items:
             return ray.data.from_items([])
         import pyarrow.parquet as pq
 
         unified = None
-        for f in paths_for_schema:
-            s = pq.read_schema(f)
+        for f, e in paths_for_schema:
+            s = map_schema(pq.read_schema(f), e, log)
             unified = s if unified is None else unify_schemas(unified, s)
         keys = ["conv_id", "turn_idx"]
 
@@ -1444,8 +1581,8 @@ class CdcEngine:
 
             out = []
             for row in batch.to_pylist():
-                d = pq.read_table(row["delta"])
                 e = row["epoch"]
+                d = map_table(pq.read_table(row["delta"]), e, log)
                 live = d.filter(
                     pc.not_equal(d.column("op"), pa.scalar("delete"))
                 )
@@ -1456,7 +1593,7 @@ class CdcEngine:
                     if live.num_rows:
                         out.append(tag(live, "insert", e))
                     continue
-                p = pq.read_table(row["pre"])
+                p = map_table(pq.read_table(row["pre"]), e, log)
                 del_keys = d.filter(
                     pc.equal(d.column("op"), pa.scalar("delete"))
                 ).select(keys)
@@ -1679,7 +1816,12 @@ class CdcEngine:
             manifests: dict[str, Manifest] = {"live": self.manifest}
             records: dict[str, dict] = {
                 "live": {"partitions": pointers, "metrics": metrics,
-                         "partitioning": identity, "restore_gen": gen}
+                         "partitioning": identity, "restore_gen": gen,
+                         # schema log rewinds WITH the data: the restored
+                         # table must equal the time-travel snapshot at
+                         # to_epoch, which reads with the historical log
+                         # ([] = explicitly empty, not carry-forward)
+                         "schema_log": list(rec.get("schema_log") or [])}
             }
             if self.index_manifest is not None:
                 idx_rec = self.index_manifest.read_epoch(to_epoch)
@@ -1714,7 +1856,8 @@ class CdcEngine:
                 }
             if len(manifests) == 1:
                 self.manifest.commit(
-                    epoch, pointers, metrics, identity, restore_gen=gen
+                    epoch, pointers, metrics, identity, restore_gen=gen,
+                    schema_log=list(rec.get("schema_log") or []),
                 )
             else:
                 self.txn.commit(epoch, manifests, records)
@@ -1858,6 +2001,7 @@ class CdcEngine:
                 epoch_files = [[] for _ in range(since + 1)] + [
                     sorted(by_epoch.get(e, ())) for e in range(since + 1, to + 1)
                 ]
+        src_log = source.schema_log()
         if epoch_files is None:
             # snapshot catch-up: the source's full current chain applies as
             # the latest epoch (empty fillers keep the resume index dense).
@@ -1876,17 +2020,60 @@ class CdcEngine:
                     f"source state file {missing[0]!r} is gone — cannot "
                     "bootstrap from a partially vacuumed source"
                 )
+            if src_log:
+                # the bootstrap folds MIXED-epoch chain files into ONE
+                # replica epoch, which breaks the per-epoch mapping rule for
+                # any file the schema log still applies to.  Refuse loudly
+                # unless every chain file already carries logical names
+                # (footer check — a migrate(force=True) rewrite, or files
+                # that postdate the last schema op, both pass).
+                import pyarrow.parquet as _pq
+
+                from encode_ingest_ray.state.schemalog import (
+                    file_epoch,
+                    map_schema,
+                )
+
+                hi = max(int(e["epoch"]) for e in src_log)
+                stale = [
+                    f
+                    for f in chain
+                    if file_epoch(f) <= hi
+                    and map_schema(
+                        _pq.read_schema(f), file_epoch(f), src_log
+                    ).names
+                    != _pq.read_schema(f).names
+                ]
+                if stale:
+                    raise ValueError(
+                        f"source {source.out_dir!r} has schema-log entries "
+                        f"(rename/drop) that still apply to {len(stale)} of "
+                        "its chain files — a snapshot bootstrap would fold "
+                        "pre-rename physical names into one replica epoch. "
+                        "Run source.migrate(force=True) first (OPTIMIZE "
+                        "rewrites the chain to current logical names), then "
+                        "bootstrap."
+                    )
             epoch_files = [[] for _ in range(to)] + [sorted(chain)]
             summary_base["bootstrapped"] = True
         # change rows are already source-transformed: the replica's
         # ingest_transform must not see them (same rule as delete_where's
-        # engine-authored tombstones)
+        # engine-authored tombstones).  The replica also mirrors the
+        # source's schema log: its epochs (and so its file epochs) number
+        # 1:1 with the source's, so the same epoch-stamped entries map its
+        # own pre-rename files identically — committing the FULL current
+        # log with every mirrored epoch is safe even mid-catchup (a file at
+        # epoch e <= entry.epoch holds pre-rename change rows by
+        # construction, which is exactly when the entry applies).
         saved_transform = self.ingest_transform
         self.ingest_transform = None
+        if src_log:
+            self._schema_log_override = src_log
         try:
             summary = self.run(epoch_files=epoch_files)
         finally:
             self.ingest_transform = saved_transform
+            self._schema_log_override = None
         # pin the source generation we synced under (atomic tmp+rename; a
         # crash before this line re-runs the gen check against an unchanged
         # source next call — safe).  Single-writer source assumed during one
@@ -2076,11 +2263,21 @@ class CdcEngine:
         projection down to the per-file parquet reads — merge metadata is
         still read for the LWW resolve, but unrequested payload (the wide
         transcript text) is never decoded or moved.
+
+        Metadata-only renames/drops (state/schemalog.py) are applied with
+        the record's OWN schema log, so a time-travel read shows the
+        logical schema as of that commit.
         """
-        return self._merge_on_read(self.partition_files(epoch), columns)
+        return self._merge_on_read(
+            self.partition_files(epoch), columns,
+            schema_log=self.schema_log(epoch),
+        )
 
     def _merge_on_read(
-        self, parts: dict[int, dict], columns: list[str] | None = None
+        self,
+        parts: dict[int, dict],
+        columns: list[str] | None = None,
+        schema_log: list | None = None,
     ) -> "ray.data.Dataset":
         from encode_ingest_ray.schema import align_to_schema, unify_schemas
         from encode_ingest_ray.state.lww import live_view
@@ -2088,14 +2285,19 @@ class CdcEngine:
 
         if not parts:
             return ray.data.from_items([])
+        log = list(schema_log or [])
 
         @ray.remote(num_cpus=0)
         def _partition_schema(files: list[str]) -> bytes:
             import pyarrow.parquet as pq
 
+            from encode_ingest_ray.state.schemalog import file_epoch, map_schema
+
             u = None
             for f in files:
                 s = pq.read_schema(f)
+                if log:
+                    s = map_schema(s, file_epoch(f), log)
                 u = s if u is None else unify_schemas(u, s)
             return u.serialize().to_pybytes()
 
@@ -2126,6 +2328,7 @@ class CdcEngine:
                 state = load_partition_state(
                     {"base": row["base"] or None, "deltas": list(row["deltas"])},
                     columns=columns,
+                    schema_log=log,
                 )
                 if state is not None and state.num_rows:
                     tables.append(
@@ -2230,14 +2433,26 @@ class CdcEngine:
                        if p.get("ts_hi") is not None]
             ts_hi_global = max(ts_vals) if ts_vals else None
 
-            # unified state schema across old partitions (schema evolution)
+            # unified state schema across old partitions (schema evolution);
+            # the schema log maps old files to LOGICAL names — the rewritten
+            # mig files then carry logical names at their own epoch, which
+            # is exactly what the epoch-stamp read rule expects
+            mig_log = self.schema_log()
+
             @ray.remote(num_cpus=0)
             def _part_schema(files: list[str]) -> bytes:
                 import pyarrow.parquet as pq
 
+                from encode_ingest_ray.state.schemalog import (
+                    file_epoch,
+                    map_schema,
+                )
+
                 u = None
                 for f in files:
                     s = pq.read_schema(f)
+                    if mig_log:
+                        s = map_schema(s, file_epoch(f), mig_log)
                     u = s if u is None else unify_schemas(u, s)
                 return u.serialize().to_pybytes()
 
@@ -2264,7 +2479,8 @@ class CdcEngine:
                 tabs = []
                 for row in batch.to_pylist():
                     st = load_partition_state(
-                        {"base": row["base"] or None, "deltas": list(row["deltas"])}
+                        {"base": row["base"] or None, "deltas": list(row["deltas"])},
+                        schema_log=mig_log,
                     )
                     if st is not None and st.num_rows:
                         tabs.append(align_to_schema(st, unified))

@@ -406,6 +406,62 @@ def cdc_schema_evolution(sf_dir: str):
     )
 
 
+CDC_RENAME_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text AS body, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@register("cdc_schema_rename", CDC_RENAME_SQL)
+def cdc_schema_rename(sf_dir: str):
+    """Metadata-only rename + drop through the FULL engine (state/
+    schemalog.py): epochs 0-1 ingest with payload columns (text, tool);
+    then ``rename_column('text','body')`` + ``drop_column('tool')`` — one
+    manifest re-commit each, zero data rewritten — and epoch 2's events
+    arrive under the NEW schema (column ``body``, no ``tool``).  The final
+    live view must present ONE ``body`` column merging pre-rename physical
+    ``text`` with post-rename ``body`` (the oracle is the plain upsert
+    winner set with ``text AS body``: a rename changes no values).  Any
+    mapping bug splits the column or leaks ``tool`` — both hash-fail."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+    work = tempfile.mkdtemp(prefix=f"cdcren-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    epochs = discover_epoch_files(events_dir)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16,
+                       num_actors=4, compact_every=2)
+    engine.run(epoch_files=epochs[:2])
+    engine.rename_column("text", "body")
+    engine.drop_column("tool")
+
+    # the post-rename producer ships epoch 2 under the new schema
+    def to_new_schema(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            ["body" if c == "text" else c for c in t.column_names]
+        )
+        return t.drop_columns([c for c in ("tool",) if c in t.column_names])
+
+    renamed_dir = os.path.join(work, "events-renamed")
+    ray.data.read_parquet(epochs[2]).map_batches(
+        to_new_schema, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).write_parquet(renamed_dir)
+    epochs[2] = sorted(
+        os.path.join(renamed_dir, f) for f in os.listdir(renamed_dir)
+        if f.endswith(".parquet")
+    )
+    engine.run(epoch_files=epochs)
+    return engine.final_dataset()
+
+
 CDC_TOMBSTONES_SQL = f"""
 WITH ev AS ({_DERIVE_SQL}),
 ranked AS (

@@ -122,6 +122,15 @@ class Manifest:
         prev = self.latest()
         return int(prev.get("restore_gen", 0) or 0) if prev else 0
 
+    def _carried_schema_log(self) -> list:
+        """Schema-evolution log (state/schemalog.py) carried forward from
+        the latest commit — every ordinary commit inherits it; only
+        ``rename_column``/``drop_column`` append, and ``restore`` rewinds
+        it to the restored epoch's log (pass an explicit list, [] to
+        clear)."""
+        prev = self.latest()
+        return list(prev.get("schema_log") or []) if prev else []
+
     def commit(
         self,
         epoch: int,
@@ -131,6 +140,7 @@ class Manifest:
         changes: list[str] | None = None,
         restore_gen: int | None = None,
         preimages: list[str] | None = None,
+        schema_log: list | None = None,
     ) -> dict:
         """Atomically publish the cumulative pointer map for ``epoch``.
         ``partitioning`` records the key->partition function parameters so a
@@ -150,6 +160,9 @@ class Manifest:
             rec["changes"] = changes
         if preimages is not None:
             rec["preimages"] = preimages
+        log = self._carried_schema_log() if schema_log is None else list(schema_log)
+        if log:
+            rec["schema_log"] = log
         self._write_json_atomic(rec, os.path.join(self.dir, f"epoch={epoch:06d}.json"))
         return rec
 
@@ -167,6 +180,7 @@ class Manifest:
         changes: list[str] | None = None,
         restore_gen: int | None = None,
         preimages: list[str] | None = None,
+        schema_log: list | None = None,
     ) -> str:
         """Write the epoch's manifest record to a STAGED path (atomic, but
         not yet visible as a commit).  ``TxnLog.commit`` publishes staged
@@ -180,6 +194,9 @@ class Manifest:
             rec["changes"] = changes
         if preimages is not None:
             rec["preimages"] = preimages
+        log = self._carried_schema_log() if schema_log is None else list(schema_log)
+        if log:
+            rec["schema_log"] = log
         path = self.staged_path(epoch)
         self._write_json_atomic(rec, path)
         return path

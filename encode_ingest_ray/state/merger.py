@@ -190,24 +190,51 @@ def doc_stats_of(doclens: pa.Table | None) -> dict:
 LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
 
-def load_partition_state(ptr: dict, columns: list[str] | None = None) -> pa.Table | None:
+def load_partition_state(
+    ptr: dict,
+    columns: list[str] | None = None,
+    schema_log: list | None = None,
+) -> pa.Table | None:
     """Reconstruct a partition's durable state from its manifest pointer:
     base snapshot merged with subsequent deltas in epoch order
     (merge-on-read).  ``columns`` pushes a PAYLOAD projection down to the
     parquet reads (merge metadata is always read; columns a file predates
     are skipped per file and null-filled by the caller's schema alignment)
-    — a stats read over a wide transcript table then never decodes text."""
+    — a stats read over a wide transcript table then never decodes text.
+
+    ``schema_log`` (state/schemalog.py) applies metadata-only renames /
+    drops per file by its file epoch; a requested LOGICAL column is
+    translated to each file's physical name before the projected read, so
+    pushdown crosses renames too."""
     want = None
     if columns is not None:
         want = list(LWW_META_COLUMNS) + [
             c for c in columns if c not in LWW_META_COLUMNS
         ]
+    log = list(schema_log or [])
 
     def read(path: str) -> pa.Table:
+        if not log:
+            if want is None:
+                return pq.read_table(path)
+            have = set(pq.read_schema(path).names)
+            return pq.read_table(path, columns=[c for c in want if c in have])
+        from encode_ingest_ray.state.schemalog import (
+            file_epoch,
+            map_table,
+            physical_name,
+        )
+
+        fe = file_epoch(path)
         if want is None:
-            return pq.read_table(path)
+            return map_table(pq.read_table(path), fe, log)
         have = set(pq.read_schema(path).names)
-        return pq.read_table(path, columns=[c for c in want if c in have])
+        phys: list[str] = []
+        for c in want:
+            p = physical_name(c, fe, log)
+            if p is not None and p in have and p not in phys:
+                phys.append(p)
+        return map_table(pq.read_table(path, columns=phys), fe, log)
 
     tables = []
     if ptr.get("base"):
@@ -244,6 +271,7 @@ def _flush_partitions(
     expect_root: str | None = None,
     expectations: dict | None = None,
     cdf_preimages: bool = False,
+    schema_log: list | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -303,6 +331,15 @@ def _flush_partitions(
                     fresh = fresh.filter(pc.invert(late_mask))
         metrics["quarantined_late"] = quarantined
         metrics["applied"] = fresh.num_rows
+        if schema_log:
+            # map the in-flight rows with THEIR epoch: a no-op for ordinary
+            # runs (every entry predates the running epoch), but a replica
+            # mid-catchup replays pre-rename change rows at pre-rename epoch
+            # numbers — without this, a compaction would fold mapped prev
+            # state with unmapped delta rows and split the column
+            from encode_ingest_ray.state.schemalog import map_table
+
+            fresh = map_table(fresh, epoch, schema_log)
         if fresh.num_rows == 0:
             if late_path is not None:
                 # nothing merges, but the quarantine must still commit:
@@ -390,8 +427,13 @@ def _flush_partitions(
         prev_state = None
         if (cdf_preimages or compacting) and (base or deltas):
             # one chain read serves both the preimage lookup and (on
-            # compaction epochs) the base fold
-            prev_state = load_partition_state({"base": base, "deltas": deltas})
+            # compaction epochs) the base fold; the schema log maps old
+            # files to LOGICAL names here, so every file written at THIS
+            # epoch (compacted base, preimage sidecar) is logical-named —
+            # the invariant the epoch-stamp read rule relies on
+            prev_state = load_partition_state(
+                {"base": base, "deltas": deltas}, schema_log=schema_log
+            )
         if cdf_preimages and delta.num_rows and prev_state is not None:
             # Delta-CDF "full" mode: the previous committed LIVE version of
             # every key this epoch touches, written as a sidecar next to the
@@ -526,6 +568,7 @@ class PartitionMerger:
         expect_root: str | None = None,
         expectations: dict | None = None,
         cdf_preimages: bool = False,
+        schema_log: list | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -540,6 +583,7 @@ class PartitionMerger:
         self.expect_root = expect_root
         self.expectations = expectations
         self.cdf_preimages = cdf_preimages
+        self.schema_log = list(schema_log or [])
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -612,6 +656,7 @@ class PartitionMerger:
                 self.expect_root,
                 self.expectations,
                 self.cdf_preimages,
+                self.schema_log,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
