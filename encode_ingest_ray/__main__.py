@@ -267,6 +267,18 @@ def main(argv=None) -> int:
                          "fold every base+delta chain into one compacted "
                          "base per partition)")
 
+    br = sub.add_parser(
+        "branch",
+        help="write-audit-publish branches: zero-copy snapshot branch, "
+             "fast-forward publish, guarded drop",
+    )
+    br.add_argument("--out", required=True)
+    bg = br.add_mutually_exclusive_group(required=True)
+    bg.add_argument("--create", metavar="NAME")
+    bg.add_argument("--publish", metavar="NAME")
+    bg.add_argument("--drop", metavar="NAME")
+    bg.add_argument("--list", action="store_true", dest="list_branches")
+
     rn = sub.add_parser(
         "rename-column",
         help="metadata-only column rename (one manifest re-commit; old "
@@ -380,6 +392,23 @@ def main(argv=None) -> int:
         out["restore_gen"] = int(rec.get("restore_gen", 0) or 0)
         if rec.get("schema_log"):
             out["schema_log"] = rec["schema_log"]
+        br_dir = os.path.join(args.out, "_branches")
+        if os.path.isdir(br_dir):
+            brs = {}
+            for name in sorted(os.listdir(br_dir)):
+                broot = os.path.join(br_dir, name)
+                if not os.path.isdir(os.path.join(broot, "_manifest")):
+                    continue
+                b = Manifest(broot).latest()
+                if b:
+                    entry = {"epoch": b["epoch"]}
+                    info_path = os.path.join(broot, "branch.json")
+                    if os.path.exists(info_path):
+                        with open(info_path) as f:
+                            entry["base_epoch"] = json.load(f)["base_epoch"]
+                    brs[name] = entry
+            if brs:
+                out["branches"] = brs
         # replication: this table's upstream cursor (if it is a replica)
         # and its downstream consumer-group checkpoints (if any)
         cur = os.path.join(args.out, "_replication", "cursor.json")
@@ -642,6 +671,16 @@ def main(argv=None) -> int:
             boot = {"auto": "auto", "always": True, "never": False}[args.bootstrap]
             print(json.dumps(rep.replicate_from(
                 src, max_epochs=args.max_epochs, bootstrap=boot)))
+        elif args.cmd == "branch":
+            eng = CdcEngine(args.out)
+            if args.list_branches:
+                print(json.dumps({"branches": eng.branches()}))
+            elif args.create:
+                print(json.dumps(eng.create_branch(args.create)))
+            elif args.publish:
+                print(json.dumps(eng.publish_branch(args.publish)))
+            elif args.drop:
+                print(json.dumps(eng.drop_branch(args.drop)))
         elif args.cmd == "rename-column":
             eng = CdcEngine(args.out)
             print(json.dumps(eng.rename_column(args.old, args.new)))

@@ -476,6 +476,250 @@ class CdcEngine:
         finally:
             self.manifest.release_run_lock()
 
+    # -- branches (write-audit-publish) -----------------------------------
+    def _branch_root(self, name: str) -> str:
+        if not self._CONSUMER_RE.match(name or ""):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.abspath(os.path.join(self.out_dir, "_branches", name))
+
+    def branches(self) -> list[str]:
+        d = os.path.join(self.out_dir, "_branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n, "_manifest"))
+        )
+
+    def create_branch(self, name: str) -> dict:
+        """Zero-copy BRANCH at the current commit (Iceberg-branch / WAP
+        analog): one manifest re-commit under ``_branches/<name>`` whose
+        pointer map references the main table's files — no data moves at
+        any table size.  A ``CdcEngine`` opened on the branch root (see
+        ``branch_engine``) then ingests NEW epochs normally: its deltas and
+        compacted bases land under the branch's own part dirs while
+        unchanged state stays shared.  The write-audit-publish flow: ingest
+        on the branch, audit it (queries, expectations, dq checks), then
+        ``publish_branch`` fast-forwards main.  Main's vacuum protects every
+        file a live branch references (``_branch_referenced``).
+
+        v1 scope: tables with a covering index or postings chain refuse to
+        branch (the mirrored sibling chains would need their own branch
+        re-commits)."""
+        if self.index_columns is not None or self.postings_column is not None:
+            raise ValueError(
+                "branching a table with a covering index or postings chain "
+                "is not supported — the mirrored sibling chains would "
+                "diverge; drop the index or branch a plain table"
+            )
+        root = self._branch_root(name)
+        self.manifest.acquire_run_lock()
+        try:
+            latest = self.manifest.latest()
+            if latest is None:
+                raise ValueError("nothing committed yet — nothing to branch")
+            bman = Manifest(root)
+            if bman.latest() is not None:
+                raise ValueError(f"branch {name!r} already exists")
+            epoch = int(latest["epoch"])
+            gen = int(latest.get("restore_gen", 0) or 0)
+            # absolute file paths: the branch engine resolves them from a
+            # different root
+            pointers = {
+                p: {
+                    **ptr,
+                    "base": os.path.abspath(ptr["base"]) if ptr.get("base") else None,
+                    "deltas": [os.path.abspath(d) for d in ptr.get("deltas", [])],
+                }
+                for p, ptr in latest["partitions"].items()
+            }
+            bman.commit(
+                epoch,
+                pointers,
+                {"branched_from": os.path.abspath(self.out_dir),
+                 "branch_base_epoch": epoch},
+                latest.get("partitioning"),
+                restore_gen=gen,
+                schema_log=list(latest.get("schema_log") or []),
+            )
+            # pin the base epoch + history generation for publish-time
+            # fast-forward checks (later branch commits bury the metrics)
+            info = {"source": os.path.abspath(self.out_dir),
+                    "base_epoch": epoch, "restore_gen": gen}
+            fd, tmp = tempfile.mkstemp(dir=root, prefix=".tmp-branch-")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump(info, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, os.path.join(root, "branch.json"))
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return {"branch": name, "root": root, **info}
+        finally:
+            self.manifest.release_run_lock()
+
+    def branch_engine(self, name: str, **engine_kwargs) -> "CdcEngine":
+        """An engine over the branch root — partitioning, schema log and
+        policy knobs adopt from the branched record like any resume."""
+        root = self._branch_root(name)
+        if not os.path.isdir(os.path.join(root, "_manifest")):
+            raise ValueError(f"no branch {name!r} under {self.out_dir!r}")
+        return CdcEngine(root, **engine_kwargs)
+
+    def publish_branch(self, name: str) -> dict:
+        """FAST-FORWARD publish: replay the branch's committed records onto
+        main, ascending — each copy is one atomic manifest write, so a crash
+        mid-publish leaves main at a dense, consistent prefix and a rerun
+        resumes idempotently (epochs already on main are skipped).  Requires
+        main to still sit at the branch's base epoch with an unchanged
+        restore generation, and the branch itself not to have rewritten
+        history below the base (non-fast-forward states raise: re-branch
+        from current main instead).  After publish main's pointer map
+        references files under the branch dir; ``migrate(force=True)``
+        (OPTIMIZE) rewrites them into main's own part dirs, after which
+        ``drop_branch`` succeeds."""
+        root = self._branch_root(name)
+        with open(os.path.join(root, "branch.json")) as f:
+            info = json.load(f)
+        self.manifest.acquire_run_lock()
+        try:
+            # heal any branch-side txn, then read its committed records
+            from encode_ingest_ray.state.txn import TxnLog
+
+            TxnLog(root).recover()
+            bman = Manifest(root)
+            base = int(info["base_epoch"])
+            latest = self.manifest.latest()
+            # fast-forward states: main still at the branch base, OR main's
+            # tip is itself a record THIS branch published (a replay after a
+            # crashed/finished publish resumes idempotently)
+            resuming = (
+                latest is not None
+                and latest.get("metrics", {}).get("published_from_branch")
+                == name
+            )
+            if latest is None or (int(latest["epoch"]) != base and not resuming):
+                raise ValueError(
+                    f"main is at epoch {latest and latest['epoch']}, branch "
+                    f"{name!r} was taken at {base} — not a fast-forward; "
+                    "re-branch from the current commit"
+                )
+            if int(latest.get("restore_gen", 0) or 0) != int(info["restore_gen"]):
+                raise ValueError(
+                    "main history was rewritten (restore) since the branch "
+                    "was taken — re-branch from the current commit"
+                )
+            br_latest = bman.latest()
+            if int(br_latest.get("restore_gen", 0) or 0) != int(info["restore_gen"]):
+                raise ValueError(
+                    f"branch {name!r} rewrote its own history (restore) — "
+                    "publishing it would silently roll main back; re-branch"
+                )
+            to_publish = [e for e in bman.committed_epochs() if e > base]
+            main_committed = set(self.manifest.committed_epochs())
+            published = 0
+            for e in to_publish:
+                if e in main_committed:
+                    continue  # idempotent replay after a crashed publish
+                rec = bman.read_epoch(e)
+                self.manifest.commit(
+                    e,
+                    rec["partitions"],
+                    {**rec.get("metrics", {}), "published_from_branch": name},
+                    rec.get("partitioning"),
+                    changes=rec.get("changes"),
+                    preimages=rec.get("preimages"),
+                    restore_gen=int(info["restore_gen"]),
+                    schema_log=list(rec.get("schema_log") or []),
+                )
+                published += 1
+            if published and self.vacuum_retain is not None:
+                self.manifest.vacuum(
+                    self.vacuum_retain,
+                    extra_referenced=self._branch_referenced(),
+                )
+            return {
+                "branch": name,
+                "published_epochs": published,
+                "epoch": int(self.manifest.latest()["epoch"]),
+            }
+        finally:
+            self.manifest.release_run_lock()
+
+    def drop_branch(self, name: str) -> dict:
+        """Delete a branch — refused while main's retained manifests still
+        reference files under the branch dir.  A publish moves STATE
+        pointers there (``migrate(force=True)`` rewrites them into the main
+        tree) and the published epochs' CHANGEFEED files also live there
+        until vacuum retention ages those records out of the newest-retain
+        window — so the drop succeeds after OPTIMIZE once the table has
+        advanced ``vacuum_retain`` epochs past the publish."""
+        import shutil
+
+        root = self._branch_root(name)
+        if not os.path.isdir(root):
+            return {"branch": name, "dropped": False, "missing": True}
+        self.manifest.acquire_run_lock()
+        try:
+            prefix = root + os.sep
+            refs = self._manifest_referenced(
+                self.manifest, retain=max(1, self.vacuum_retain or 1)
+            )
+            # a branch taken AFTER a publish shares the published files too
+            for other in self.branches():
+                if other != name:
+                    refs |= self._manifest_referenced(
+                        Manifest(self._branch_root(other)),
+                        retain=max(1, self.vacuum_retain or 1),
+                    )
+            held = [f for f in refs if f.startswith(prefix)]
+            if held:
+                raise ValueError(
+                    f"main still references {len(held)} file(s) under branch "
+                    f"{name!r} (e.g. {held[0]!r}); run migrate(force=True) "
+                    "to rewrite them into the main tree first"
+                )
+            shutil.rmtree(root)
+            return {"branch": name, "dropped": True}
+        finally:
+            self.manifest.release_run_lock()
+
+    @staticmethod
+    def _manifest_referenced(man: Manifest, retain: int = 2) -> set[str]:
+        """Every data file the newest ``retain`` records of a manifest
+        reference (same field walk as Manifest.vacuum)."""
+        refs: set[str] = set()
+        epochs = man.committed_epochs()
+        for e in epochs[-max(1, retain):]:
+            rec = man.read_epoch(e)
+            for ptr in rec["partitions"].values():
+                if ptr.get("base"):
+                    refs.add(os.path.abspath(ptr["base"]))
+                for d in ptr.get("deltas", []):
+                    refs.add(os.path.abspath(d))
+                if ptr.get("dl_base"):
+                    refs.add(os.path.abspath(ptr["dl_base"]))
+                for d in ptr.get("dl_deltas", []):
+                    refs.add(os.path.abspath(d))
+            for c in rec.get("changes") or []:
+                refs.add(os.path.abspath(c))
+            for c in rec.get("preimages") or []:
+                refs.add(os.path.abspath(c))
+        return refs
+
+    def _branch_referenced(self) -> set[str]:
+        """Union of every live branch's retained references — main's vacuum
+        must not GC shared files a branch snapshot still reads."""
+        refs: set[str] = set()
+        for name in self.branches():
+            refs |= self._manifest_referenced(
+                Manifest(self._branch_root(name)),
+                retain=max(1, self.vacuum_retain or 1),
+            )
+        return refs
+
     # -- actor pool ------------------------------------------------------
     def _spawn_actors(self) -> list:
         pointers = {int(p): ptr for p, ptr in self.manifest.pointers().items()}
@@ -537,16 +781,26 @@ class CdcEngine:
         # no overlapping runs against one output (reference: cron
         # concurrencyPolicy: Forbid); a crashed holder's lock self-releases
         self.manifest.acquire_run_lock()
-        committed = set(self.manifest.committed_epochs())
-        summary["epochs_skipped"] = sum(1 for e in range(len(epoch_files)) if e in committed)
+        # dense-prefix resume rule: everything at or below the latest commit
+        # is settled.  Committed epochs are a dense prefix for ordinary
+        # tables (membership == <= latest); a BRANCH starts from one
+        # re-committed record at its base epoch, and the rule makes its
+        # history settled without materializing base-many filler records.
+        def _hi() -> int:
+            eps = self.manifest.committed_epochs()
+            return eps[-1] if eps else -1
+
+        summary["epochs_skipped"] = sum(
+            1 for e in range(len(epoch_files)) if e <= _hi()
+        )
         attempt = 0
         try:
             while True:
-                committed = set(self.manifest.committed_epochs())
+                hi = _hi()
                 pending = [
                     (e, files)
                     for e, files in enumerate(epoch_files)
-                    if e not in committed
+                    if e > hi
                 ]
                 if not pending:
                     break
@@ -772,7 +1026,7 @@ class CdcEngine:
         if self.vacuum_retain is not None:
             # after the commit: anything the newest vacuum_retain manifests
             # don't reference is unreachable (resume reads only the latest)
-            self.manifest.vacuum(self.vacuum_retain)
+            self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
             if self.index_manifest is not None:
                 self.index_manifest.vacuum(self.vacuum_retain)
             if self.postings_manifest is not None:
@@ -1864,7 +2118,7 @@ class CdcEngine:
             # restored pointers are now the latest manifest's references, so
             # vacuum keeps them; newer-epoch files age out per retention
             if self.vacuum_retain is not None:
-                self.manifest.vacuum(self.vacuum_retain)
+                self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
                 if self.index_manifest is not None:
                     self.index_manifest.vacuum(self.vacuum_retain)
                 if self.postings_manifest is not None:
@@ -2682,7 +2936,7 @@ class CdcEngine:
             else:
                 self.txn.commit(epoch, mig_manifests, mig_records)
             if self.vacuum_retain is not None:
-                self.manifest.vacuum(self.vacuum_retain)
+                self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
                 if self.index_manifest is not None:
                     self.index_manifest.vacuum(self.vacuum_retain)
                 if self.postings_manifest is not None:

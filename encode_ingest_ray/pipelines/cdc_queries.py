@@ -406,6 +406,37 @@ def cdc_schema_evolution(sf_dir: str):
     )
 
 
+@register("cdc_branch_wap", CDC_FINAL_SQL)
+def cdc_branch_wap(sf_dir: str):
+    """Write-audit-publish through branches: main ingests epochs 0-1, a
+    zero-copy BRANCH (one manifest re-commit sharing main's files) ingests
+    epoch 2 in isolation, an audit checks main was untouched, then a
+    fast-forward PUBLISH replays the branch record onto main.  The
+    published table must equal the plain 3-epoch upsert fold — the same
+    oracle as cdc_upsert_engine, which is the point: WAP changes WHERE the
+    work happens, never the result."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+    work = tempfile.mkdtemp(prefix=f"cdcwap-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    epochs = discover_epoch_files(events_dir)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16,
+                       num_actors=4, compact_every=2)
+    engine.run(epoch_files=epochs[:2])
+    pre = engine.manifest.latest()
+    engine.create_branch("audit")
+    branch = engine.branch_engine("audit", num_partitions=16, num_actors=4)
+    branch.run(epoch_files=epochs)
+    # the audit: branch ingest must not have touched main
+    post = engine.manifest.latest()
+    if post["epoch"] != pre["epoch"] or post["partitions"] != pre["partitions"]:
+        raise AssertionError("branch ingest mutated the main table")
+    engine.publish_branch("audit")
+    return engine.final_dataset()
+
+
 CDC_RENAME_SQL = f"""
 WITH ev AS ({_DERIVE_SQL}),
 ranked AS (

@@ -215,7 +215,9 @@ class Manifest:
             )
 
     # -- vacuum ----------------------------------------------------------
-    def vacuum(self, retain_epochs: int = 2) -> dict:
+    def vacuum(
+        self, retain_epochs: int = 2, extra_referenced: set[str] | None = None
+    ) -> dict:
         """Delete partition state files (base/delta parquet) superseded for
         ≥ ``retain_epochs`` commits.  Compaction rewrites a partition's base
         and drops its deltas from the pointer map but never unlinked the dead
@@ -237,7 +239,13 @@ class Manifest:
         if not epochs:
             return {"files_deleted": 0, "bytes_freed": 0}
         latest_epoch = epochs[-1]
-        referenced: set[str] = set()
+        # extra_referenced: files OTHER readers still need — e.g. a live
+        # branch's pointer map references this table's files (the branch
+        # snapshot shares them, Iceberg-style); the owning engine passes
+        # the union of its branches' references
+        referenced: set[str] = {
+            os.path.abspath(f) for f in (extra_referenced or ())
+        }
         for e in epochs[-max(1, retain_epochs):]:
             rec = self.read_epoch(e)
             for ptr in rec["partitions"].values():

@@ -1,0 +1,190 @@
+"""Write-audit-publish branches: zero-copy snapshot branch, isolated branch
+ingest, fast-forward publish, vacuum protection, guarded drop.
+
+Reference analog: the reference's orchestration ingests into a staging
+dataset then flips it live (orchestration/templates/ingest-processed-data
+.yaml); branches generalize that to Iceberg-style WAP — audit ON the branch
+with real queries, publish by manifest replay."""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+from encode_ingest_ray.state.manifest import Manifest
+
+
+def _fixture(tmp_path, n_events=16_000, n_convs=200, epochs=4, seed=31):
+    ev = str(tmp_path / "events")
+    generate_cdc_events(ev, n_events=n_events, n_convs=n_convs,
+                        epochs=epochs, seed=seed)
+    return discover_epoch_files(ev)
+
+
+def _sorted(t):
+    idx = pc.sort_indices(
+        t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    return t.take(idx)
+
+
+def test_branch_isolation_and_fast_forward_publish(ray_session, tmp_path):
+    epochs = _fixture(tmp_path)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, compact_every=2)
+    eng.run(epoch_files=epochs[:2])
+    main_before = eng.final_table()
+
+    info = eng.create_branch("audit")
+    assert info["base_epoch"] == 1
+    br = eng.branch_engine("audit", num_actors=2)
+    # dense-prefix resume: the single branched record settles epochs <= base
+    s = br.run(epoch_files=epochs[:3])
+    assert s["epochs_skipped"] == 2 and s["epochs_run"] == 1
+    # audit ON the branch: rows grew, main untouched
+    assert br.final_table().num_rows >= main_before.num_rows
+    assert _sorted(eng.final_table()).equals(_sorted(main_before))
+
+    res = eng.publish_branch("audit")
+    assert res["published_epochs"] == 1 and res["epoch"] == 2
+    ctl = CdcEngine(str(tmp_path / "ctl"), num_partitions=8, num_actors=2,
+                    compact_every=2)
+    ctl.run(epoch_files=epochs[:3])
+    assert _sorted(eng.final_table()).equals(_sorted(ctl.final_table()))
+    # the published epoch's changefeed stays readable on main (window
+    # bounded by vacuum retention, like any other epoch's)
+    feed_epochs = sorted(set(eng.changes(1).take_batch(10_000)["epoch"]))
+    assert feed_epochs == [2]
+    # replayed publish is a no-op
+    assert eng.publish_branch("audit")["published_epochs"] == 0
+
+
+def test_publish_requires_fast_forward_and_stable_history(ray_session, tmp_path):
+    epochs = _fixture(tmp_path, epochs=4)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("b")
+    br = eng.branch_engine("b", num_actors=2)
+    br.run(epoch_files=epochs[:3])
+    # main advances underneath the branch -> not a fast-forward
+    eng.run(epoch_files=epochs[:3])
+    with pytest.raises(ValueError, match="fast-forward"):
+        eng.publish_branch("b")
+
+    # a restore on main bumps the generation -> publish refuses even if the
+    # epoch number happens to match again
+    eng2 = CdcEngine(str(tmp_path / "out2"), num_partitions=8, num_actors=2,
+                     vacuum_retain=None)
+    eng2.run(epoch_files=epochs[:3])
+    eng2.create_branch("b")
+    br2 = eng2.branch_engine("b", num_actors=2)
+    br2.run(epoch_files=epochs)
+    eng2.restore(1)
+    with pytest.raises(ValueError, match="fast-forward|rewritten"):
+        eng2.publish_branch("b")
+
+
+def test_vacuum_protects_live_branch_references(ray_session, tmp_path):
+    epochs = _fixture(tmp_path)
+    out = str(tmp_path / "out")
+    # aggressive retention: without branch protection, main's advance would
+    # GC the files the branch snapshot shares
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, compact_every=2,
+                    vacuum_retain=1)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("keep")
+    branch_rows = CdcEngine(
+        eng._branch_root("keep"), num_actors=2
+    ).final_table().num_rows
+    eng.run(epoch_files=epochs)  # advances + vacuums main twice
+    br = eng.branch_engine("keep", num_actors=2)
+    t = br.final_table()
+    assert t.num_rows == branch_rows  # every shared file still readable
+
+
+def test_drop_branch_guarded_until_unreferenced(ray_session, tmp_path):
+    epochs = _fixture(tmp_path, epochs=5)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, compact_every=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("wap")
+    br = eng.branch_engine("wap", num_actors=2)
+    br.run(epoch_files=epochs[:3])
+    eng.publish_branch("wap")
+    # published state pointers live under the branch dir
+    with pytest.raises(ValueError, match="references"):
+        eng.drop_branch("wap")
+    eng.migrate(force=True)  # OPTIMIZE rewrites state into the main tree
+    # the published epoch's CHANGE files still sit under the branch dir
+    # until retention ages that record out of the newest-retain window
+    with pytest.raises(ValueError, match="references"):
+        eng.drop_branch("wap")
+    eng.run(epoch_files=epochs)  # two more epochs
+    assert eng.drop_branch("wap")["dropped"] is True
+    ctl = CdcEngine(str(tmp_path / "ctl"), num_partitions=8, num_actors=2,
+                    compact_every=2)
+    ctl.run(epoch_files=epochs)
+    assert _sorted(eng.final_table()).equals(_sorted(ctl.final_table()))
+
+
+def test_crash_mid_publish_resumes_idempotently(ray_session, tmp_path):
+    epochs = _fixture(tmp_path, epochs=4)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, vacuum_retain=None)
+    eng.run(epoch_files=epochs[:1])
+    eng.create_branch("b")
+    br = eng.branch_engine("b", num_actors=2)
+    br.run(epoch_files=epochs)  # branch commits epochs 1..3
+
+    # simulate a crash window: hand-publish only the FIRST branch epoch
+    bman = Manifest(eng._branch_root("b"))
+    rec = bman.read_epoch(1)
+    eng.manifest.commit(1, rec["partitions"],
+                        {**rec.get("metrics", {}),
+                         "published_from_branch": "b"},
+                        rec.get("partitioning"), changes=rec.get("changes"))
+    # main is dense and consistent at epoch 1; replayed publish finishes
+    res = eng.publish_branch("b")
+    assert res["published_epochs"] == 2 and res["epoch"] == 3
+    ctl = CdcEngine(str(tmp_path / "ctl"), num_partitions=8, num_actors=2)
+    ctl.run(epoch_files=epochs)
+    assert _sorted(eng.final_table()).equals(_sorted(ctl.final_table()))
+
+
+def test_branch_validation(ray_session, tmp_path):
+    epochs = _fixture(tmp_path, n_events=6000, n_convs=60, epochs=2)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=4, num_actors=2)
+    with pytest.raises(ValueError, match="nothing committed"):
+        eng.create_branch("x")
+    eng.run(epoch_files=epochs)
+    eng.create_branch("x")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.create_branch("x")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        eng.create_branch("../evil")
+    assert eng.branches() == ["x"]
+
+    # indexed tables refuse to branch (v1: mirrored chains would diverge)
+    idx = CdcEngine(str(tmp_path / "idx"), num_partitions=4, num_actors=2,
+                    index_columns=["role"])
+    idx.run(epoch_files=epochs)
+    with pytest.raises(ValueError, match="covering index"):
+        idx.create_branch("y")
+
+
+def test_branch_carries_schema_log(ray_session, tmp_path):
+    epochs = _fixture(tmp_path, epochs=3)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.rename_column("text", "body")
+    eng.create_branch("b")
+    br = eng.branch_engine("b", num_actors=2)
+    assert br.schema_log() == eng.schema_log()
+    t = br.final_table()
+    assert "body" in t.column_names and "text" not in t.column_names
