@@ -477,6 +477,18 @@ class CdcEngine:
             self.manifest.release_run_lock()
 
     # -- branches (write-audit-publish) -----------------------------------
+    @staticmethod
+    def _abs_ptr_paths(ptr: dict) -> dict:
+        out = dict(ptr)
+        if out.get("base"):
+            out["base"] = os.path.abspath(out["base"])
+        out["deltas"] = [os.path.abspath(d) for d in out.get("deltas", [])]
+        if out.get("dl_base"):
+            out["dl_base"] = os.path.abspath(out["dl_base"])
+        if out.get("dl_deltas"):
+            out["dl_deltas"] = [os.path.abspath(d) for d in out["dl_deltas"]]
+        return out
+
     def _branch_root(self, name: str) -> str:
         if not self._CONSUMER_RE.match(name or ""):
             raise ValueError(f"invalid branch name {name!r}")
@@ -503,15 +515,13 @@ class CdcEngine:
         ``publish_branch`` fast-forwards main.  Main's vacuum protects every
         file a live branch references (``_branch_referenced``).
 
-        v1 scope: tables with a covering index or postings chain refuse to
-        branch (the mirrored sibling chains would need their own branch
-        re-commits)."""
-        if self.index_columns is not None or self.postings_column is not None:
-            raise ValueError(
-                "branching a table with a covering index or postings chain "
-                "is not supported — the mirrored sibling chains would "
-                "diverge; drop the index or branch a plain table"
-            )
+        Mirrored sibling chains (covering index, postings+doclens) and the
+        append-only audit chains (lateness, expectations) branch WITH the
+        table: their manifests are seeded under the branch root with the
+        same absolute-path re-commit, so the branch engine adopts the index
+        config and accumulates audit deltas seamlessly; ``publish_branch``
+        replays every sibling's records in the same per-epoch TxnLog
+        transaction."""
         root = self._branch_root(name)
         self.manifest.acquire_run_lock()
         try:
@@ -523,25 +533,34 @@ class CdcEngine:
                 raise ValueError(f"branch {name!r} already exists")
             epoch = int(latest["epoch"])
             gen = int(latest.get("restore_gen", 0) or 0)
-            # absolute file paths: the branch engine resolves them from a
-            # different root
-            pointers = {
-                p: {
-                    **ptr,
-                    "base": os.path.abspath(ptr["base"]) if ptr.get("base") else None,
-                    "deltas": [os.path.abspath(d) for d in ptr.get("deltas", [])],
-                }
-                for p, ptr in latest["partitions"].items()
-            }
             bman.commit(
                 epoch,
-                pointers,
+                {p: self._abs_ptr_paths(ptr) for p, ptr in latest["partitions"].items()},
                 {"branched_from": os.path.abspath(self.out_dir),
                  "branch_base_epoch": epoch},
                 latest.get("partitioning"),
                 restore_gen=gen,
                 schema_log=list(latest.get("schema_log") or []),
             )
+            # seed the sibling chains: the branch engine re-derives their
+            # roots from its own out_dir, so each mirror seeds under
+            # branch_root/<sub> with main's current pointer map (absolute
+            # paths).  Audit chains seed from pointers() (cumulative map);
+            # their history stays shared until the branch appends.
+            for sub, man in (("index", self.index_manifest),
+                             ("postings", self.postings_manifest),
+                             ("late", self.late_manifest),
+                             ("expect", self.expect_manifest)):
+                if man is None:
+                    continue
+                sub_rec = man.latest()
+                Manifest(os.path.join(root, sub)).commit(
+                    epoch,
+                    {p: self._abs_ptr_paths(ptr) for p, ptr in ((sub_rec or {}).get("partitions") or {}).items()},
+                    {"mirror_of": root, "branch_base_epoch": epoch},
+                    latest.get("partitioning"),
+                    restore_gen=gen,
+                )
             # pin the base epoch + history generation for publish-time
             # fast-forward checks (later branch commits bury the metrics)
             info = {"source": os.path.abspath(self.out_dir),
@@ -620,26 +639,56 @@ class CdcEngine:
             to_publish = [e for e in bman.committed_epochs() if e > base]
             main_committed = set(self.manifest.committed_epochs())
             published = 0
+            siblings = [
+                (sub, man, Manifest(os.path.join(root, sub)))
+                for sub, man in (("index", self.index_manifest),
+                                 ("postings", self.postings_manifest),
+                                 ("late", self.late_manifest),
+                                 ("expect", self.expect_manifest))
+                if man is not None
+                and os.path.isdir(os.path.join(root, sub, "_manifest"))
+            ]
             for e in to_publish:
                 if e in main_committed:
                     continue  # idempotent replay after a crashed publish
                 rec = bman.read_epoch(e)
-                self.manifest.commit(
-                    e,
-                    rec["partitions"],
-                    {**rec.get("metrics", {}), "published_from_branch": name},
-                    rec.get("partitioning"),
-                    changes=rec.get("changes"),
-                    preimages=rec.get("preimages"),
-                    restore_gen=int(info["restore_gen"]),
-                    schema_log=list(rec.get("schema_log") or []),
-                )
+                live_rec = {
+                    "partitions": rec["partitions"],
+                    "metrics": {**rec.get("metrics", {}),
+                                "published_from_branch": name},
+                    "partitioning": rec.get("partitioning"),
+                    "changes": rec.get("changes"),
+                    "preimages": rec.get("preimages"),
+                    "restore_gen": int(info["restore_gen"]),
+                    "schema_log": list(rec.get("schema_log") or []),
+                }
+                if not siblings:
+                    self.manifest.commit(e, **live_rec)
+                else:
+                    # every sibling's branch record replays in the SAME
+                    # per-epoch transaction — main's chains never diverge,
+                    # and a crash heals forward at the next engine init
+                    manifests = {"live": self.manifest}
+                    records = {"live": live_rec}
+                    for sub, man, bsub in siblings:
+                        if e not in bsub.committed_epochs():
+                            # e.g. the expect chain only commits on epochs
+                            # the branch ran with expectation callables;
+                            # its readers use latest(), gaps are fine
+                            continue
+                        srec = bsub.read_epoch(e)
+                        manifests[sub] = man
+                        records[sub] = {
+                            "partitions": srec["partitions"],
+                            "metrics": {**srec.get("metrics", {}),
+                                        "published_from_branch": name},
+                            "partitioning": srec.get("partitioning"),
+                            "restore_gen": int(info["restore_gen"]),
+                        }
+                    self.txn.commit(e, manifests, records)
                 published += 1
-            if published and self.vacuum_retain is not None:
-                self.manifest.vacuum(
-                    self.vacuum_retain,
-                    extra_referenced=self._branch_referenced(),
-                )
+            if published:
+                self._vacuum_chains()
             return {
                 "branch": name,
                 "published_epochs": published,
@@ -664,16 +713,22 @@ class CdcEngine:
         self.manifest.acquire_run_lock()
         try:
             prefix = root + os.sep
-            refs = self._manifest_referenced(
-                self.manifest, retain=max(1, self.vacuum_retain or 1)
-            )
-            # a branch taken AFTER a publish shares the published files too
-            for other in self.branches():
-                if other != name:
-                    refs |= self._manifest_referenced(
-                        Manifest(self._branch_root(other)),
-                        retain=max(1, self.vacuum_retain or 1),
-                    )
+            retain = max(1, self.vacuum_retain or 1)
+            refs: set[str] = set()
+            # every chain of main, and of every OTHER branch (a branch taken
+            # after a publish shares the published files too)
+            roots = [os.path.abspath(self.out_dir)] + [
+                self._branch_root(other)
+                for other in self.branches()
+                if other != name
+            ]
+            for r in roots:
+                for sub in ("", "index", "postings", "late", "expect"):
+                    mdir = os.path.join(r, sub) if sub else r
+                    if os.path.isdir(os.path.join(mdir, "_manifest")):
+                        refs |= self._manifest_referenced(
+                            Manifest(mdir), retain=retain
+                        )
             held = [f for f in refs if f.startswith(prefix)]
             if held:
                 raise ValueError(
@@ -709,16 +764,41 @@ class CdcEngine:
                 refs.add(os.path.abspath(c))
         return refs
 
-    def _branch_referenced(self) -> set[str]:
-        """Union of every live branch's retained references — main's vacuum
-        must not GC shared files a branch snapshot still reads."""
+    def _branch_referenced(self, sub: str | None = None) -> set[str]:
+        """Union of every live branch's retained references for one chain
+        (None = live table, or a mirrored sibling: "index"/"postings") —
+        the owning chain's vacuum must not GC shared files a branch
+        snapshot still reads."""
         refs: set[str] = set()
         for name in self.branches():
+            root = self._branch_root(name)
+            if sub is not None:
+                root = os.path.join(root, sub)
+            if not os.path.isdir(os.path.join(root, "_manifest")):
+                continue
             refs |= self._manifest_referenced(
-                Manifest(self._branch_root(name)),
-                retain=max(1, self.vacuum_retain or 1),
+                Manifest(root), retain=max(1, self.vacuum_retain or 1)
             )
         return refs
+
+    def _vacuum_chains(self) -> None:
+        """Vacuum the live chain and the mirrored siblings, each protected
+        by the union of live branches' references to THAT chain."""
+        if self.vacuum_retain is None:
+            return
+        self.manifest.vacuum(
+            self.vacuum_retain, extra_referenced=self._branch_referenced()
+        )
+        if self.index_manifest is not None:
+            self.index_manifest.vacuum(
+                self.vacuum_retain,
+                extra_referenced=self._branch_referenced("index"),
+            )
+        if self.postings_manifest is not None:
+            self.postings_manifest.vacuum(
+                self.vacuum_retain,
+                extra_referenced=self._branch_referenced("postings"),
+            )
 
     # -- actor pool ------------------------------------------------------
     def _spawn_actors(self) -> list:
@@ -1026,11 +1106,7 @@ class CdcEngine:
         if self.vacuum_retain is not None:
             # after the commit: anything the newest vacuum_retain manifests
             # don't reference is unreachable (resume reads only the latest)
-            self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
-            if self.index_manifest is not None:
-                self.index_manifest.vacuum(self.vacuum_retain)
-            if self.postings_manifest is not None:
-                self.postings_manifest.vacuum(self.vacuum_retain)
+            self._vacuum_chains()
         summary["epochs_run"] += 1
         summary["events_raw"] += stats["rows_raw"]
         summary["events_applied"] += totals["applied"]
@@ -1084,12 +1160,21 @@ class CdcEngine:
     def _reroot_ptr(self, ptr: dict, root: str) -> dict:
         """Sibling-table pointer = path transform of the live pointer: the
         flush writes each projected file under the SAME relative path below
-        the sibling root, so no second pointer bookkeeping exists to drift."""
+        the sibling root, so no second pointer bookkeeping exists to drift.
+
+        The transform is LOCAL to each file — the sibling dir slots between
+        whatever table root owns the file and its ``part=`` dir — so a
+        BRANCH pointer that still references the parent table's shared
+        files maps to the parent's own sibling twin (which is where the
+        projected file physically exists)."""
+        sub = os.path.basename(os.path.normpath(root))
 
         def reroot(p):
             if not p:
                 return p
-            return os.path.join(root, os.path.relpath(p, self.out_dir))
+            d, fname = os.path.split(p)
+            table_root, partseg = os.path.split(d)
+            return os.path.join(table_root, sub, partseg, fname)
 
         out = dict(ptr)
         out["base"] = reroot(ptr.get("base"))
@@ -2118,11 +2203,7 @@ class CdcEngine:
             # restored pointers are now the latest manifest's references, so
             # vacuum keeps them; newer-epoch files age out per retention
             if self.vacuum_retain is not None:
-                self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
-                if self.index_manifest is not None:
-                    self.index_manifest.vacuum(self.vacuum_retain)
-                if self.postings_manifest is not None:
-                    self.postings_manifest.vacuum(self.vacuum_retain)
+                self._vacuum_chains()
             if identity:
                 self.num_partitions = identity.get(
                     "num_partitions", self.num_partitions)
@@ -2936,11 +3017,7 @@ class CdcEngine:
             else:
                 self.txn.commit(epoch, mig_manifests, mig_records)
             if self.vacuum_retain is not None:
-                self.manifest.vacuum(self.vacuum_retain, extra_referenced=self._branch_referenced())
-                if self.index_manifest is not None:
-                    self.index_manifest.vacuum(self.vacuum_retain)
-                if self.postings_manifest is not None:
-                    self.postings_manifest.vacuum(self.vacuum_retain)
+                self._vacuum_chains()
             self.num_partitions = new_p
             self.turn_block = new_tb
             return {

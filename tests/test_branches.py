@@ -169,12 +169,40 @@ def test_branch_validation(ray_session, tmp_path):
         eng.create_branch("../evil")
     assert eng.branches() == ["x"]
 
-    # indexed tables refuse to branch (v1: mirrored chains would diverge)
-    idx = CdcEngine(str(tmp_path / "idx"), num_partitions=4, num_actors=2,
-                    index_columns=["role"])
-    idx.run(epoch_files=epochs)
-    with pytest.raises(ValueError, match="covering index"):
-        idx.create_branch("y")
+
+def test_indexed_postings_table_branches_and_publishes(ray_session, tmp_path):
+    """Mirrored sibling chains branch WITH the table: the branch engine's
+    index/postings reads span shared parent files (the local reroot
+    transform resolves their twins under the PARENT's sibling roots) and
+    publish replays every sibling record in the same per-epoch txn."""
+    epochs = _fixture(tmp_path, epochs=3)
+    out = str(tmp_path / "out")
+    kw = dict(num_partitions=8, num_actors=2, compact_every=2,
+              index_columns=["role"], postings_column="text")
+    eng = CdcEngine(out, **kw)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("b")
+    br = eng.branch_engine("b", num_actors=2)
+    assert br.index_columns == ["role"] and br.postings_column == "text"
+    br.run(epoch_files=epochs)
+    # branch-side index + search read across shared and branch-new files
+    n_idx = br.index_dataset().count()
+    assert n_idx == br.final_dataset().count()
+    eng.publish_branch("b")
+
+    ctl = CdcEngine(str(tmp_path / "ctl"), **kw)
+    ctl.run(epoch_files=epochs)
+    assert _sorted(eng.final_table()).equals(_sorted(ctl.final_table()))
+    assert eng.index_dataset().count() == ctl.index_dataset().count()
+    tok = str(eng.final_dataset(columns=["text"]).take_batch(1)["text"][0]
+              ).lower().split()[0]
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    assert sorted(eng.search_ranked([tok]).take_all(), key=key) == sorted(
+        ctl.search_ranked([tok]).take_all(), key=key
+    )
+    # restore across a published epoch re-commits the sibling records too
+    eng.restore(1)
+    assert eng.index_dataset().count() == eng.final_dataset().count()
 
 
 def test_branch_carries_schema_log(ray_session, tmp_path):
