@@ -267,6 +267,17 @@ def main(argv=None) -> int:
                          "fold every base+delta chain into one compacted "
                          "base per partition)")
 
+    hi = sub.add_parser(
+        "history",
+        help="commit history (or --files: the referenced chain-file "
+             "inventory) as a table",
+    )
+    hi.add_argument("--out", required=True)
+    hi.add_argument("--files", action="store_true",
+                    help="list referenced data files with sizes instead")
+    hi.add_argument("--epoch", type=int, default=None,
+                    help="with --files: inventory of a historical commit")
+
     br = sub.add_parser(
         "branch",
         help="write-audit-publish branches: zero-copy snapshot branch, "
@@ -671,6 +682,14 @@ def main(argv=None) -> int:
             boot = {"auto": "auto", "always": True, "never": False}[args.bootstrap]
             print(json.dumps(rep.replicate_from(
                 src, max_epochs=args.max_epochs, bootstrap=boot)))
+        elif args.cmd == "history":
+            eng = CdcEngine(args.out)
+            t = (
+                eng.file_inventory(epoch=args.epoch)
+                if args.files
+                else eng.history()
+            )
+            print(t.to_pandas().to_string(index=False, max_colwidth=60))
         elif args.cmd == "branch":
             eng = CdcEngine(args.out)
             if args.list_branches:

@@ -2559,6 +2559,125 @@ class CdcEngine:
             )
         return {"epoch": k, **totals}
 
+    # -- metadata tables (Iceberg $history / $files analog) ---------------
+    def history(self) -> pa.Table:
+        """The commit history as a TABLE — one row per committed epoch with
+        its headline metrics, history generation, schema-op and rewrite
+        markers.  Driver-side O(epochs) JSON reads (manifests are a few KB
+        each); this is the introspection surface, not a data path."""
+        rows = []
+        for e in self.manifest.committed_epochs():
+            rec = self.manifest.read_epoch(e)
+            m = rec.get("metrics", {}) or {}
+            rows.append(
+                {
+                    "epoch": int(e),
+                    "partitions": len(rec.get("partitions") or {}),
+                    "events_in": int(m.get("events_in") or 0),
+                    "applied": int(m.get("applied") or 0),
+                    "dup_lsn_dropped": int(m.get("dup_lsn_dropped") or 0),
+                    "quarantined_late": int(m.get("quarantined_late") or 0),
+                    "expect_failed": int(m.get("expect_failed") or 0),
+                    "change_files": len(rec.get("changes") or []),
+                    "restore_gen": int(rec.get("restore_gen", 0) or 0),
+                    "schema_ops": len(rec.get("schema_log") or []),
+                    "restored_to": m.get("restored_to"),
+                    "migrated": "migrated_from" in m,
+                    "published_from_branch": m.get("published_from_branch"),
+                }
+            )
+        schema = pa.schema(
+            [
+                ("epoch", pa.int64()),
+                ("partitions", pa.int64()),
+                ("events_in", pa.int64()),
+                ("applied", pa.int64()),
+                ("dup_lsn_dropped", pa.int64()),
+                ("quarantined_late", pa.int64()),
+                ("expect_failed", pa.int64()),
+                ("change_files", pa.int64()),
+                ("restore_gen", pa.int64()),
+                ("schema_ops", pa.int64()),
+                ("restored_to", pa.int64()),
+                ("migrated", pa.bool_()),
+                ("published_from_branch", pa.string()),
+            ]
+        )
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def file_inventory(self, epoch: int | None = None) -> pa.Table:
+        """The committed chain as a TABLE — one row per referenced data file
+        (live chain + mirrored siblings) with its role, partition, file
+        epoch and on-disk size.  Small-file pressure, compaction debt and
+        branch sharing become queryable (Iceberg ``$files`` analog)."""
+        from encode_ingest_ray.state.schemalog import file_epoch as _fe
+
+        rec = (
+            self.manifest.latest()
+            if epoch is None
+            else self.manifest.read_epoch(epoch)
+        )
+        rows = []
+
+        def add(part: str, role: str, chain: str, path: str | None):
+            if not path:
+                return
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = None
+            try:
+                fe = _fe(path)
+            except ValueError:
+                fe = None
+            rows.append(
+                {
+                    "partition": int(part),
+                    "chain": chain,
+                    "role": role,
+                    "path": os.path.abspath(path),
+                    "file_epoch": fe,
+                    "bytes": size,
+                    "shared": not os.path.abspath(path).startswith(
+                        os.path.abspath(self.out_dir) + os.sep
+                    ),
+                }
+            )
+
+        for p, ptr in ((rec or {}).get("partitions") or {}).items():
+            add(p, "base", "live", ptr.get("base"))
+            for d in ptr.get("deltas", []):
+                add(p, "delta", "live", d)
+            if self.index_root is not None:
+                iptr = self._index_ptr(ptr)
+                add(p, "base", "index", iptr.get("base"))
+                for d in iptr.get("deltas", []):
+                    add(p, "delta", "index", d)
+            if self.postings_root is not None:
+                pptr = self._reroot_ptr(ptr, self.postings_root)
+                add(p, "base", "postings", pptr.get("base"))
+                for d in pptr.get("deltas", []):
+                    add(p, "delta", "postings", d)
+                add(p, "dl_base", "postings", ptr.get("dl_base"))
+                for d in ptr.get("dl_deltas", []):
+                    add(p, "dl_delta", "postings", d)
+        schema = pa.schema(
+            [
+                ("partition", pa.int64()),
+                ("chain", pa.string()),
+                ("role", pa.string()),
+                ("path", pa.string()),
+                ("file_epoch", pa.int64()),
+                ("bytes", pa.int64()),
+                ("shared", pa.bool_()),
+            ]
+        )
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)
+
     def payload_registry(self) -> "ray.data.Dataset":
         """Streaming view of the committed payload registry: one
         ``(file_id, md5, nbytes, relpath)`` row per ingested reference,
