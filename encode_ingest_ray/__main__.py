@@ -92,6 +92,10 @@ def main(argv=None) -> int:
                    metavar="COL",
                    help="ingest expectation: quarantine versions whose COL "
                         "is null or '' (repeatable; rule name nonempty_COL)")
+    r.add_argument("--stats-columns", default=None,
+                   help="comma-separated columns to track per-partition "
+                        "[min,max] zone-map stats for (policy knob; enables "
+                        "pruned range scans via CdcEngine.scan)")
     r.add_argument("--warmup", action="store_true",
                    help="spin up the worker pool with an untimed tiny read "
                         "before running (bench parity)")
@@ -393,6 +397,8 @@ def main(argv=None) -> int:
                 )
         if part.get("changefeed_preimages"):
             out["changefeed_preimages"] = True
+        if part.get("stats_columns"):
+            out["stats_columns"] = part["stats_columns"]
         if os.path.isdir(os.path.join(args.out, "expect", "_manifest")):
             exp = Manifest(os.path.join(args.out, "expect")).latest()
             if exp:
@@ -498,6 +504,10 @@ def main(argv=None) -> int:
             )
             postings_column = args.postings_column
             cdf_pre = True if args.changefeed_preimages else None
+            stats_columns = (
+                [c.strip() for c in args.stats_columns.split(",") if c.strip()]
+                if args.stats_columns else None
+            )
             expectations = None
             if args.expect_not_null or args.expect_nonempty:
                 from encode_ingest_ray.pipelines.cdc import (
@@ -519,6 +529,7 @@ def main(argv=None) -> int:
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
+                    stats_columns=stats_columns,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -542,6 +553,7 @@ def main(argv=None) -> int:
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
+                    stats_columns=stats_columns,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -551,6 +563,7 @@ def main(argv=None) -> int:
                     num_actors=args.actors, index_columns=index_columns,
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
+                    stats_columns=stats_columns,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

@@ -217,6 +217,7 @@ class CdcEngine:
         postings_column: str | None = None,
         expectations: dict | None = None,
         changefeed_preimages: bool | None = None,
+        stats_columns: list[str] | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -286,6 +287,13 @@ class CdcEngine:
                 committed.get("changefeed_preimages")
             ) if committed else False
         self.changefeed_preimages = bool(changefeed_preimages)
+        # zone-map statistics are a POLICY knob like lateness: adopt the
+        # committed column list on resume; an explicit new list applies
+        # going forward (bounds appear as partitions get dirtied; partitions
+        # without bounds are simply never pruned — the safe default)
+        if stats_columns is None and committed is not None:
+            stats_columns = committed.get("stats_columns")
+        self.stats_columns = list(stats_columns) if stats_columns else None
         self.lateness_us = lateness_us
         self.late_root = (
             os.path.join(out_dir, "late") if lateness_us is not None else None
@@ -820,6 +828,7 @@ class CdcEngine:
                     self.expectations,
                     self.changefeed_preimages,
                     self._effective_schema_log(),
+                    self.stats_columns,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -1019,6 +1028,7 @@ class CdcEngine:
             "lateness_us": self.lateness_us,
             "postings_column": self.postings_column,
             "changefeed_preimages": self.changefeed_preimages,
+            "stats_columns": self.stats_columns,
         }
         # late-quarantine chain: accumulate this epoch's per-partition late
         # deltas (riding the flush pointers) onto the committed late map —
@@ -2727,6 +2737,86 @@ class CdcEngine:
             schema_log=self.schema_log(epoch),
         )
 
+    def prune_partitions(
+        self, bounds: dict[str, tuple], epoch: int | None = None
+    ) -> tuple[dict[int, dict], int]:
+        """Zone-map pruning decision: partitions whose committed per-column
+        [min, max] stats (``stats_columns``) are DISJOINT from the requested
+        bounds are skipped.  Returns (surviving part->files map, pruned
+        count).  Conservative by construction: bounds cover every stored
+        version (supersets of the live values), partitions without stats
+        are never pruned, and pruning is whole-partition only — merge-on-
+        read's LWW resolve inside each surviving partition is untouched
+        (file-level skipping would resurrect superseded versions).
+        Timestamp bounds are integer microseconds (the stored encoding)."""
+        rec = (
+            self.manifest.latest()
+            if epoch is None
+            else self.manifest.read_epoch(epoch)
+        )
+        pointers = dict(rec["partitions"]) if rec else {}
+        parts: dict[int, dict] = {}
+        pruned = 0
+        for p, ptr in pointers.items():
+            st = ptr.get("stats") or {}
+            skip = False
+            for col, (lo, hi) in bounds.items():
+                b = st.get(col)
+                if b is None:
+                    continue
+                if (hi is not None and b[0] > hi) or (
+                    lo is not None and b[1] < lo
+                ):
+                    skip = True
+                    break
+            if skip:
+                pruned += 1
+                continue
+            parts[int(p)] = {
+                "base": ptr.get("base"),
+                "deltas": list(ptr.get("deltas", [])),
+            }
+        return parts, pruned
+
+    def scan(
+        self,
+        bounds: dict[str, tuple],
+        columns: list[str] | None = None,
+        epoch: int | None = None,
+    ) -> "ray.data.Dataset":
+        """Range scan with zone-map partition pruning + the exact residual
+        filter: live rows whose ``bounds`` columns fall inside [lo, hi]
+        (None = unbounded side; timestamps compare as integer µs).  At 64 Ki
+        partitions a narrow time-range read touches only the partitions
+        whose committed stats intersect the range — the data-skipping path
+        a full `final_dataset().filter()` scan lacks."""
+        parts, _ = self.prune_partitions(bounds, epoch=epoch)
+        ds = self._merge_on_read(
+            parts, columns, schema_log=self.schema_log(epoch)
+        )
+
+        def residual(t: pa.Table) -> pa.Table:
+            for col, (lo, hi) in bounds.items():
+                if col not in t.column_names:
+                    continue
+                arr = t.column(col)
+                if pa.types.is_timestamp(arr.type):
+                    arr = pc.cast(arr, pa.int64())
+                mask = None
+                if lo is not None:
+                    mask = pc.greater_equal(arr, pa.scalar(lo))
+                if hi is not None:
+                    m2 = pc.less_equal(arr, pa.scalar(hi))
+                    mask = m2 if mask is None else pc.and_(mask, m2)
+                if mask is not None:
+                    t = t.filter(pc.fill_null(mask, False))
+            return t
+
+        return ds.map_batches(
+            residual, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
     def _merge_on_read(
         self,
         parts: dict[int, dict],
@@ -2950,6 +3040,7 @@ class CdcEngine:
             index_columns = self.index_columns
             postings_root = self.postings_root
             postings_column = self.postings_column
+            stats_columns = self.stats_columns
 
             def write_parts(t: pa.Table) -> pa.Table:
                 import numpy as np
@@ -3001,6 +3092,13 @@ class CdcEngine:
                         ).as_py()
                         or 0
                     )
+                    st_json = "{}"
+                    if stats_columns:
+                        from encode_ingest_ray.state.merger import column_bounds
+
+                        st_json = json.dumps(
+                            column_bounds(sub, list(stats_columns))
+                        )
                     rows.append(
                         {
                             "part": int(p),
@@ -3011,6 +3109,7 @@ class CdcEngine:
                             "dl_base": dl_base,
                             "doc_n": dsn,
                             "doc_s": dss,
+                            "stats_json": st_json,
                         }
                     )
                 if not rows:
@@ -3024,6 +3123,7 @@ class CdcEngine:
                             "dl_base": pa.array([], pa.string()),
                             "doc_n": pa.array([], pa.int64()),
                             "doc_s": pa.array([], pa.int64()),
+                            "stats_json": pa.array([], pa.string()),
                         }
                     )
                 return pa.Table.from_pylist(rows)
@@ -3071,6 +3171,10 @@ class CdcEngine:
                     rows_live=r["rows_live"],
                     turn_hi=r["turn_hi"],
                 )
+                if self.stats_columns:
+                    pointers[str(r["part"])]["stats"] = json.loads(
+                        r.get("stats_json") or "{}"
+                    )
                 if postings_root is not None:
                     pointers[str(r["part"])].update(
                         dl_base=r["dl_base"] or None,
@@ -3081,7 +3185,8 @@ class CdcEngine:
                             "index_columns": self.index_columns,
                             "lateness_us": self.lateness_us,
                             "postings_column": self.postings_column,
-                            "changefeed_preimages": self.changefeed_preimages}
+                            "changefeed_preimages": self.changefeed_preimages,
+                            "stats_columns": self.stats_columns}
             metrics = dict(latest.get("metrics", {}))
             metrics["migrated_from"] = old
             mig_manifests: dict[str, Manifest] = {"live": self.manifest}

@@ -406,6 +406,41 @@ def cdc_schema_evolution(sf_dir: str):
     )
 
 
+CDC_ZONEMAP_SQL = f"""
+WITH ev AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete' AND turn_idx BETWEEN 3 AND 9
+"""
+
+
+@register("cdc_zonemap_scan", CDC_ZONEMAP_SQL)
+def cdc_zonemap_scan(sf_dir: str):
+    """Zone-map pruned range scan: the engine tracks per-partition
+    [min, max] stats for configured columns (``stats_columns`` — the
+    generalization of the built-in ts_hi/turn_hi pointer stats), and
+    ``scan(bounds)`` skips partitions whose committed stats are disjoint
+    from the range before applying the exact residual filter.  Pruning is
+    whole-partition (file-level skipping would corrupt the LWW resolve)
+    and conservative; the oracle is the plain winner set filtered by the
+    same range — pruning must never change the answer."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdczm-{uuid.uuid4().hex[:8]}-")
+    events_dir = os.path.join(work, "events")
+    os.makedirs(events_dir)
+    _write_epoch_fixtures(sf_dir, events_dir, n_epochs=3)
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=16,
+                       num_actors=4, compact_every=2,
+                       stats_columns=["turn_idx", "ts"])
+    engine.run(events_dir)
+    return engine.scan({"turn_idx": (3, 9)})
+
+
 @register("cdc_branch_wap", CDC_FINAL_SQL)
 def cdc_branch_wap(sf_dir: str):
     """Write-audit-publish through branches: main ingests epochs 0-1, a

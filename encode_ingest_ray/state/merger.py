@@ -190,6 +190,47 @@ def doc_stats_of(doclens: pa.Table | None) -> dict:
 LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
 
+def _stat_scalar(v):
+    """JSON-encodable bound: timestamps as int microseconds."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1_000_000)
+    return v
+
+
+def column_bounds(table: pa.Table, columns: list[str]) -> dict:
+    """Per-column [min, max] zone-map bounds over a table's rows (None for
+    absent/all-null columns).  Bounds over ALL versions — superseded and
+    tombstoned rows included — which over-approximates the live values, the
+    safe direction for pruning."""
+    out: dict = {}
+    for c in columns:
+        if c not in table.column_names or table.num_rows == 0:
+            out[c] = None
+            continue
+        mm = pc.min_max(table.column(c))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        out[c] = None if lo is None else [_stat_scalar(lo), _stat_scalar(hi)]
+    return out
+
+
+def merge_bounds(prev: dict | None, new: dict) -> dict:
+    """Widen previous bounds with an epoch's — bounds only ever widen
+    between compactions (a compaction recomputes them exactly from the
+    folded state, which is what re-tightens after deletes)."""
+    out = dict(prev or {})
+    for c, b in new.items():
+        p = out.get(c)
+        if b is None:
+            out.setdefault(c, None)
+        elif p is None:
+            out[c] = list(b)
+        else:
+            out[c] = [min(p[0], b[0]), max(p[1], b[1])]
+    return out
+
+
 def load_partition_state(
     ptr: dict,
     columns: list[str] | None = None,
@@ -272,6 +313,7 @@ def _flush_partitions(
     expectations: dict | None = None,
     cdf_preimages: bool = False,
     schema_log: list | None = None,
+    stats_columns: list | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -358,6 +400,8 @@ def _flush_partitions(
                     "cdf": None,
                     "metrics": metrics,
                 }
+                if stats_columns:
+                    out[part]["stats"] = prev.get("stats")
                 if postings_root is not None:
                     out[part]["dl_base"] = prev.get("dl_base")
                     out[part]["dl_deltas"] = list(prev.get("dl_deltas", []))
@@ -525,6 +569,16 @@ def _flush_partitions(
 
         metrics["rows_delta"] = delta.num_rows
         metrics["merge_flush_s"] = round(time.perf_counter() - t0, 4)
+        bounds = None
+        if stats_columns:
+            if compacting:
+                # recompute exact bounds from the folded state — this is
+                # what re-tightens the zone map after deletes/updates
+                bounds = column_bounds(state, list(stats_columns))
+            else:
+                bounds = merge_bounds(
+                    prev.get("stats"), column_bounds(delta, list(stats_columns))
+                )
         out[part] = {
             "base": base,
             "deltas": deltas,
@@ -541,6 +595,8 @@ def _flush_partitions(
             "pre": pre_path,
             "metrics": metrics,
         }
+        if stats_columns:
+            out[part]["stats"] = bounds
         if postings_root is not None:
             out[part]["dl_base"] = dl_base
             out[part]["dl_deltas"] = dl_deltas
@@ -569,6 +625,7 @@ class PartitionMerger:
         expectations: dict | None = None,
         cdf_preimages: bool = False,
         schema_log: list | None = None,
+        stats_columns: list | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -584,6 +641,7 @@ class PartitionMerger:
         self.expectations = expectations
         self.cdf_preimages = cdf_preimages
         self.schema_log = list(schema_log or [])
+        self.stats_columns = list(stats_columns) if stats_columns else None
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -657,6 +715,7 @@ class PartitionMerger:
                 self.expectations,
                 self.cdf_preimages,
                 self.schema_log,
+                self.stats_columns,
             )
             for group in (dirty[i::k] for i in range(k))
         ]

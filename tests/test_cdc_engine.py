@@ -265,7 +265,8 @@ def test_migrate_partitioning_preserves_table_and_resume(gen, tmp_path):
     assert res["new"] == {"num_partitions": 8, "turn_block": 32,
                           "index_columns": None, "lateness_us": None,
                           "postings_column": None,
-                          "changefeed_preimages": False}
+                          "changefeed_preimages": False,
+                          "stats_columns": None}
     assert e1.final_table().equals(before)
 
     # identity guard: the OLD params now conflict, the new ones (or none)

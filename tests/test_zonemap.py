@@ -1,0 +1,93 @@
+"""Zone-map partition stats + pruned range scan (CdcEngine.scan).
+
+Pruning is whole-partition (file-level skipping would break the LWW
+resolve) and conservative (bounds cover every stored version).  It pays
+when per-partition bounds are narrow — sparse-key regimes, key-correlated
+columns, or after a retention delete's compaction re-tightens the bounds;
+under a dense uniform hash layout bounds converge to the global range and
+the scan degrades gracefully to the exact residual filter."""
+
+import pyarrow.compute as pc
+
+from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+from encode_ingest_ray.state.merger import column_bounds, merge_bounds
+
+import pyarrow as pa
+
+
+def test_bounds_kernels():
+    t = pa.table({"a": [3, 1, 7], "b": ["x", None, "m"],
+                  "c": pa.nulls(3, pa.int64())})
+    b = column_bounds(t, ["a", "b", "c", "missing"])
+    assert b["a"] == [1, 7] and b["b"] == ["m", "x"]
+    assert b["c"] is None and b["missing"] is None
+    assert merge_bounds({"a": [2, 5]}, {"a": [1, 3]})["a"] == [1, 5]
+    assert merge_bounds(None, {"a": [1, 3]})["a"] == [1, 3]
+    assert merge_bounds({"a": [1, 3]}, {"a": None})["a"] == [1, 3]
+
+
+def _events(tmp_path, **kw):
+    ev = str(tmp_path / "events")
+    generate_cdc_events(ev, **kw)
+    return discover_epoch_files(ev)
+
+
+def test_scan_is_exact_and_prunes_sparse_keys(ray_session, tmp_path):
+    # sparse regime: 12 conversations over 64 partitions -> each dirty
+    # partition holds ~one conversation's turn-blocks, so per-partition
+    # turn_idx bounds are NARROW and a range scan skips most of the table
+    epochs = _events(tmp_path, n_events=8000, n_convs=12, epochs=2, seed=3)
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=64, num_actors=2,
+                    compact_every=2, stats_columns=["ts", "turn_idx"])
+    eng.run(epoch_files=epochs)
+    ptrs = eng.manifest.pointers()
+    assert all(
+        p.get("stats", {}).get("turn_idx") is not None for p in ptrs.values()
+    )
+    lo, hi = 0, 2
+    parts, pruned = eng.prune_partitions({"turn_idx": (lo, hi)})
+    assert pruned > 0 and len(parts) + pruned == len(ptrs)
+    got = eng.scan({"turn_idx": (lo, hi)}).take_all()
+    want = [
+        r for r in eng.final_dataset().take_all() if lo <= r["turn_idx"] <= hi
+    ]
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key) and len(got) > 0
+
+    # timestamp bounds: integer-microsecond encoding, exact residual
+    all_ts = [int(r["ts"].timestamp() * 1e6) for r in eng.final_dataset().take_all()]
+    t_lo, t_hi = min(all_ts), min(all_ts) + (max(all_ts) - min(all_ts)) // 10
+    got_ts = eng.scan({"ts": (t_lo, t_hi)}).take_all()
+    want_n = sum(1 for v in all_ts if t_lo <= v <= t_hi)
+    assert len(got_ts) == want_n
+
+    # disjoint range: zero partitions touched, empty result
+    parts0, pruned0 = eng.prune_partitions({"turn_idx": (10**9, None)})
+    assert not parts0 and pruned0 == len(ptrs)
+    assert eng.scan({"turn_idx": (10**9, None)}).count() == 0
+
+
+def test_stats_adopt_resume_and_survive_migrate(ray_session, tmp_path):
+    epochs = _events(tmp_path, n_events=8000, n_convs=12, epochs=3, seed=4)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=32, num_actors=2, compact_every=2,
+                    stats_columns=["turn_idx"])
+    eng.run(epoch_files=epochs[:2])
+    # resume adopts the committed policy
+    eng2 = CdcEngine(out, num_actors=2)
+    assert eng2.stats_columns == ["turn_idx"]
+    eng2.run(epoch_files=epochs)
+    before = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in eng2.scan({"turn_idx": (0, 3)}).take_all()
+    )
+    # migrate recomputes exact bounds for the new layout
+    eng2.migrate(new_num_partitions=8)
+    ptrs = eng2.manifest.pointers()
+    assert any(p.get("stats", {}).get("turn_idx") for p in ptrs.values())
+    after = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in eng2.scan({"turn_idx": (0, 3)}).take_all()
+    )
+    assert after == before
