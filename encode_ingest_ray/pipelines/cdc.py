@@ -695,6 +695,25 @@ class CdcEngine:
                         }
                     self.txn.commit(e, manifests, records)
                 published += 1
+            # a schema op performed ON the branch re-stamps its BASE record
+            # (same-epoch re-commit), which the epoch replay above never
+            # touches — sync it with a same-epoch re-commit on main so a
+            # rename/drop-only branch still publishes its metadata
+            br_log = list((br_latest or {}).get("schema_log") or [])
+            main_latest = self.manifest.latest()
+            if br_log != list((main_latest or {}).get("schema_log") or []):
+                self.manifest.commit(
+                    int(main_latest["epoch"]),
+                    main_latest["partitions"],
+                    {**main_latest.get("metrics", {}),
+                     "published_from_branch": name},
+                    main_latest.get("partitioning"),
+                    changes=main_latest.get("changes"),
+                    preimages=main_latest.get("preimages"),
+                    restore_gen=int(info["restore_gen"]),
+                    schema_log=br_log,
+                )
+                published += 1
             if published:
                 self._vacuum_chains()
             return {

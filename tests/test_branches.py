@@ -216,3 +216,68 @@ def test_branch_carries_schema_log(ray_session, tmp_path):
     assert br.schema_log() == eng.schema_log()
     t = br.final_table()
     assert "body" in t.column_names and "text" not in t.column_names
+
+
+def test_concurrent_branch_writers(ray_session, tmp_path):
+    """Optimistic multi-writer via branches: two writers hold DIFFERENT run
+    locks (one per branch root) and ingest concurrently; the first publish
+    wins, the loser's publish raises non-fast-forward (re-branch + replay
+    is its retry path) — the engine's single-writer-per-TABLE rule stays."""
+    epochs = _fixture(tmp_path, epochs=4)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("w1")
+    eng.create_branch("w2")
+    b1 = eng.branch_engine("w1", num_actors=2)
+    b2 = eng.branch_engine("w2", num_actors=2)
+    # prove the locks are independent: while w1's run lock is held, w2
+    # ingests to completion
+    b1.manifest.acquire_run_lock()
+    try:
+        b2.run(epoch_files=epochs[:3])
+    finally:
+        b1.manifest.release_run_lock()
+    b1.run(epoch_files=epochs)
+    assert eng.publish_branch("w2")["epoch"] == 2
+    with pytest.raises(ValueError, match="fast-forward"):
+        eng.publish_branch("w1")
+
+
+def test_branch_side_schema_op_publishes(ray_session, tmp_path):
+    """A rename performed ON the branch re-stamps the branch's base record;
+    publish syncs the schema log onto main even when the branch committed
+    no new epochs (and normally via the replayed records' carried log)."""
+    epochs = _fixture(tmp_path, epochs=3)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("s")
+    br = eng.branch_engine("s", num_actors=2)
+    br.rename_column("text", "body")
+    # metadata-only branch: no new epochs, just the schema op
+    res = eng.publish_branch("s")
+    assert res["published_epochs"] == 1
+    assert eng.schema_log() == br.schema_log()
+    t = eng.final_table()
+    assert "body" in t.column_names and "text" not in t.column_names
+    # and with new epochs: the carried log arrives with the replay (the
+    # post-drop producer ships epoch 2 WITHOUT the dropped column — files
+    # that still carry it would legally re-add it as a new column)
+    import pyarrow.parquet as pq
+
+    eng2 = CdcEngine(str(tmp_path / "out2"), num_partitions=8, num_actors=2)
+    eng2.run(epoch_files=epochs[:2])
+    eng2.create_branch("s2")
+    br2 = eng2.branch_engine("s2", num_actors=2)
+    br2.drop_column("tool")
+    e2 = []
+    for f in epochs[2]:
+        t = pq.read_table(f).drop_columns(["tool"])
+        p = str(tmp_path / f"notool-{os.path.basename(f)}")
+        pq.write_table(t, p)
+        e2.append(p)
+    br2.run(epoch_files=epochs[:2] + [e2])
+    eng2.publish_branch("s2")
+    assert eng2.schema_log() == br2.schema_log()
+    assert "tool" not in eng2.final_table().column_names
