@@ -151,6 +151,10 @@ def main(argv=None) -> int:
     f = sub.add_parser("final", help="materialize sorted per-partition parquet")
     f.add_argument("--out", required=True)
     f.add_argument("--dest", required=True)
+    f.add_argument("--asof-ts", type=float, default=None,
+                   help="TIMESTAMP AS OF: export the newest commit at or "
+                        "before this wall-clock (seconds since the Unix "
+                        "epoch); mutually exclusive with --epoch")
     f.add_argument("--overwrite", action="store_true")
     f.add_argument("--epoch", type=int, default=None,
                    help="export a historical commit (time travel, within "
@@ -616,8 +620,13 @@ def main(argv=None) -> int:
             )
         elif args.cmd == "final":
             eng = CdcEngine(args.out)
+            epoch = args.epoch
+            if getattr(args, "asof_ts", None) is not None:
+                if epoch is not None:
+                    raise SystemExit("--asof-ts and --epoch are exclusive")
+                epoch = eng.epoch_asof(int(args.asof_ts * 1_000_000))
             print(json.dumps(eng.write_final(
-                args.dest, overwrite=args.overwrite, epoch=args.epoch)))
+                args.dest, overwrite=args.overwrite, epoch=epoch)))
         elif args.cmd == "diff":
             from encode_ingest_ray.stages.diff import snapshot_diff
 

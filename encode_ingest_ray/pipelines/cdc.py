@@ -2588,6 +2588,27 @@ class CdcEngine:
             )
         return {"epoch": k, **totals}
 
+    def epoch_asof(self, wallclock_us: int) -> int:
+        """TIMESTAMP-AS-OF resolution: the largest committed epoch whose
+        record was committed at or before the given wall-clock (µs since
+        the Unix epoch).  Every commit stamps ``committed_at_us``; rewrite
+        commits (migrate/restore/schema ops re-commit an existing epoch)
+        REFRESH their epoch's stamp, so resolution is against each record's
+        last commit time.  Raises when no commit is that old (or the table
+        predates the stamp)."""
+        best = None
+        for e in self.manifest.committed_epochs():
+            rec = self.manifest.read_epoch(e)
+            at = rec.get("committed_at_us")
+            if at is not None and int(at) <= wallclock_us:
+                best = e
+        if best is None:
+            raise ValueError(
+                f"no commit at or before t={wallclock_us}µs (first commit "
+                "is newer, or the table predates commit timestamps)"
+            )
+        return best
+
     # -- metadata tables (Iceberg $history / $files analog) ---------------
     def history(self) -> pa.Table:
         """The commit history as a TABLE — one row per committed epoch with
@@ -2601,6 +2622,7 @@ class CdcEngine:
             rows.append(
                 {
                     "epoch": int(e),
+                    "committed_at_us": rec.get("committed_at_us"),
                     "partitions": len(rec.get("partitions") or {}),
                     "events_in": int(m.get("events_in") or 0),
                     "applied": int(m.get("applied") or 0),
@@ -2618,6 +2640,7 @@ class CdcEngine:
         schema = pa.schema(
             [
                 ("epoch", pa.int64()),
+                ("committed_at_us", pa.int64()),
                 ("partitions", pa.int64()),
                 ("events_in", pa.int64()),
                 ("applied", pa.int64()),

@@ -29,6 +29,7 @@ import json
 import os
 import re
 import tempfile
+import time as _time
 
 
 class ConcurrentRunError(RuntimeError):
@@ -154,6 +155,7 @@ class Manifest:
         to exactly one epoch."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
                "partitioning": partitioning,
+               "committed_at_us": int(_time.time() * 1_000_000),
                "restore_gen": (self._carried_restore_gen()
                                if restore_gen is None else int(restore_gen))}
         if changes is not None:
@@ -188,6 +190,7 @@ class Manifest:
         — the cross-table commit point."""
         rec = {"epoch": epoch, "partitions": partitions, "metrics": metrics,
                "partitioning": partitioning,
+               "committed_at_us": int(_time.time() * 1_000_000),
                "restore_gen": (self._carried_restore_gen()
                                if restore_gen is None else int(restore_gen))}
         if changes is not None:

@@ -57,3 +57,26 @@ def test_inventory_marks_shared_branch_files(ray_session, tmp_path):
     assert shared.num_rows > 0 and own.num_rows > 0
     root = os.path.abspath(br.out_dir)
     assert all(not p.startswith(root) for p in shared.column("path").to_pylist())
+
+
+def test_epoch_asof_resolution(ray_session, tmp_path):
+    import time
+
+    import pytest
+
+    ev = str(tmp_path / "events")
+    generate_cdc_events(ev, n_events=6000, n_convs=80, epochs=2, seed=17)
+    epochs = discover_epoch_files(ev)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:1])
+    time.sleep(0.05)
+    eng.run(epoch_files=epochs)
+    h = eng.history()
+    t0, t1 = h.column("committed_at_us").to_pylist()
+    assert t0 < t1
+    assert eng.epoch_asof(t0) == 0
+    assert eng.epoch_asof(t1 - 1) == 0
+    assert eng.epoch_asof(int(time.time() * 1e6)) == 1
+    with pytest.raises(ValueError, match="no commit"):
+        eng.epoch_asof(t0 - 10)
