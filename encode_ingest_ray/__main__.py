@@ -92,6 +92,11 @@ def main(argv=None) -> int:
                    metavar="COL",
                    help="ingest expectation: quarantine versions whose COL "
                         "is null or '' (repeatable; rule name nonempty_COL)")
+    r.add_argument("--expect-fail-not-null", action="append", default=None,
+                   metavar="COL",
+                   help="expect_or_fail: ABORT the epoch (nothing commits) "
+                        "if any winning version has a null COL (repeatable; "
+                        "rule name fail_not_null_COL)")
     r.add_argument("--stats-columns", default=None,
                    help="comma-separated columns to track per-partition "
                         "[min,max] zone-map stats for (policy knob; enables "
@@ -512,6 +517,14 @@ def main(argv=None) -> int:
                 [c.strip() for c in args.stats_columns.split(",") if c.strip()]
                 if args.stats_columns else None
             )
+            fail_expectations = None
+            if args.expect_fail_not_null:
+                from encode_ingest_ray.pipelines.cdc import expect_not_null
+
+                fail_expectations = {
+                    f"fail_not_null_{c}": expect_not_null(c)
+                    for c in args.expect_fail_not_null
+                }
             expectations = None
             if args.expect_not_null or args.expect_nonempty:
                 from encode_ingest_ray.pipelines.cdc import (
@@ -534,6 +547,7 @@ def main(argv=None) -> int:
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
+                    fail_expectations=fail_expectations,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -558,6 +572,7 @@ def main(argv=None) -> int:
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
+                    fail_expectations=fail_expectations,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -568,6 +583,7 @@ def main(argv=None) -> int:
                     lateness_us=lateness_us, postings_column=postings_column,
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
+                    fail_expectations=fail_expectations,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

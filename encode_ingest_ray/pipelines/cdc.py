@@ -218,6 +218,7 @@ class CdcEngine:
         expectations: dict | None = None,
         changefeed_preimages: bool | None = None,
         stats_columns: list[str] | None = None,
+        fail_expectations: dict | None = None,
     ):
         # Mergers run with num_cpus=0 by default: they are mostly idle during
         # the exchange (pure buffering) and burst at flush, so a CPU
@@ -313,6 +314,11 @@ class CdcEngine:
         #: engine must be constructed with the same dict; predicates must
         #: be deterministic (a replayed epoch re-stages identical files).
         self.expectations = expectations
+        #: expect_or_fail rules (DLT analog): like ``expectations`` but ANY
+        #: failing epoch-winning version ABORTS the epoch before commit
+        #: (ExpectationFailedError; nothing published, replay-safe).  Not
+        #: persisted — a resuming engine re-supplies the callables.
+        self.fail_expectations = fail_expectations
         self.expect_root = (
             os.path.join(out_dir, "expect") if expectations is not None else None
         )
@@ -848,6 +854,7 @@ class CdcEngine:
                     self.changefeed_preimages,
                     self._effective_schema_log(),
                     self.stats_columns,
+                    self.fail_expectations,
                 )
             )
         ray.get([a.ping.remote() for a in actors])
@@ -917,8 +924,12 @@ class CdcEngine:
                         self._actors = self._spawn_actors()
                     self._run_pipelined(pending, summary)
                     break
-                except ray.exceptions.RayError:
+                except ray.exceptions.RayError as err:
                     self._kill_actors()
+                    # an expect_or_fail abort is deterministic — retrying
+                    # replays the identical epoch into the identical error
+                    if "ExpectationFailedError" in str(err):
+                        raise
                     attempt += 1
                     if attempt > retries_per_epoch:
                         raise

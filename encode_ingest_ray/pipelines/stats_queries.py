@@ -1606,3 +1606,108 @@ def quantile_normalize_prices(sf_dir: str):
     return cohash_join(
         tgt, g, "target", "grn", how="inner", map_joined=project
     )
+
+
+CORR_MATRIX_SQL = """
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT)                 AS q,
+         CAST(ROUND(l_discount * 100) AS BIGINT)    AS d,
+         CAST(ROUND(l_tax * 100) AS BIGINT)         AS x
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT)   AS n,
+         CAST(SUM(q) AS BIGINT)     AS sq,
+         CAST(SUM(d) AS BIGINT)     AS sd,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(q * d) AS BIGINT) AS sqd,
+         CAST(SUM(q * x) AS BIGINT) AS sqx,
+         CAST(SUM(d * x) AS BIGINT) AS sdx
+  FROM v
+)
+SELECT col_a, col_b, corr FROM (
+  SELECT 'quantity' AS col_a, 'discount' AS col_b,
+         CAST(n * sqd - sq * sd AS DOUBLE)
+           / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                  * CAST(n * sdd - sd * sd AS DOUBLE)) AS corr
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'tax',
+         CAST(n * sqx - sq * sx AS DOUBLE)
+           / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                  * CAST(n * sxx - sx * sx AS DOUBLE))
+  FROM s
+  UNION ALL
+  SELECT 'discount', 'tax',
+         CAST(n * sdx - sd * sx AS DOUBLE)
+           / SQRT(CAST(n * sdd - sd * sd AS DOUBLE)
+                  * CAST(n * sxx - sx * sx AS DOUBLE))
+  FROM s
+)
+"""
+
+
+@register("corr_matrix_lineitem", CORR_MATRIX_SQL)
+def corr_matrix_lineitem(sf_dir: str):
+    """Pairwise Pearson correlation matrix over three lineitem measures in
+    ONE distributed pass: per-block integer moment partials (n, Σa, Σa²,
+    Σab for every pair — the multi-column extension of grouped_moments)
+    merge associatively; the driver folds the tiny partials in Python ints
+    (the n·Σab cross terms overflow int64 past ~10^7 rows, the chi2
+    lesson) and the final corr = num / sqrt(da·db) is ONE mirrored float64
+    expression per pair (the libm-parity trick: same operand order as the
+    SQL, so the doubles are bit-equal).  Encodings: quantity integral,
+    discount/tax in hundredths."""
+    import math
+
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = np.rint(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        x = np.rint(
+            t.column("l_tax").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        vals = {
+            "n": len(q),
+            "sq": int(q.sum()), "sd": int(d.sum()), "sx": int(x.sum()),
+            "sqq": int((q * q).sum()), "sdd": int((d * d).sum()),
+            "sxx": int((x * x).sum()),
+            "sqd": int((q * d).sum()), "sqx": int((q * x).sum()),
+            "sdx": int((d * x).sum()),
+        }
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in vals.items()})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    tot = {k: sum(int(r[k]) for r in parts) for k in parts[0]}
+    n = tot["n"]
+
+    def corr(sab: int, sa: int, sb: int, saa: int, sbb: int) -> float:
+        num = n * sab - sa * sb           # exact Python ints
+        da = n * saa - sa * sa
+        db = n * sbb - sb * sb
+        return float(num) / math.sqrt(float(da) * float(db))
+
+    return pa.table(
+        {
+            "col_a": pa.array(["quantity", "quantity", "discount"]),
+            "col_b": pa.array(["discount", "tax", "tax"]),
+            "corr": pa.array(
+                [
+                    corr(tot["sqd"], tot["sq"], tot["sd"], tot["sqq"], tot["sdd"]),
+                    corr(tot["sqx"], tot["sq"], tot["sx"], tot["sqq"], tot["sxx"]),
+                    corr(tot["sdx"], tot["sd"], tot["sx"], tot["sdd"], tot["sxx"]),
+                ],
+                pa.float64(),
+            ),
+        }
+    )

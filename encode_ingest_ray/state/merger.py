@@ -45,6 +45,13 @@ from encode_ingest_ray.schema import align_to_schema, unify_schemas
 PARQUET_OPTS = dict(compression="zstd", compression_level=3, row_group_size=131_072)
 
 
+class ExpectationFailedError(RuntimeError):
+    """An ``expect_or_fail`` rule rejected an epoch-winning version: the
+    epoch ABORTS before its manifest commit (staged files are harmless —
+    a replay re-stages them byte-identically), exactly the
+    Delta-Live-Tables ``expect_or_fail`` contract."""
+
+
 def _part_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}")
 
@@ -314,6 +321,7 @@ def _flush_partitions(
     cdf_preimages: bool = False,
     schema_log: list | None = None,
     stats_columns: list | None = None,
+    fail_expectations: dict | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -441,6 +449,23 @@ def _flush_partitions(
                 _atomic_write(failed, expect_path)
                 delta = delta.filter(pc.invert(fail_mask))
         metrics["expect_failed"] = expect_failed
+        if fail_expectations and delta.num_rows:
+            # expect_or_fail (DLT analog): ANY failing epoch-winning version
+            # aborts the WHOLE epoch before its commit — evaluated post-LWW
+            # and post-quarantine like the drop rules, tombstones bypass
+            not_delete = pc.not_equal(delta.column("op"), pa.scalar("delete"))
+            for rule_name, pred in fail_expectations.items():
+                ok = pc.fill_null(pc.cast(pred(delta), pa.bool_()), False)
+                bad = int(
+                    pc.sum(pc.and_(pc.invert(ok), not_delete)).as_py() or 0
+                )
+                if bad:
+                    raise ExpectationFailedError(
+                        f"expect_or_fail rule {rule_name!r} rejected {bad} "
+                        f"winning version(s) in partition {part} of epoch "
+                        f"{epoch}; the epoch is aborted (nothing committed) "
+                        "— fix the source or relax the rule, then re-run"
+                    )
         wm = max(wm, epoch_lsn_hi)
         prev_ts = prev.get("ts_hi")
         ts_hi = int(pc.max(pc.cast(fresh.column("ts"), pa.int64())).as_py())
@@ -626,6 +651,7 @@ class PartitionMerger:
         cdf_preimages: bool = False,
         schema_log: list | None = None,
         stats_columns: list | None = None,
+        fail_expectations: dict | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
@@ -642,6 +668,7 @@ class PartitionMerger:
         self.cdf_preimages = cdf_preimages
         self.schema_log = list(schema_log or [])
         self.stats_columns = list(stats_columns) if stats_columns else None
+        self.fail_expectations = fail_expectations
         self.watermark: dict[int, int] = {
             p: ptr["lsn_hi"] for p, ptr in pointers.items()
         }
@@ -716,6 +743,7 @@ class PartitionMerger:
                 self.cdf_preimages,
                 self.schema_log,
                 self.stats_columns,
+                self.fail_expectations,
             )
             for group in (dirty[i::k] for i in range(k))
         ]

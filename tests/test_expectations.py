@@ -190,3 +190,43 @@ def test_migrate_carries_expect_chain(exp_env, tmp_path):
     eng.migrate(new_num_partitions=4)
     assert _canon(eng.final_table()).equals(before)
     assert eng.expect_dataset().count() == s["expect_failed"]
+
+
+def test_expect_or_fail_aborts_epoch(ray_session, tmp_path):
+    """DLT expect_or_fail: a failing winner ABORTS the epoch before commit
+    (deterministic — run raises without retry); nothing publishes, and a
+    re-run without the rule (or with fixed data) applies the epoch."""
+    import pyarrow.compute as pc
+    import pytest
+    import ray as _ray
+
+    from encode_ingest_ray.functions.generator import generate_cdc_events
+    from encode_ingest_ray.pipelines.cdc import CdcEngine, discover_epoch_files
+
+    ev = str(tmp_path / "events")
+    generate_cdc_events(ev, n_events=6000, n_convs=80, epochs=2, seed=21)
+    epochs = discover_epoch_files(ev)
+    out = str(tmp_path / "out")
+
+    def tool_not_python(t):
+        # fails: plenty of winners carry tool == 'python'
+        return pc.not_equal(pc.fill_null(t.column("tool"), ""), "python")
+
+    eng = CdcEngine(out, num_partitions=8, num_actors=2,
+                    fail_expectations={"no_python_tool": tool_not_python})
+    with pytest.raises(_ray.exceptions.RayTaskError, match="no_python_tool"):
+        eng.run(epoch_files=epochs[:1])
+    assert CdcEngine(out, num_actors=2).manifest.latest() is None
+
+    # a passing fail-rule commits normally
+    def never_fails(t):
+        return pc.is_valid(t.column("conv_id"))
+
+    eng2 = CdcEngine(out, num_partitions=8, num_actors=2,
+                     fail_expectations={"key_present": never_fails})
+    s = eng2.run(epoch_files=epochs)
+    assert s["epochs_run"] == 2
+    # and the aborted attempt left nothing behind: equal to a control run
+    ctl = CdcEngine(str(tmp_path / "ctl"), num_partitions=8, num_actors=2)
+    ctl.run(epoch_files=epochs)
+    assert eng2.final_table().equals(ctl.final_table())
