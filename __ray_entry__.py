@@ -348,22 +348,28 @@ _TIER0_R4 = frozenset({
     # kept from the round-3 window (driver-green in r03)
     "cdc_upsert_engine", "cdc_scd2_history", "incremental_user_totals",
     "corpus_prep", "incremental_dedup", "near_dup_clusters",
-    "sequence_packing", "kmeans_embeddings", "ks_test_price_flag",
+    "sequence_packing", "kmeans_embeddings",
     "basket_overlap_pairs", "spatial_pairs_customers", "dq_checks_orders",
     "heavy_hitters_events", "entity_file_transform", "modality_classify",
     "summarize_audits_full", "antibody_m2n", "ri_sweep_orphan_refs",
     "crawl_reachability", "dbapi_source_scan", "funnel_signup_purchase",
     "lm_perplexity_score", "media_frame_sample", "tf_idf_topk",
     # rotated in — never driver-checked before round 4
-    "cdc_file_ingest", "cdc_search_ranked", "cdc_text_search",
+    "cdc_file_ingest", "cdc_search_ranked",
     "cdc_covering_index", "cdc_retention_delete", "cdc_schema_widening",
     "cdc_ingest_transform", "cdc_schema_evolution", "cdc_epoch_diff",
     "merge_into_orders", "sssp_copurchase", "psi_value_drift",
     "mannwhitney_price_flag", "pagerank_lineitem", "warehouse_weekly_report",
-    "q3_shipping_priority", "global_rank_orders", "moving_sum_orders",
+    "q3_shipping_priority", "global_rank_orders",
     "ohlc_user_daily", "substring_dup_stats", "inverted_index",
     "minhash_lsh_pairs", "cohort_retention_weekly", "profile_orders_columns",
     "chi2_event_dow", "gap_fill_interpolate",
+    # continuation-3 flagships (schema evolution v2, WAP branches, zone
+    # maps) — in-window so the driver proves them; demoted to make room:
+    # cdc_text_search (cdc_search_ranked covers postings),
+    # ks_test_price_flag (mannwhitney shares the two-sample scan),
+    # moving_sum_orders (ohlc/global_rank cover the window family)
+    "cdc_schema_rename", "cdc_branch_wap", "cdc_zonemap_scan",
 })
 
 
