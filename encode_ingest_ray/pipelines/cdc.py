@@ -441,6 +441,7 @@ class CdcEngine:
             log = list(latest.get("schema_log") or [])
             protected = set(LWW_META_COLUMNS)
             protected.update(self.index_columns or [])
+            protected.update(self.stats_columns or [])
             if self.postings_column:
                 protected.add(self.postings_column)
             target = entry["from"] if entry["op"] == "rename" else entry["column"]
@@ -491,6 +492,25 @@ class CdcEngine:
             self.manifest.release_run_lock()
 
     # -- branches (write-audit-publish) -----------------------------------
+    @staticmethod
+    def _record_fingerprint(rec: dict) -> str:
+        """Content fingerprint of a manifest record's REWRITABLE substance:
+        pointer map, partitioning identity, schema log and history
+        generation (metrics/timestamps excluded — they change on every
+        replayed commit without changing content)."""
+        import hashlib
+
+        body = json.dumps(
+            {
+                "partitions": rec.get("partitions"),
+                "partitioning": rec.get("partitioning"),
+                "schema_log": rec.get("schema_log") or [],
+                "restore_gen": int(rec.get("restore_gen", 0) or 0),
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha1(body.encode()).hexdigest()
+
     @staticmethod
     def _abs_ptr_paths(ptr: dict) -> dict:
         out = dict(ptr)
@@ -575,10 +595,14 @@ class CdcEngine:
                     latest.get("partitioning"),
                     restore_gen=gen,
                 )
-            # pin the base epoch + history generation for publish-time
-            # fast-forward checks (later branch commits bury the metrics)
+            # pin the base epoch + history generation + a CONTENT
+            # fingerprint of the base record for publish-time fast-forward
+            # checks: epoch number and restore_gen alone miss same-epoch
+            # rewrite commits on main (rename/drop/migrate re-commit the
+            # SAME epoch), which a branch publish would silently clobber
             info = {"source": os.path.abspath(self.out_dir),
-                    "base_epoch": epoch, "restore_gen": gen}
+                    "base_epoch": epoch, "restore_gen": gen,
+                    "base_fingerprint": self._record_fingerprint(latest)}
             fd, tmp = tempfile.mkstemp(dir=root, prefix=".tmp-branch-")
             try:
                 with os.fdopen(fd, "w") as f:
@@ -644,6 +668,17 @@ class CdcEngine:
                     "main history was rewritten (restore) since the branch "
                     "was taken — re-branch from the current commit"
                 )
+            want_fp = info.get("base_fingerprint")
+            if not resuming and want_fp is not None and (
+                self._record_fingerprint(self.manifest.read_epoch(base))
+                != want_fp
+            ):
+                raise ValueError(
+                    f"main's record at the branch base epoch {base} was "
+                    "REWRITTEN since the branch was taken (rename/drop/"
+                    "migrate re-commit the same epoch) — publishing would "
+                    "clobber it; re-branch from the current commit"
+                )
             br_latest = bman.latest()
             if int(br_latest.get("restore_gen", 0) or 0) != int(info["restore_gen"]):
                 raise ValueError(
@@ -662,6 +697,10 @@ class CdcEngine:
                 if man is not None
                 and os.path.isdir(os.path.join(root, sub, "_manifest"))
             ]
+            sibling_epochs = {
+                sub: set(bsub.committed_epochs())
+                for sub, _, bsub in siblings
+            }
             for e in to_publish:
                 if e in main_committed:
                     continue  # idempotent replay after a crashed publish
@@ -685,7 +724,7 @@ class CdcEngine:
                     manifests = {"live": self.manifest}
                     records = {"live": live_rec}
                     for sub, man, bsub in siblings:
-                        if e not in bsub.committed_epochs():
+                        if e not in sibling_epochs[sub]:
                             # e.g. the expect chain only commits on epochs
                             # the branch ran with expectation callables;
                             # its readers use latest(), gaps are fine
@@ -814,23 +853,50 @@ class CdcEngine:
             )
         return refs
 
+    def _parent_root(self) -> str | None:
+        """If this engine IS a branch, the parent table's root."""
+        d = os.path.abspath(self.out_dir)
+        if os.path.basename(os.path.dirname(d)) == "_branches":
+            return os.path.dirname(os.path.dirname(d))
+        return None
+
+    def _parent_referenced(self) -> set[str]:
+        """Files the PARENT table (and its chains) still references — after
+        a publish, main's manifests point INTO this branch's part dirs, so
+        a branch that keeps running must not vacuum them away."""
+        parent = self._parent_root()
+        if parent is None:
+            return set()
+        refs: set[str] = set()
+        retain = max(1, self.vacuum_retain or 1)
+        for sub in ("", "index", "postings", "late", "expect"):
+            mdir = os.path.join(parent, sub) if sub else parent
+            if os.path.isdir(os.path.join(mdir, "_manifest")):
+                refs |= self._manifest_referenced(Manifest(mdir), retain=retain)
+        return refs
+
     def _vacuum_chains(self) -> None:
         """Vacuum the live chain and the mirrored siblings, each protected
-        by the union of live branches' references to THAT chain."""
+        by the union of live branches' references to THAT chain — and, when
+        this engine is itself a branch, by the parent's references into the
+        branch dir (publish moves main's pointers here)."""
         if self.vacuum_retain is None:
             return
+        parent_refs = self._parent_referenced()
         self.manifest.vacuum(
-            self.vacuum_retain, extra_referenced=self._branch_referenced()
+            self.vacuum_retain,
+            extra_referenced=self._branch_referenced() | parent_refs,
         )
         if self.index_manifest is not None:
             self.index_manifest.vacuum(
                 self.vacuum_retain,
-                extra_referenced=self._branch_referenced("index"),
+                extra_referenced=self._branch_referenced("index") | parent_refs,
             )
         if self.postings_manifest is not None:
             self.postings_manifest.vacuum(
                 self.vacuum_retain,
-                extra_referenced=self._branch_referenced("postings"),
+                extra_referenced=self._branch_referenced("postings")
+                | parent_refs,
             )
 
     # -- actor pool ------------------------------------------------------
@@ -905,8 +971,9 @@ class CdcEngine:
             eps = self.manifest.committed_epochs()
             return eps[-1] if eps else -1
 
+        hi0 = _hi()
         summary["epochs_skipped"] = sum(
-            1 for e in range(len(epoch_files)) if e <= _hi()
+            1 for e in range(len(epoch_files)) if e <= hi0
         )
         attempt = 0
         try:

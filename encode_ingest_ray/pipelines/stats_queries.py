@@ -1627,25 +1627,32 @@ s AS (
          CAST(SUM(q * x) AS BIGINT) AS sqx,
          CAST(SUM(d * x) AS BIGINT) AS sdx
   FROM v
+),
+h AS (
+  -- HUGEINT products: n*Sab and n*Saa overflow BIGINT past ~10^7 rows
+  -- (the chi2_event_dow lesson); the engine side folds Python ints
+  SELECT CAST(n AS HUGEINT) AS hn,
+         sq, sd, sx, sqq, sdd, sxx, sqd, sqx, sdx
+  FROM s
 )
 SELECT col_a, col_b, corr FROM (
   SELECT 'quantity' AS col_a, 'discount' AS col_b,
-         CAST(n * sqd - sq * sd AS DOUBLE)
-           / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
-                  * CAST(n * sdd - sd * sd AS DOUBLE)) AS corr
-  FROM s
+         CAST(hn * sqd - CAST(sq AS HUGEINT) * sd AS DOUBLE)
+           / SQRT(CAST(hn * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+                  * CAST(hn * sdd - CAST(sd AS HUGEINT) * sd AS DOUBLE)) AS corr
+  FROM h
   UNION ALL
   SELECT 'quantity', 'tax',
-         CAST(n * sqx - sq * sx AS DOUBLE)
-           / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
-                  * CAST(n * sxx - sx * sx AS DOUBLE))
-  FROM s
+         CAST(hn * sqx - CAST(sq AS HUGEINT) * sx AS DOUBLE)
+           / SQRT(CAST(hn * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)
+                  * CAST(hn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+  FROM h
   UNION ALL
   SELECT 'discount', 'tax',
-         CAST(n * sdx - sd * sx AS DOUBLE)
-           / SQRT(CAST(n * sdd - sd * sd AS DOUBLE)
-                  * CAST(n * sxx - sx * sx AS DOUBLE))
-  FROM s
+         CAST(hn * sdx - CAST(sd AS HUGEINT) * sx AS DOUBLE)
+           / SQRT(CAST(hn * sdd - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                  * CAST(hn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+  FROM h
 )
 """
 

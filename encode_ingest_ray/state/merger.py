@@ -197,28 +197,34 @@ def doc_stats_of(doclens: pa.Table | None) -> dict:
 LWW_META_COLUMNS = ("conv_id", "turn_idx", "ts", "lsn", "op")
 
 
-def _stat_scalar(v):
-    """JSON-encodable bound: timestamps as int microseconds."""
-    import datetime
-
-    if isinstance(v, datetime.datetime):
-        return int(v.timestamp() * 1_000_000)
-    return v
-
-
 def column_bounds(table: pa.Table, columns: list[str]) -> dict:
     """Per-column [min, max] zone-map bounds over a table's rows (None for
     absent/all-null columns).  Bounds over ALL versions — superseded and
     tombstoned rows included — which over-approximates the live values, the
-    safe direction for pruning."""
+    safe direction for pruning.  Temporal types are cast to their RAW
+    integer representation (timestamps → µs) BEFORE min/max — never through
+    datetime.timestamp(), which applies the host's local timezone and would
+    shift the bounds against scan()'s raw-int64 residual compare.  Columns
+    whose bounds are not JSON scalars (binary, decimal, …) record None
+    (never pruned — the safe default)."""
     out: dict = {}
     for c in columns:
         if c not in table.column_names or table.num_rows == 0:
             out[c] = None
             continue
-        mm = pc.min_max(table.column(c))
+        col = table.column(c)
+        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type) \
+                or pa.types.is_time(col.type):
+            width32 = getattr(col.type, "bit_width", 64) == 32
+            col = pc.cast(
+                pc.cast(col, pa.int32() if width32 else pa.int64()), pa.int64()
+            )
+        mm = pc.min_max(col)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        out[c] = None if lo is None else [_stat_scalar(lo), _stat_scalar(hi)]
+        if lo is None or not isinstance(lo, (int, float, str, bool)):
+            out[c] = None
+        else:
+            out[c] = [lo, hi]
     return out
 
 
@@ -279,9 +285,14 @@ def load_partition_state(
         have = set(pq.read_schema(path).names)
         phys: list[str] = []
         for c in want:
-            p = physical_name(c, fe, log)
-            if p is not None and p in have and p not in phys:
-                phys.append(p)
+            # request the logical name TOO when it differs: files rewritten
+            # at an entry's own epoch (migrate/compaction at the rename
+            # epoch) already carry logical names even though the entry
+            # still nominally applies to them; map_table applies the
+            # entries in order, so reading both can never duplicate
+            for p in (physical_name(c, fe, log), c):
+                if p is not None and p in have and p not in phys:
+                    phys.append(p)
         return map_table(pq.read_table(path, columns=phys), fe, log)
 
     tables = []
@@ -598,12 +609,23 @@ def _flush_partitions(
         if stats_columns:
             if compacting:
                 # recompute exact bounds from the folded state — this is
-                # what re-tightens the zone map after deletes/updates
+                # what re-tightens the zone map after deletes/updates (and
+                # what FIRST establishes bounds for columns enabled after
+                # the partition already held untracked history)
                 bounds = column_bounds(state, list(stats_columns))
             else:
-                bounds = merge_bounds(
-                    prev.get("stats"), column_bounds(delta, list(stats_columns))
-                )
+                prev_stats = prev.get("stats")
+                new_b = column_bounds(delta, list(stats_columns))
+                if prev.get("base") or prev.get("deltas"):
+                    # the partition holds PRE-EXISTING rows: a column with
+                    # no committed bounds (stats enabled mid-life, or newly
+                    # added to the list) must stay UNKNOWN — claiming the
+                    # delta's bounds as authoritative would prune matching
+                    # old rows.  Absent keys persist (never pruned) until
+                    # the next compaction recomputes from the full state.
+                    known = set((prev_stats or {}).keys())
+                    new_b = {c: b for c, b in new_b.items() if c in known}
+                bounds = merge_bounds(prev_stats, new_b)
         out[part] = {
             "base": base,
             "deltas": deltas,

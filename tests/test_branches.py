@@ -281,3 +281,50 @@ def test_branch_side_schema_op_publishes(ray_session, tmp_path):
     eng2.publish_branch("s2")
     assert eng2.schema_log() == br2.schema_log()
     assert "tool" not in eng2.final_table().column_names
+
+
+def test_publish_detects_same_epoch_rewrite_on_main(ray_session, tmp_path):
+    """Epoch number + restore_gen alone miss same-epoch rewrite commits
+    (rename/drop/migrate re-commit the SAME epoch) — the base-record
+    fingerprint catches them."""
+    epochs = _fixture(tmp_path, epochs=3)
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("b")
+    br = eng.branch_engine("b", num_actors=2)
+    br.run(epoch_files=epochs)
+    eng.rename_column("text", "body")  # same-epoch rewrite on main
+    with pytest.raises(ValueError, match="REWRITTEN"):
+        eng.publish_branch("b")
+    # migrate is the same class of rewrite
+    eng2 = CdcEngine(str(tmp_path / "out2"), num_partitions=8, num_actors=2)
+    eng2.run(epoch_files=epochs[:2])
+    eng2.create_branch("b")
+    br2 = eng2.branch_engine("b", num_actors=2)
+    br2.run(epoch_files=epochs)
+    eng2.migrate(force=True)
+    with pytest.raises(ValueError, match="REWRITTEN"):
+        eng2.publish_branch("b")
+
+
+def test_branch_vacuum_protects_published_parent_refs(ray_session, tmp_path):
+    """After a publish, main's pointers reference files under the branch
+    dir; a branch that KEEPS ingesting (aggressive retention + compaction)
+    must not vacuum them away."""
+    epochs = _fixture(tmp_path, epochs=5)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, vacuum_retain=None)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("live")
+    br = eng.branch_engine("live", num_actors=2, vacuum_retain=1,
+                           compact_every=2)
+    br.run(epoch_files=epochs[:3])
+    eng.publish_branch("live")
+    main_rows = eng.final_table().num_rows
+    # branch keeps running: compactions supersede the published epoch-2
+    # delta inside the BRANCH's own retain window
+    br2 = eng.branch_engine("live", num_actors=2, vacuum_retain=1,
+                            compact_every=2)
+    br2.run(epoch_files=epochs)
+    # main must still read everything it published
+    assert eng.final_table().num_rows == main_rows

@@ -56,7 +56,13 @@ def test_scan_is_exact_and_prunes_sparse_keys(ray_session, tmp_path):
     assert sorted(got, key=key) == sorted(want, key=key) and len(got) > 0
 
     # timestamp bounds: integer-microsecond encoding, exact residual
-    all_ts = [int(r["ts"].timestamp() * 1e6) for r in eng.final_dataset().take_all()]
+    # (raw stored µs — naive datetimes interpreted as UTC, NOT the host TZ)
+    from datetime import timezone
+
+    def us(dt):
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+    all_ts = [us(r["ts"]) for r in eng.final_dataset().take_all()]
     t_lo, t_hi = min(all_ts), min(all_ts) + (max(all_ts) - min(all_ts)) // 10
     got_ts = eng.scan({"ts": (t_lo, t_hi)}).take_all()
     want_n = sum(1 for v in all_ts if t_lo <= v <= t_hi)
@@ -91,3 +97,54 @@ def test_stats_adopt_resume_and_survive_migrate(ray_session, tmp_path):
         for r in eng2.scan({"turn_idx": (0, 3)}).take_all()
     )
     assert after == before
+
+
+def test_stats_enabled_mid_life_never_claims_untracked_history(
+    ray_session, tmp_path
+):
+    """Enabling stats on a table with committed history must NOT prune by
+    bounds that only cover the new delta — unknown columns stay unpruned
+    until a compaction recomputes exact bounds from the full state."""
+    epochs = _events(tmp_path, n_events=8000, n_convs=12, epochs=3, seed=6)
+    out = str(tmp_path / "out")
+    # epoch 0 committed WITHOUT stats
+    CdcEngine(out, num_partitions=32, num_actors=2,
+              compact_every=100).run(epoch_files=epochs[:1])
+    # resume WITH stats; epochs 1-2 commit bounds (no compaction happens)
+    eng = CdcEngine(out, num_actors=2, compact_every=100,
+                    stats_columns=["turn_idx"])
+    eng.run(epoch_files=epochs)
+    parts, pruned = eng.prune_partitions({"turn_idx": (0, 1)})
+    assert pruned == 0  # history untracked -> nothing may be pruned
+    got = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in eng.scan({"turn_idx": (0, 1)}).take_all()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in eng.final_dataset().take_all()
+        if r["turn_idx"] <= 1
+    )
+    assert got == want
+    # a compaction (OPTIMIZE) establishes exact bounds -> pruning resumes
+    eng.migrate(force=True)
+    _, pruned2 = eng.prune_partitions({"turn_idx": (0, 1)})
+    assert pruned2 > 0
+    got2 = sorted(
+        (r["conv_id"], r["turn_idx"])
+        for r in eng.scan({"turn_idx": (0, 1)}).take_all()
+    )
+    assert got2 == want
+
+
+def test_stats_columns_protected_from_schema_ops(ray_session, tmp_path):
+    import pytest
+
+    epochs = _events(tmp_path, n_events=4000, n_convs=10, epochs=2, seed=8)
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=8, num_actors=2,
+                    stats_columns=["tool"])
+    eng.run(epoch_files=epochs)
+    with pytest.raises(ValueError, match="protected"):
+        eng.rename_column("tool", "instrument")
+    with pytest.raises(ValueError, match="protected"):
+        eng.drop_column("tool")
