@@ -332,6 +332,13 @@ _FAMILY_COVERED = {
                                  # keeps the row; the dimensionality-
                                  # reduction (sign-free) twin of ann_lsh's
                                  # integer planes
+    # round-4 continuation-3 rotation:
+    "cdc_text_search",       # postings family — cdc_search_ranked (BM25,
+                             # the superset path) takes the driver row
+    "ks_test_price_flag",    # two-sample family — mannwhitney shares the
+                             # one distributed sorted-CDF scan
+    "moving_sum_orders",     # window family — ohlc_user_daily and
+                             # global_rank_orders keep the rows
 }
 
 
