@@ -702,8 +702,18 @@ def main(argv=None) -> int:
             feed = reader(since_epoch=args.since_epoch,
                           to_epoch=args.to_epoch)
             if args.dest:
+                # one materialization: count from the written output rather
+                # than feed.count(), which would re-execute the whole
+                # read/map pipeline a second time
+                import pyarrow.parquet as pq
+
                 feed.write_parquet(args.dest)
-                print(json.dumps({"dest": args.dest, "rows": feed.count()}))
+                rows = sum(
+                    pq.read_metadata(os.path.join(args.dest, f)).num_rows
+                    for f in os.listdir(args.dest)
+                    if f.endswith(".parquet")
+                )
+                print(json.dumps({"dest": args.dest, "rows": rows}))
             else:
                 print(feed.limit(args.limit).to_pandas().to_string())
         elif args.cmd == "consume":

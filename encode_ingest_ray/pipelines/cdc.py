@@ -785,7 +785,13 @@ class CdcEngine:
         self.manifest.acquire_run_lock()
         try:
             prefix = root + os.sep
-            retain = max(1, self.vacuum_retain or 1)
+            # vacuum_retain=None means retention is DISABLED: nothing ever
+            # GCs, so every committed record stays valid for time travel /
+            # restore — the whole history is live and must be walked, not
+            # just the newest record per chain (an older main record can
+            # reference branch-dir files the newest one no longer does).
+            retain = (None if self.vacuum_retain is None
+                      else max(1, self.vacuum_retain))
             refs: set[str] = set()
             # every chain of main, and of every OTHER branch (a branch taken
             # after a publish shares the published files too)
@@ -814,12 +820,15 @@ class CdcEngine:
             self.manifest.release_run_lock()
 
     @staticmethod
-    def _manifest_referenced(man: Manifest, retain: int = 2) -> set[str]:
+    def _manifest_referenced(man: Manifest, retain: int | None = 2) -> set[str]:
         """Every data file the newest ``retain`` records of a manifest
-        reference (same field walk as Manifest.vacuum)."""
+        reference (same field walk as Manifest.vacuum).  ``retain=None``
+        walks EVERY committed epoch (retention disabled → all restorable)."""
         refs: set[str] = set()
         epochs = man.committed_epochs()
-        for e in epochs[-max(1, retain):]:
+        if retain is not None:
+            epochs = epochs[-max(1, retain):]
+        for e in epochs:
             rec = man.read_epoch(e)
             for ptr in rec["partitions"].values():
                 if ptr.get("base"):
@@ -2116,24 +2125,42 @@ class CdcEngine:
         """Last epoch this consumer group acknowledged (-1 = new consumer,
         next consume delivers from the first committed epoch = the initial
         snapshot load, all inserts)."""
+        return self._consumer_state(name)[0]
+
+    def _consumer_state(self, name: str) -> tuple[int, int | None]:
+        """(last acked epoch, pinned restore_gen).  gen is None for a
+        pre-fencing checkpoint (written before restore_gen pinning existed)
+        or a brand-new consumer."""
         path = self._consumer_path(name)
         if not os.path.exists(path):
-            return -1
+            return -1, None
         with open(path) as f:
-            return int(json.load(f)["epoch"])
+            st = json.load(f)
+        gen = st.get("restore_gen")
+        return int(st["epoch"]), (None if gen is None else int(gen))
 
     def ack(self, name: str, epoch: int) -> None:
         """Advance a consumer checkpoint (atomic tmp+rename — a torn write
         can never half-advance).  ``consume`` calls this after delivery;
         custom consumers over ``changes()`` call it themselves once their
-        downstream effect is durable."""
+        downstream effect is durable.
+
+        The checkpoint pins the table's CURRENT ``restore_gen`` (the same
+        fencing token ``replicate_from`` pins in _replication/cursor.json):
+        a later ``restore()`` bumps the generation, and a fully-caught-up
+        consumer — whose next window would otherwise never cross the
+        restore commit's missing ``changes`` record — is refused by
+        ``consume`` instead of silently diverging (its downstream still
+        holds rows from the discarded epochs, with no retraction)."""
         path = self._consumer_path(name)
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
+        gen = int((self.manifest.latest() or {}).get("restore_gen", 0) or 0)
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-ack-")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"epoch": int(epoch), "updated_unix": time.time()}, f)
+                json.dump({"epoch": int(epoch), "restore_gen": gen,
+                           "updated_unix": time.time()}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, path)
@@ -2151,7 +2178,25 @@ class CdcEngine:
         overwrite the same bytes — at-least-once work, exactly-once end
         state, no coordination.  ``max_epochs`` bounds one call's window
         (pagination for a consumer far behind)."""
-        since = self.consumer_epoch(name)
+        since, pinned = self._consumer_state(name)
+        cur_gen = int(
+            (self.manifest.latest() or {}).get("restore_gen", 0) or 0
+        )
+        if pinned is not None and pinned != cur_gen:
+            # restore() rewrote history since this consumer's last ack.  A
+            # lagging consumer would hit the restore commit's missing
+            # ``changes`` record and raise, but a CAUGHT-UP one would
+            # silently resume on top of rows its downstream holds from the
+            # now-discarded epochs — fence it here (same restore_gen token
+            # replicate_from pins), directing a snapshot re-sync.
+            raise ChangefeedHorizonError(
+                f"consumer {name!r} acked under restore_gen {pinned} but "
+                f"the table was restored since (restore_gen {cur_gen}); "
+                "its delivered rows may include discarded epochs with no "
+                "retraction — re-sync the consumer from a snapshot "
+                "(final_dataset), then delete its checkpoint under "
+                "_consumers/ to restart the feed"
+            )
         avail = [e for e in self.manifest.committed_epochs() if e > since]
         if max_epochs is not None:
             avail = avail[:max_epochs]
@@ -2920,8 +2965,17 @@ class CdcEngine:
                 if col not in t.column_names:
                     continue
                 arr = t.column(col)
-                if pa.types.is_timestamp(arr.type):
-                    arr = pc.cast(arr, pa.int64())
+                # mirror column_bounds' temporal handling exactly: date32/
+                # time32 must go through their raw int32 width first (a
+                # direct date32→int64 compare raises ArrowNotImplementedError)
+                if pa.types.is_timestamp(arr.type) or \
+                        pa.types.is_date(arr.type) or \
+                        pa.types.is_time(arr.type):
+                    width32 = getattr(arr.type, "bit_width", 64) == 32
+                    arr = pc.cast(
+                        pc.cast(arr, pa.int32() if width32 else pa.int64()),
+                        pa.int64(),
+                    )
                 mask = None
                 if lo is not None:
                     mask = pc.greater_equal(arr, pa.scalar(lo))

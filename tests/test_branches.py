@@ -328,3 +328,34 @@ def test_branch_vacuum_protects_published_parent_refs(ray_session, tmp_path):
     br2.run(epoch_files=epochs)
     # main must still read everything it published
     assert eng.final_table().num_rows == main_rows
+
+
+def test_drop_branch_retention_disabled_walks_full_history(
+    ray_session, tmp_path
+):
+    """vacuum_retain=None disables GC: EVERY committed record stays valid
+    for time travel / restore, so drop_branch must walk the whole history —
+    checking only the newest record per chain would let rmtree delete
+    branch-dir files an older, still-restorable main record references."""
+    epochs = _fixture(tmp_path, epochs=5)
+    out = str(tmp_path / "out")
+    eng = CdcEngine(out, num_partitions=8, num_actors=2, vacuum_retain=None)
+    eng.run(epoch_files=epochs[:2])
+    eng.create_branch("wap")
+    br = eng.branch_engine("wap", num_actors=2, vacuum_retain=None)
+    br.run(epoch_files=epochs[:3])
+    eng.publish_branch("wap")
+    publish_epoch = eng.manifest.committed_epochs()[-1]
+    # OPTIMIZE rewrites the NEWEST record's state into the main tree — but
+    # the publish-epoch record (and its change files) still live under the
+    # branch dir, and with retention disabled that record is restorable
+    # forever
+    eng.migrate(force=True)
+    eng.run(epoch_files=epochs)  # several epochs past the publish
+    with pytest.raises(ValueError, match="references"):
+        eng.drop_branch("wap")
+    # the guard is earning its keep: restore to the publish epoch still
+    # resolves branch-dir files
+    r = eng.restore(to_epoch=publish_epoch)
+    assert r["restored_to"] == publish_epoch
+    assert eng.final_table().num_rows > 0

@@ -144,3 +144,36 @@ def test_restore_keeps_sibling_chains_in_lockstep(events, tmp_path):
     # full-text search runs over the restored postings chain
     hits = engine.search(["lorem"])
     assert hits.count() >= 0
+
+
+def test_restore_fences_caught_up_consumer(events, tmp_path):
+    """A consumer fully caught up at the restore point never crosses the
+    restore commit's missing `changes` record via the epoch-window check —
+    its ack pins restore_gen (the replicate_from fencing token), and
+    consume() after a restore refuses LOUDLY instead of silently delivering
+    new epochs on top of discarded rows the downstream still holds."""
+    files = discover_epoch_files(events)
+    engine = CdcEngine(str(tmp_path / "t"), num_partitions=8, num_actors=2)
+    engine.run(epoch_files=files[:4])
+    dest = str(tmp_path / "sink")
+    r = engine.consume("sink", dest)
+    assert r["epochs"] > 0  # fully caught up now
+    engine.restore(to_epoch=1)
+    engine.run(epoch_files=files)  # a NEW epoch applies on top
+    # caught-up consumer: the epoch window alone would deliver only the new
+    # epoch and miss the rollback entirely — the gen fence must fire, even
+    # for the zero-new-epochs call shape
+    with pytest.raises(ChangefeedHorizonError, match="restore_gen"):
+        engine.consume("sink", dest)
+    # re-sync protocol: drop the checkpoint, re-consume from scratch — the
+    # fresh ack pins the NEW generation and the feed works again, except
+    # where the restore horizon itself blocks a full-history window
+    os.unlink(os.path.join(str(tmp_path / "t"), "_consumers", "sink.json"))
+    with pytest.raises(ChangefeedHorizonError):
+        engine.consume("sink", dest)  # full window crosses the restore gap
+    restore_epoch = 3
+    engine.ack("sink", restore_epoch)  # snapshot re-sync sets the cursor
+    r2 = engine.consume("sink", dest)
+    assert r2["epochs"] == 1 and r2["rows"] > 0
+    r3 = engine.consume("sink", dest)  # idempotent once re-pinned
+    assert r3["epochs"] == 0

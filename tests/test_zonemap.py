@@ -148,3 +148,37 @@ def test_stats_columns_protected_from_schema_ops(ray_session, tmp_path):
         eng.rename_column("tool", "instrument")
     with pytest.raises(ValueError, match="protected"):
         eng.drop_column("tool")
+
+
+def test_scan_residual_on_date32_column(ray_session, tmp_path):
+    """column_bounds tracks date32 (and time) columns as raw ints; the scan
+    residual must mirror that temporal handling — a direct
+    pc.greater_equal(date32, int64 scalar) raises ArrowNotImplementedError,
+    so the residual casts date/time through their raw int width first."""
+    epochs = _events(tmp_path, n_events=4000, n_convs=12, epochs=2, seed=7)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        # derive a date32 column from ts at ingest (nested def: cloudpickle
+        # ships it by value — test modules are not importable on workers)
+        return t.append_column("day", pc.cast(t.column("ts"), pa.date32()))
+
+    eng = CdcEngine(str(tmp_path / "out"), num_partitions=16, num_actors=2,
+                    stats_columns=["day"], ingest_transform=add_day)
+    eng.run(epoch_files=epochs)
+    ptrs = eng.manifest.pointers()
+    stats = [p.get("stats", {}).get("day") for p in ptrs.values()]
+    tracked = [s for s in stats if s is not None]
+    assert tracked and all(
+        isinstance(s[0], int) and isinstance(s[1], int) for s in tracked
+    )
+    rows = eng.final_dataset().take_all()
+    days = sorted({(r["day"].toordinal() - 719163) for r in rows})
+    lo, hi = days[0], days[len(days) // 2]
+    got = eng.scan({"day": (lo, hi)}).take_all()
+    want_n = sum(
+        1 for r in rows if lo <= (r["day"].toordinal() - 719163) <= hi
+    )
+    assert len(got) == want_n and len(got) > 0
+    # unbounded-side shapes exercise both residual branches
+    assert eng.scan({"day": (None, hi)}).count() >= len(got)
+    assert eng.scan({"day": (hi + 10**6, None)}).count() == 0
