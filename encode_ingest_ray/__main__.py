@@ -178,6 +178,16 @@ def main(argv=None) -> int:
     fi.add_argument("--src", required=True, help="directory of payload files")
     fi.add_argument("--out", required=True, help="committed table root")
 
+    fs = sub.add_parser(
+        "submission",
+        help="emit bulk-file-load control rows (sourcePath/targetPath/"
+             "description/file_ref) from the payload registry — the "
+             "reference hack/ manifest emitters as a streaming projection",
+    )
+    fs.add_argument("--out", required=True, help="committed table root")
+    fs.add_argument("--bucket", default="gs://ingest-staging")
+    fs.add_argument("--dest", help="write JSONL here instead of stdout")
+
     se = sub.add_parser(
         "search",
         help="full-text search over the live table via the engine-maintained "
@@ -696,6 +706,21 @@ def main(argv=None) -> int:
             print(json.dumps(eng.ingest_payloads(ds.map_batches(
                 to_payload, batch_format="pyarrow", zero_copy_batch=True,
             ))))
+        elif args.cmd == "submission":
+            eng = CdcEngine(args.out)
+            rows = eng.file_submission(bucket=args.bucket)
+            if args.dest:
+                import pandas as _pd  # noqa: F401  (to_pandas dependency)
+
+                with open(args.dest, "w") as f:
+                    for b in rows.iter_batches(batch_format="pyarrow"):
+                        for r in b.to_pylist():
+                            f.write(json.dumps(r) + "\n")
+                print(json.dumps({"dest": args.dest}))
+            else:
+                for b in rows.iter_batches(batch_format="pyarrow"):
+                    for r in b.to_pylist():
+                        print(json.dumps(r))
         elif args.cmd == "changes":
             eng = CdcEngine(args.out)
             reader = eng.changes_cdf if args.cdf else eng.changes

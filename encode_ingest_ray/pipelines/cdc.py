@@ -2873,6 +2873,55 @@ class CdcEngine:
         """Absolute CAS path of a payload by content hash."""
         return os.path.join(self.out_dir, "files", "cas", md5[:2], f"{md5}.bin")
 
+    def file_submission(
+        self, bucket: str = "gs://ingest-staging"
+    ) -> "ray.data.Dataset":
+        """Bulk-file-load control rows over the committed payload registry —
+        the reference's file-submission manifest emitters re-expressed
+        (hack/create_file_submission_from_manifest.sh:17-37: one JSON line
+        {sourcePath, targetPath, description} per file, with the target
+        path's directory tree FLATTENED to keep the repo's object count
+        down; hack/create_DRS_upload_from_fileids.sh:13-24: one
+        {file_id, file_ref} row per file).
+
+        One streaming projection over the registry, no payload reads:
+
+        - ``sourcePath``  — where the staged blob lives (``bucket`` +
+          CAS relpath; the reference's s3→gs scheme swap is the caller
+          picking the bucket scheme).
+        - ``targetPath``  — the flattened load destination (every ``/`` in
+          the relative path becomes ``_``, mirroring the manifest
+          emitter's directory-reduction rule).
+        - ``description`` — the logical file id (the reference parses it
+          back out of the filename; the registry carries it first-class).
+        - ``file_ref``    — the content address (md5).  The reference has
+          to join datarepo_load_history by target path to recover a load's
+          file ref; content addressing makes the ref a pure function of
+          the bytes.
+        """
+        reg = self.payload_registry()
+        pre = f"{bucket.rstrip('/')}/"
+
+        def to_rows(t: pa.Table) -> pa.Table:
+            rel = t.column("relpath")
+            return pa.table({
+                "sourcePath": pc.binary_join_element_wise(
+                    pa.scalar(pre), rel, pa.scalar("")
+                ),
+                "targetPath": pc.binary_join_element_wise(
+                    pa.scalar("/"),
+                    pc.replace_substring(rel, "/", "_"),
+                    pa.scalar(""),
+                ),
+                "description": t.column("file_id"),
+                "file_ref": t.column("md5"),
+            })
+
+        return reg.map_batches(
+            to_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
     def final_dataset(
         self, epoch: int | None = None, columns: list[str] | None = None
     ) -> "ray.data.Dataset":

@@ -1194,6 +1194,58 @@ def cdc_file_ingest(sf_dir: str):
     return engine.payload_registry()
 
 
+#: Submission control rows are a pure string transform of the registry,
+#: which is itself a pure function of the payload bytes — fully re-derivable.
+CDC_FILE_SUBMISSION_SQL = """
+WITH reg AS (
+  SELECT doc_id AS file_id,
+         md5(text) AS md5,
+         'cas/' || substr(md5(text), 1, 2) || '/' || md5(text) || '.bin'
+           AS relpath
+  FROM documents
+)
+SELECT 'gs://ingest-staging/' || relpath          AS "sourcePath",
+       '/' || replace(relpath, '/', '_')          AS "targetPath",
+       file_id                                    AS description,
+       md5                                        AS file_ref
+FROM reg
+"""
+
+
+@register("cdc_file_submission", CDC_FILE_SUBMISSION_SQL)
+def cdc_file_submission(sf_dir: str):
+    """File-submission manifest export (CdcEngine.file_submission) — the
+    control-JSON rows the reference's hack/ emitters generate around TDR
+    bulk file loads (create_file_submission_from_manifest.sh:17-37 flattens
+    the target directory tree; create_DRS_upload_from_fileids.sh:13-24
+    joins the load history for each file's ref).  Here both exports are one
+    streaming projection over the content-addressed payload registry: the
+    file ref IS the md5, so no load-history join exists to get wrong."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    work = tempfile.mkdtemp(prefix=f"cdcfs-{uuid.uuid4().hex[:8]}-")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+            }
+        )
+
+    payloads = docs.map_batches(
+        to_payload, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    engine = CdcEngine(os.path.join(work, "out"), num_partitions=8,
+                       num_actors=2)
+    engine.ingest_payloads(payloads)
+    return engine.file_submission()
+
+
 #: Record-level changefeed: each epoch's change set is the per-key LWW
 #: winner among that epoch's rows (tombstones included) — with the fixture's
 #: disjoint LSN ranges the watermark drops nothing, so SQL re-derives every

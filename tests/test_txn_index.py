@@ -323,3 +323,28 @@ def test_quad_chain_crash_window_heals(events_dir, tmp_path):
             Manifest(e3.postings_root), Manifest(e3.late_root)]
     assert len({m.committed_epochs()[-1] for m in mans}) == 1
     assert _table(e3.final_dataset()).equals(want_live)
+
+
+def test_file_submission_export(ray_session, tmp_path):
+    """file_submission: the hack/ control-row emitters as one streaming
+    projection over the registry — flattened targetPath, content-address
+    file_ref, bucket-scheme choice on sourcePath."""
+    import hashlib
+    out = str(tmp_path / "t")
+    eng = CdcEngine(out, num_partitions=4, num_actors=2)
+    src = pa.table({
+        "file_id": pa.array(["a.txt", "dir/b.txt"]),
+        "payload": pa.array([b"alpha", b"beta"], pa.binary()),
+    })
+    eng.ingest_payloads(ray.data.from_arrow(src))
+    rows = sorted(
+        _table_any(eng.file_submission(bucket="s3://stage")).to_pylist(),
+        key=lambda r: r["description"],
+    )
+    assert [r["description"] for r in rows] == ["a.txt", "dir/b.txt"]
+    for r in rows:
+        h = r["file_ref"]
+        assert r["sourcePath"] == f"s3://stage/cas/{h[:2]}/{h}.bin"
+        assert r["targetPath"] == f"/cas_{h[:2]}_{h}.bin"
+        assert "/" not in r["targetPath"][1:]
+    assert rows[0]["file_ref"] == hashlib.md5(b"alpha").hexdigest()
