@@ -380,19 +380,51 @@ _TIER0_R4 = frozenset({
 })
 
 
+#: Round-5 driver window (VERDICT r4 item 1): 44 of the 50 have NEVER had a
+#: driver CORRECTNESS row — the remaining 6 are the formerly-ERR promotions
+#: (rows-only in r1/r2, exact oracles since; their last driver status is
+#: still ERR, so a green row here closes them out).  Union across r1-r5
+#: after this window: 155 of 179 queries driver-verified at least once;
+#: every query in or out of a window stays gate-green locally
+#: (tools/check_oracles.py at sf0.01 AND sf0.1, FAILURES: 0).
+_TIER0_R5 = frozenset({
+    # r4-continuation flagships, never driver-checked
+    "cdc_changefeed", "cdc_changefeed_cdf", "cdc_restore", "cdc_replication",
+    "cdc_expectations", "cdc_expect_quarantine", "cdc_incremental_mv",
+    "cdc_text_search", "cdc_file_submission", "corr_matrix_lineitem",
+    "unified_transform_files",
+    # formerly-ERR promotions (exact oracles since r3; last driver row ERR)
+    "approx_distinct_users", "fingerprint_rolling", "simhash", "ann_lsh",
+    "embedding_near_dup", "ann_ivf",
+    # never-checked pool, one representative per remaining family
+    "bloom_semi_join_urgent", "bfs_hops_copurchase", "kcore_copurchase",
+    "triangle_count_copurchase", "pivot_event_counts", "cube_pricing",
+    "rollup_pricing", "cms_user_counts", "bpe_pair_counts", "doc_frequency",
+    "decontaminate_ngram", "pii_scrub", "repetition_stats", "doc_chunking",
+    "train_val_split", "curriculum_order", "leakage_safe_split",
+    "jl_project_embeddings", "filtered_ann_search", "ngram_jaccard_pairs",
+    "media_chunk_dedup", "media_decode_features", "json_props_stats",
+    "unpivot_event_counts", "mode_event_type", "orders_price_histogram",
+    "grouped_regression_supplier", "gini_order_value", "grouped_mad_orders",
+    "skyline_parts", "equi_depth_prices", "zorder_orders_layout",
+    "moving_sum_orders",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
 
     Three tiers, registration order preserved within each: (0) this
-    round's 50-query driver window (`_TIER0_R4` — one representative per
-    operator family, rotated each round so the driver re-verifies a fresh
-    subset); (1) exact-oracle siblings outside the window (the historical
-    per-family demotions live in `_FAMILY_COVERED`); (2) rows-only
+    round's 50-query driver window (`_TIER0_R5` — rotated each round so
+    the driver re-verifies a fresh subset; 44/50 never driver-checked
+    before, 6/50 formerly-ERR promotions); (1) exact-oracle siblings
+    outside the window (the historical per-family demotions live in
+    `_FAMILY_COVERED`; prior windows in `_TIER0_R4`); (2) rows-only
     sketch/ANN entries."""
     def _prio(name: str) -> int:
         if name not in registry.ORACLE:
             return 2
-        return 0 if name in _TIER0_R4 else 1
+        return 0 if name in _TIER0_R5 else 1
 
     names = sorted(registry.QUERIES, key=lambda n: (_prio(n),))  # stable
     return {n: registry.QUERIES[n] for n in names}

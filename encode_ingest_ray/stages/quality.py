@@ -68,7 +68,9 @@ def _token_ids(
     col = pc.fill_null(col, "")
     if lowercase:
         col = pc.utf8_lower(col)
-    lists = pc.utf8_split_whitespace(col)
+    from encode_ingest_ray.functions.text import split_whitespace
+
+    lists = split_whitespace(col)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = lists.flatten()
@@ -77,7 +79,7 @@ def _token_ids(
     enc = flat.dictionary_encode()
     tok = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary
-    # drop empty tokens (utf8_split_whitespace yields '' at string edges)
+    # drop empty tokens (the splitter yields '' at string edges)
     empty_mask = pc.equal(vocab, "")
     empty_ids = np.flatnonzero(empty_mask.to_numpy(zero_copy_only=False))
     if len(empty_ids):

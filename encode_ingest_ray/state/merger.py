@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
+from encode_ingest_ray.functions.text import split_whitespace
 from encode_ingest_ray.state.lww import lww_reduce
 from encode_ingest_ray.schema import align_to_schema, unify_schemas
 
@@ -114,7 +115,7 @@ def project_postings(table: pa.Table, column: str) -> pa.Table:
     )
     if live.num_rows == 0 or column not in live.column_names:
         return empty
-    toks = pc.utf8_split_whitespace(
+    toks = split_whitespace(
         pc.utf8_lower(pc.fill_null(live.column(column).combine_chunks(), ""))
     )
     if isinstance(toks, pa.ChunkedArray):
@@ -162,7 +163,7 @@ def project_doclens(table: pa.Table, column: str) -> pa.Table:
         return pa.table(
             {**meta, "dl": pa.array(np.zeros(table.num_rows, np.int64))}
         )
-    toks = pc.utf8_split_whitespace(
+    toks = split_whitespace(
         pc.utf8_lower(pc.fill_null(table.column(column).combine_chunks(), ""))
     )
     if isinstance(toks, pa.ChunkedArray):

@@ -6,6 +6,7 @@ import pytest
 import ray
 
 from encode_ingest_ray.functions.generator import generate_cdc_events
+from encode_ingest_ray.functions.text import split_whitespace
 from encode_ingest_ray.pipelines.cdc import CdcEngine
 
 
@@ -187,7 +188,7 @@ def test_postings_search_consistency(events_dir, tmp_path):
     live = _table(eng.final_dataset())
 
     def brute(token):
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(live.column("text")))
+        toks = split_whitespace(pc.utf8_lower(live.column("text")))
         mask = pa.array(
             [token in set(t) for t in toks.to_pylist()]
         )
@@ -321,7 +322,7 @@ def test_migrate_preserves_lateness_state(events_dir, tmp_path):
 def _brute_doc_stats(live: pa.Table) -> tuple[int, int]:
     """(n_docs, sum_dl) over the live table: docs with >=1 whitespace token
     of lower-cased text — the population the postings validity join sees."""
-    toks = pc.utf8_split_whitespace(
+    toks = split_whitespace(
         pc.utf8_lower(pc.fill_null(live.column("text"), ""))
     )
     dls = [len([w for w in t if w != ""]) for t in toks.to_pylist()]
