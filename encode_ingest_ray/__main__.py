@@ -118,6 +118,20 @@ def main(argv=None) -> int:
     rs.add_argument("--partitions", type=int, default=None)
     rs.add_argument("--object-store-gb", type=float, default=4.0)
 
+    rh = sub.add_parser(
+        "reshard",
+        help="elastic grow: replicate each NEW shard's key subset from the "
+             "old shard that owns it (incremental; call repeatedly while "
+             "the old deployment keeps ingesting, final pass at cutover)",
+    )
+    rh.add_argument("--old", required=True, help="current sharded table root")
+    rh.add_argument("--new", required=True, help="new sharded table root")
+    rh.add_argument("--count", type=int, required=True,
+                    help="new shard count (multiple of the current count; "
+                         "must divide the source's key_shards)")
+    rh.add_argument("--partitions", type=int, default=None)
+    rh.add_argument("--actors", type=int, default=None)
+
     t = sub.add_parser(
         "transform",
         help="unified transformation driver: raw entity JSON dumps -> all 15 "
@@ -721,6 +735,13 @@ def main(argv=None) -> int:
                 for b in rows.iter_batches(batch_format="pyarrow"):
                     for r in b.to_pylist():
                         print(json.dumps(r))
+        elif args.cmd == "reshard":
+            from encode_ingest_ray.pipelines.sharded import reshard
+
+            print(json.dumps(reshard(
+                args.old, args.new, args.count,
+                num_partitions=args.partitions, num_actors=args.actors,
+            )))
         elif args.cmd == "changes":
             eng = CdcEngine(args.out)
             reader = eng.changes_cdf if args.cdf else eng.changes

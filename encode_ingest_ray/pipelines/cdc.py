@@ -2372,6 +2372,7 @@ class CdcEngine:
         *,
         max_epochs: int | None = None,
         bootstrap: bool | str = "auto",
+        key_filter=None,
     ) -> dict:
         """Maintain this table as a REPLICA of ``source`` by consuming its
         changefeed: every source epoch past the replica's last commit is
@@ -2417,6 +2418,17 @@ class CdcEngine:
         directory (one bootstrap call).  A fresh replica whose first sync
         merely CROSSES an old restore epoch hits the changefeed horizon
         and auto-bootstraps, which is safe (it holds no discarded rows).
+
+        **Key-subset replicas** (``key_filter``): an optional DETERMINISTIC
+        pure row filter (``pa.Table -> pa.Table``, rows dropped, values
+        never rewritten) applied to the source's change rows — and to the
+        bootstrap chain rows — before they enter the replica.  It must be
+        a pure function of the KEY columns so a key's whole history (its
+        tombstones included) is kept or dropped as a unit; with that, the
+        LWW fold of the filtered stream equals the filter of the LWW fold.
+        This is the elastic re-shard primitive: a growing deployment
+        replicates each new shard as the key subset it will own
+        (pipelines/sharded.py ``owner_filter``/``reshard``).
 
         Reference analog: the reference's per-table diff→soft-delete→
         append sync pushes each table to ONE downstream store
@@ -2545,7 +2557,11 @@ class CdcEngine:
             summary_base["bootstrapped"] = True
         # change rows are already source-transformed: the replica's
         # ingest_transform must not see them (same rule as delete_where's
-        # engine-authored tombstones).  The replica also mirrors the
+        # engine-authored tombstones).  A key_filter, by contrast, is a
+        # REPLICATION-time row filter (ownership selection, not a payload
+        # transform) and rides the same fused read->route hook — it sees
+        # change rows AND bootstrap chain rows, both of which carry the
+        # key columns it reads.  The replica also mirrors the
         # source's schema log: its epochs (and so its file epochs) number
         # 1:1 with the source's, so the same epoch-stamped entries map its
         # own pre-rename files identically — committing the FULL current
@@ -2553,7 +2569,7 @@ class CdcEngine:
         # epoch e <= entry.epoch holds pre-rename change rows by
         # construction, which is exactly when the entry applies).
         saved_transform = self.ingest_transform
-        self.ingest_transform = None
+        self.ingest_transform = key_filter
         if src_log:
             self._schema_log_override = src_log
         try:

@@ -194,6 +194,105 @@ def spawn_shards(
     }
 
 
+def owner_filter(shard_index: int, shard_count: int, turn_block: int | None = None):
+    """Key-ownership predicate of the sharded deployment, as a vectorized
+    batch filter (for ``CdcEngine.replicate_from(key_filter=...)``).
+
+    Ownership is the same salted mix the key-sharded SOURCE uses
+    (state/partition.mix_partition, seed=1): a key belongs to shard
+    ``mix(conv_id, turn_idx // turn_block) % shard_count``.  This agrees
+    with the file-tailing rule (shard k tails source files SSSS %
+    shard_count == k) whenever ``shard_count`` divides the source's
+    ``key_shards`` — (m % K_src) % N == m % N iff N | K_src — which is the
+    deployment contract: pick ``key_shards`` = the maximum planned node
+    count (a power of two), exactly the Kafka partitions-vs-consumers
+    rule.  Pure function of the key columns, so a key's whole history
+    (tombstones included) is kept or dropped as a unit."""
+    from encode_ingest_ray.state.partition import (
+        DEFAULT_TURN_BLOCK,
+        conv_hashes,
+        mix_partition,
+    )
+
+    tb = turn_block or DEFAULT_TURN_BLOCK
+
+    def keep(t):
+        import numpy as np
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            return t
+        h = conv_hashes(t.column("conv_id"))
+        turns = (
+            t.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        sid = mix_partition(h, turns, shard_count, tb, seed=1)
+        return t.filter(pa.array(sid == np.int32(shard_index)))
+
+    return keep
+
+
+def reshard(
+    old_root: str,
+    new_root: str,
+    new_count: int,
+    *,
+    num_partitions: int | None = None,
+    num_actors: int | None = None,
+    turn_block: int | None = None,
+) -> dict:
+    """One catch-up pass of an elastic K -> new_count re-shard: every new
+    shard replicates ITS key subset from the old shard that currently owns
+    it.  Incremental and resume-safe (replication checkpoints are the
+    replicas' committed-epoch sets), so the grow flow is zero-downtime:
+
+    1. the old K-shard deployment keeps serving reads and ingesting;
+    2. call ``reshard`` repeatedly — each pass drains the old shards'
+       changefeeds into the new shards (cost O(changes) per pass);
+    3. cutover: pause writers, run one final ``reshard`` pass (the last
+       delta), point readers at ``new_root`` (``sharded_final_dataset``)
+       and resume writers as ``new_count`` tailers over the same source
+       (``run_shard(..., shard_count=new_count)`` — replica epochs mirror
+       the source 1:1, so the dense-prefix resume rule skips everything
+       already replicated and new epochs apply on top).
+
+    Requires new_count % K == 0 (each new shard's key range then lives
+    inside exactly ONE old shard — new shard k' draws from old shard
+    k' % K) and, per the deployment contract, new_count | key_shards of
+    the source.  SCALE.md documents the flow end-to-end."""
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+
+    old_dirs = shard_dirs(old_root)
+    k_old = len(old_dirs)
+    if k_old == 0:
+        raise FileNotFoundError(f"no shard dirs under {old_root!r}")
+    if new_count % k_old:
+        raise ValueError(
+            f"new_count={new_count} must be a multiple of the current "
+            f"shard count {k_old} (each new shard must draw from exactly "
+            "one old shard)"
+        )
+    out = {"shards": [], "events_applied": 0, "epochs_run": 0}
+    for kp in range(new_count):
+        src = CdcEngine(old_dirs[kp % k_old])
+        rep = CdcEngine(
+            shard_dir(new_root, kp, new_count),
+            num_partitions=num_partitions,
+            num_actors=num_actors,
+        )
+        s = rep.replicate_from(
+            src, key_filter=owner_filter(kp, new_count, turn_block)
+        )
+        out["shards"].append(
+            {"shard": kp, "from": old_dirs[kp % k_old],
+             "epochs_run": s["epochs_run"],
+             "events_applied": s["events_applied"]}
+        )
+        out["events_applied"] += s["events_applied"]
+        out["epochs_run"] += s["epochs_run"]
+    return out
+
+
 def shard_dirs(out_root: str) -> list[str]:
     return sorted(
         os.path.join(out_root, d)

@@ -137,3 +137,67 @@ def test_spawn_shards_multiprocess(sharded_events, tmp_path):
     for k in range(2):
         sub = tmp_path / "table" / f"shard-{k:02d}-of-02" / "_manifest"
         assert any(f.name.startswith("epoch=") for f in sub.iterdir())
+
+
+def test_elastic_reshard_grow_2_to_4(ray_session, tmp_path):
+    """Elastic K->2K grow with zero downtime (SCALE.md §elastic re-shard):
+    new shards replicate their key subsets from the old shards while the
+    old deployment keeps ingesting; catch-up is incremental; after cutover
+    the new tailers resume from the replicated epochs (dense-prefix rule)
+    and the logical table equals a single-engine control end-to-end."""
+    from encode_ingest_ray.pipelines.sharded import reshard, shard_dir
+    from encode_ingest_ray.state.partition import conv_hashes, mix_partition
+
+    d = str(tmp_path / "ev")
+    generate_cdc_events(
+        d, n_events=24_000, n_convs=200, epochs=4, seed=13,
+        dup_ratio=0.05, key_shards=8,
+    )
+    old_root, new_root = str(tmp_path / "old"), str(tmp_path / "new")
+
+    def run_old(k, upto):
+        files = shard_epoch_files(d, k, 2)[:upto]
+        eng = CdcEngine(shard_dir(old_root, k, 2),
+                        num_partitions=8, num_actors=2)
+        return eng.run(epoch_files=files)
+
+    for k in range(2):          # live 2-shard deployment, 2 epochs in
+        run_old(k, 2)
+    r1 = reshard(old_root, new_root, 4, num_partitions=4, num_actors=2)
+    assert r1["epochs_run"] == 4 * 2      # 4 new shards x 2 epochs each
+    for k in range(2):          # old cluster ingests MORE while growing
+        run_old(k, 3)
+    r2 = reshard(old_root, new_root, 4)   # incremental catch-up pass
+    assert r2["epochs_run"] == 4 * 1      # only the new epoch crosses
+    assert all(s["epochs_run"] == 1 for s in r2["shards"])
+    # cutover point: both layouts hold the same logical table
+    t_old = sharded_final_table(old_root)
+    t_new = sharded_final_table(new_root)
+    cols = sorted(t_old.column_names)
+    assert t_old.num_rows == t_new.num_rows > 0
+    assert t_old.select(cols).equals(t_new.select(cols))
+    # resume writers on the NEW deployment: 4 tailers, same source — the
+    # replicated epochs are skipped (replica epochs mirror the source 1:1),
+    # epoch 4 applies on top
+    for kp in range(4):
+        s = run_shard(d, new_root, kp, 4)
+        assert s["epochs_skipped"] == 3 and s["epochs_run"] == 1
+    ctl = CdcEngine(str(tmp_path / "ctl"), num_partitions=8, num_actors=2)
+    ctl.run(d)
+    t_final = sharded_final_table(new_root)
+    want = ctl.final_table()
+    assert t_final.num_rows == want.num_rows
+    assert want.select(sorted(want.column_names)).equals(
+        t_final.select(sorted(t_final.column_names))
+    )
+    # ownership: each new shard holds exactly its salted key range
+    for kp in range(4):
+        t = CdcEngine(shard_dir(new_root, kp, 4)).final_table()
+        assert t.num_rows > 0
+        sid = mix_partition(
+            conv_hashes(t.column("conv_id")),
+            t.column("turn_idx").combine_chunks().to_numpy(
+                zero_copy_only=False),
+            4, seed=1,
+        )
+        assert set(sid.tolist()) == {kp}
