@@ -53,6 +53,9 @@ def generate_cdc_events(
     shards_per_epoch: int | None = None,
     key_shards: int | None = None,
     turn_block: int | None = None,
+    lsn_offset: int = 0,
+    conv_offset: int = 0,
+    epoch_offset: int = 0,
 ) -> dict:
     """Write ``epochs`` Parquet event files under ``out_dir``; return metadata.
 
@@ -60,6 +63,18 @@ def generate_cdc_events(
     is re-emitted verbatim (same LSN, same payload) to model at-least-once
     delivery. Epoch *e* holds (original) LSNs in ``[e*B, (e+1)*B)`` plus any
     replayed duplicates of earlier LSNs.
+
+    ``lsn_offset`` / ``conv_offset`` / ``epoch_offset`` make the call a
+    SEGMENT of a larger corpus: LSNs become ``[lsn_offset, lsn_offset +
+    n_events)``, conversation ids ``c{conv_offset}..c{conv_offset +
+    n_convs - 1}`` and epoch files ``events-epoch-{epoch_offset + e}``.
+    Generating K segments with disjoint LSN ranges, dense consecutive
+    epoch ranges and (optionally overlapping) conv ranges composes one
+    corpus too large to draw in a single process — the 10^9-event soak
+    (tools/soak.py --events 1e9) builds its input this way, with each
+    segment drawn by an independent subprocess.  Timestamps derive from
+    the absolute LSN, so cross-segment event time stays monotonic (plus
+    the out-of-order jitter) and ``evolve_at_lsn`` is an absolute bound.
 
     ``key_shards=K`` makes the source KEY-PARTITIONED, the shape a real
     binlog/Kafka source has: epoch file ``-SSSS`` holds exactly the events
@@ -88,7 +103,7 @@ def generate_cdc_events(
         rng.integers(0, 1 << 30, size=n_events) % max_turn_per_conv[conv_nums]
     ).astype(np.int32)
 
-    lsn = np.arange(n_events, dtype=np.int64)
+    lsn = np.arange(n_events, dtype=np.int64) + np.int64(lsn_offset)
     op_draw = rng.random(n_events)
     op = np.full(n_events, "insert", dtype=object)
     op[op_draw < update_ratio + delete_ratio] = "update"
@@ -119,14 +134,14 @@ def generate_cdc_events(
         2 GiB int32-offset limit of ``pa.string()``."""
         o = op[idx]
         text = pc.binary_join_element_wise(
-            _int_str("conv ", conv_nums[idx]),
+            _int_str("conv ", conv_nums[idx] + conv_offset),
             _int_str(" turn ", turn_idx[idx]),
             _int_str(" rev ", lsn[idx]),
             pa.array(np.where(o == "delete", " (tombstone)", filler), type=pa.string()),
             "",
         )
         cols: dict[str, pa.Array] = {
-            "conv_id": _int_str("c", conv_nums[idx]),
+            "conv_id": _int_str("c", conv_nums[idx] + conv_offset),
             "turn_idx": pa.array(turn_idx[idx], type=pa.int32()),
             "role": pa.array(role[idx], type=pa.string()),
             "text": text,
@@ -156,7 +171,7 @@ def generate_cdc_events(
 
         tb = turn_block or DEFAULT_TURN_BLOCK
         conv_hash_by_num = np.fromiter(
-            (zlib.crc32(f"c{i}".encode()) for i in range(n_convs)),
+            (zlib.crc32(f"c{i + conv_offset}".encode()) for i in range(n_convs)),
             dtype=np.uint64,
             count=n_convs,
         )
@@ -205,7 +220,7 @@ def generate_cdc_events(
                 part = make_table(idx[ep_shards == shard_no])
                 schema_names = [f.name for f in part.schema]
                 path = os.path.join(
-                    out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
+                    out_dir, f"events-epoch-{e + epoch_offset:06d}-{shard_no:04d}.parquet"
                 )
                 pq.write_table(part, path, row_group_size=131_072,
                                compression="zstd", compression_level=3)
@@ -216,12 +231,12 @@ def generate_cdc_events(
                 part = make_table(idx[lo : lo + rpf])
                 schema_names = [f.name for f in part.schema]
                 path = os.path.join(
-                    out_dir, f"events-epoch-{e:06d}-{shard_no:04d}.parquet"
+                    out_dir, f"events-epoch-{e + epoch_offset:06d}-{shard_no:04d}.parquet"
                 )
                 pq.write_table(part, path, row_group_size=131_072, compression="zstd", compression_level=3)
                 files.append(path)
         # completeness marker (tail protocol): shards first, marker last
-        with open(os.path.join(out_dir, f"events-epoch-{e:06d}.done"), "w") as fdone:
+        with open(os.path.join(out_dir, f"events-epoch-{e + epoch_offset:06d}.done"), "w") as fdone:
             fdone.write("")
 
     return {
@@ -234,4 +249,7 @@ def generate_cdc_events(
         "evolve_at_lsn": evolve_at_lsn,
         "schema": schema_names,
         "key_shards": key_shards,
+        "lsn_offset": lsn_offset,
+        "conv_offset": conv_offset,
+        "epoch_offset": epoch_offset,
     }

@@ -489,3 +489,97 @@ def longest_streak_user(sf_dir: str):
         ["user_id"],
         streaks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Complex-event processing: regex over per-user ordered event-type sequences
+# ---------------------------------------------------------------------------
+
+REGEX_MATCH_SQL = """
+WITH t AS (
+  SELECT user_id, substr(event_type, 1, 1) AS c,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) AS seq
+  FROM t GROUP BY user_id
+)
+SELECT user_id, seq,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 's[cev]*p')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
+@register("event_regex_match", REGEX_MATCH_SQL)
+def event_regex_match(sf_dir: str):
+    """MATCH_RECOGNIZE-style complex-event processing: each user's events
+    become one ordered character string (event types are first-letter
+    distinct: c/e/p/s/v), and the pattern ``s[cev]*p`` — a signup followed
+    by any non-purchase activity then a purchase — is counted per user.
+
+    The sequence build is the sorted-collect kernel (one user-bucketed
+    exchange, per-bucket vectorized sort + run-offset ListArray +
+    ``binary_join`` — zero per-user Python); the pattern count is ONE RE2
+    kernel call (``count_substring_regex``) over the bucket's sequence
+    column.  Both Arrow and DuckDB scan with RE2 leftmost non-overlapping
+    semantics and the character classes are disjoint (``[cev]`` excludes
+    the terminator ``p``), so greedy matching is unambiguous and the
+    oracle is exact — including the full sequence string itself.
+
+    Scale: state per user is bounded by that user's event count (the same
+    bound any per-entity collect carries); buckets hold disjoint users, so
+    the only all-to-all is the one hash exchange.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "c": pc.utf8_slice_codeunits(t.column("event_type"), 0, 1),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = t.take(idx)
+        n = g.num_rows
+        uid = g.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, g.column("c").combine_chunks())
+        seq = pc.binary_join(lists, "")
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "seq": seq,
+                "seq_len": pc.cast(pc.utf8_length(seq), pa.int64()),
+                "n_matches": pc.cast(
+                    pc.count_substring_regex(seq, pattern="s[cev]*p"), pa.int64()
+                ),
+            }
+        )
+
+    return bucketed_groupby_apply(
+        ds.map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["user_id"],
+        per_bucket,
+    )

@@ -774,3 +774,96 @@ def warehouse_weekly_report(sf_dir: str):
         )
 
     return bucketed_groupby_apply(joined, ["region", "wk"], report)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers (group-HAVING semi-join into two joins)
+# ---------------------------------------------------------------------------
+
+Q18_SQL = """
+WITH heavy AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_date_us,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       h.sum_qty
+FROM heavy h
+JOIN orders o ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q18_large_volume", Q18_SQL)
+def q18_large_volume(sf_dir: str):
+    """TPC-H Q18 shape — aggregate-then-HAVING as a semi-join driver:
+    per-block partial quantity sums combine in ONE orderkey-bucketed
+    exchange (``bucketed_sum_combine`` — the full lineitem never
+    re-shuffles), the >250 filter leaves only the heavy orderkeys, and
+    those drive two co-hashed joins (orders, then customer) whose left
+    side is already tiny.  Quantities are integral doubles → ROUND+BIGINT
+    keeps the HAVING boundary exact at any scale.  The threshold is
+    sf-invariant (lines-per-order and per-line quantity don't grow with
+    sf), so the result stays non-empty from sf0.001 up."""
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+    from encode_ingest_ray.stages.joins import cohash_join
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.round(t.column("l_quantity"), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table({"l_orderkey": t.column("l_orderkey"), "sum_qty": q})
+        g = g.group_by(["l_orderkey"]).aggregate([("sum_qty", "sum")])
+        return g.rename_columns(["l_orderkey", "sum_qty"])
+
+    partials = line.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    heavy = bucketed_sum_combine(partials, ["l_orderkey"], ["sum_qty"]).filter(
+        lambda row: row["sum_qty"] > 250
+    )
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    heavy_orders = cohash_join(
+        heavy,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        # pyarrow's inner join emits the LEFT key column only
+        map_joined=lambda t: pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "price_cents": _cents(t.column("o_totalprice")),
+                "sum_qty": t.column("sum_qty"),
+            }
+        ),
+    )
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cohash_join(
+        heavy_orders,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        map_joined=lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_date_us": t.column("o_date_us"),
+                "price_cents": t.column("price_cents"),
+                "sum_qty": t.column("sum_qty"),
+            }
+        ),
+    )

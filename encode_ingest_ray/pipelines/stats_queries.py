@@ -1718,3 +1718,197 @@ def corr_matrix_lineitem(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: per-user CUSUM drift ALARM summary
+# ---------------------------------------------------------------------------
+
+CUSUM_DRIFT_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(ROUND(value * 1000) AS BIGINT) - 245000 AS d
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_us, event_id,
+         SUM(d) OVER w AS ps
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT user_id,
+         ps - LEAST(0, MIN(ps) OVER w) AS cusum
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+       CAST(SUM(CASE WHEN cusum > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY user_id
+"""
+
+
+@register("cusum_drift_user", CUSUM_DRIFT_SQL)
+def cusum_drift_user(sf_dir: str):
+    """Per-user CUSUM drift ALARM summary — the monitoring consumer of the
+    row-level ``cusum_user_value`` statistic: for each user the maximum of
+    ``S_t = max(0, S_{t-1} + (x_t - k))`` (k = 245.0 reference, the domain
+    midpoint), the number of points above the alarm threshold H = 1000.0,
+    and the sequence length.  Rides the same loop-free closed form
+    (``stages/stats.cusum_table``: prefix sum minus clamped segmented
+    running minimum), then folds per user INSIDE the bucket — one
+    user-bucketed exchange, per-user summary rows out, all-integer and
+    bit-exact against the window-function oracle."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_groupby_apply
+    from encode_ingest_ray.stages.stats import cusum_table
+
+    K_MILLI = 245_000
+    H_MILLI = 1_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "v": _milli(t.column("value")),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        ct = cusum_table(
+            t, ["user_id"], ["ts_us", "event_id"], "v", K_MILLI,
+            "cusum", ["user_id"],
+        )
+        over = pc.cast(pc.greater(ct.column("cusum"), H_MILLI), pa.int64())
+        one = pa.array(np.ones(ct.num_rows, np.int64))
+        g = (
+            ct.append_column("over", over)
+            .append_column("one", one)
+            .group_by(["user_id"])
+            .aggregate([("cusum", "max"), ("over", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["user_id", "max_cusum", "n_over", "n"])
+
+    return bucketed_groupby_apply(
+        ds.map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["user_id"],
+        per_bucket,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GBDT primitive: histogram-based best-split finding
+# ---------------------------------------------------------------------------
+
+BEST_SPLIT_SQL = """
+WITH h AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1
+  FROM orders GROUP BY bucket
+),
+p AS (
+  SELECT bucket,
+         CAST(SUM(n)  OVER w AS BIGINT) AS n_left,
+         CAST(SUM(n1) OVER w AS BIGINT) AS pos_left,
+         CAST((SELECT SUM(n)  FROM h) - SUM(n)  OVER w AS BIGINT) AS n_right,
+         CAST((SELECT SUM(n1) FROM h) - SUM(n1) OVER w AS BIGINT) AS pos_right
+  FROM h
+  WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+)
+SELECT bucket AS split_bucket, n_left, pos_left, n_right, pos_right,
+       CAST(FLOOR(1000000.0 * (
+           (CAST(pos_left * pos_left
+                 + (n_left - pos_left) * (n_left - pos_left) AS DOUBLE)
+            / n_left)
+         + (CAST(pos_right * pos_right
+                 + (n_right - pos_right) * (n_right - pos_right) AS DOUBLE)
+            / n_right))) AS BIGINT) AS score_micro
+FROM p WHERE n_left > 0 AND n_right > 0
+"""
+
+
+@register("best_split_orders", BEST_SPLIT_SQL)
+def best_split_orders(sf_dir: str):
+    """Gradient-boosting split finding, the histogram method (LightGBM /
+    XGBoost-hist): bucket the feature (o_totalprice, fixed-width cent
+    buckets), build the per-bucket (count, positive-count) histogram for
+    the label (o_orderstatus = 'F'), then score every left/right split by
+    the purity gain ``sum_side (pos² + neg²)/n`` — maximizing it minimizes
+    weighted Gini impurity.
+
+    Distributed shape: each block folds to ≤20 histogram rows (mergeable
+    partials), ONE tiny bucket-combine exchange, and the prefix-sum scan +
+    scoring runs on the metadata-sized histogram — the raw table is
+    scanned exactly once and only the histogram ever moves.  Counts stay
+    < 2^26 per side even at 100×, so squares are exact in both int64 and
+    float64, and the score expression is MIRRORED order-for-order against
+    the DuckDB oracle (the BM25/PSI float-parity rule) with a FLOOR to
+    micro units."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    W = 2_500_000  # cents per histogram bucket (~20 buckets over the domain)
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = pc.divide(_cents(t.column("o_totalprice")), W)
+        y = pc.cast(pc.equal(t.column("o_orderstatus"), "F"), pa.int64())
+        g = pa.table(
+            {"bucket": bucket,
+             "n": pa.array(np.ones(t.num_rows, np.int64)),
+             "n1": y}
+        ).group_by(["bucket"]).aggregate([("n", "sum"), ("n1", "sum")])
+        return g.rename_columns(["bucket", "n", "n1"])
+
+    hist = bucketed_sum_combine(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["bucket"], ["n", "n1"], 2,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t.combine_chunks().sort_by([("bucket", "ascending")])
+        n = s.column("n").to_numpy(zero_copy_only=False)
+        n1 = s.column("n1").to_numpy(zero_copy_only=False)
+        nl = np.cumsum(n)
+        pl = np.cumsum(n1)
+        nr = nl[-1] - nl
+        pr = pl[-1] - pl
+        keep = (nl > 0) & (nr > 0)
+        nl, pl, nr, pr = nl[keep], pl[keep], nr[keep], pr[keep]
+        left = (pl * pl + (nl - pl) * (nl - pl)).astype(np.float64) / nl
+        right = (pr * pr + (nr - pr) * (nr - pr)).astype(np.float64) / nr
+        micro = np.floor(1000000.0 * (left + right)).astype(np.int64)
+        return pa.table(
+            {
+                "split_bucket": pa.array(
+                    s.column("bucket").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "n_left": pa.array(nl, pa.int64()),
+                "pos_left": pa.array(pl, pa.int64()),
+                "n_right": pa.array(nr, pa.int64()),
+                "pos_right": pa.array(pr, pa.int64()),
+                "score_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        score, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,116 @@
+"""Round-5 query-family tests: CEP regex matching, CUSUM alarm summary,
+TPC-H Q18, and histogram split finding — each checked against an
+independent brute-force recomputation (the DuckDB oracles are checked by
+tools/check_oracles.py; these prove the SEMANTICS against naive Python)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def _events(sf_dir):
+    return pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+
+
+def test_event_regex_match_vs_python_re(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["event_regex_match"](sf_dir)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = _events(sf_dir)
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    pat = re.compile(r"s[cev]*p")
+    for uid, grp in ev.groupby("user_id"):
+        seq = "".join(t[0] for t in grp["event_type"])
+        assert got.loc[uid, "seq"] == seq
+        assert got.loc[uid, "seq_len"] == len(seq)
+        assert got.loc[uid, "n_matches"] == len(pat.findall(seq))
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_cusum_drift_user_vs_recursive_loop(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["cusum_drift_user"](sf_dir)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = _events(sf_dir)
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["v"] = np.round(ev["value"] * 1000).astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    K, H = 245_000, 1_000_000
+    for uid, grp in ev.groupby("user_id"):
+        s, mx, over = 0, 0, 0
+        for v in grp["v"]:
+            s = max(0, s + (int(v) - K))
+            mx = max(mx, s)
+            over += s > H
+        assert got.loc[uid, "max_cusum"] == mx
+        assert got.loc[uid, "n_over"] == over
+        assert got.loc[uid, "n"] == len(grp)
+
+
+def test_q18_heavy_orders_semantics(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = registry.QUERIES["q18_large_volume"](sf_dir).to_pandas()
+    line = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).to_pandas()
+    line["q"] = np.round(line["l_quantity"]).astype("int64")
+    sums = line.groupby("l_orderkey")["q"].sum()
+    heavy = set(sums[sums > 250].index)
+    assert len(got) == len(heavy) > 0
+    assert set(got["o_orderkey"]) == heavy
+    assert (got["sum_qty"] > 250).all()
+    assert got["c_name"].notna().all()
+
+
+def test_best_split_orders_vs_bruteforce(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["best_split_orders"](sf_dir)
+        .to_pandas()
+        .set_index("split_bucket")
+        .sort_index()
+    )
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice", "o_orderstatus"],
+    ).to_pandas()
+    cents = np.round(orders["o_totalprice"] * 100).astype("int64")
+    bucket = cents // 2_500_000
+    y = (orders["o_orderstatus"] == "F").astype("int64")
+    buckets = np.sort(bucket.unique())
+    total_n, total_p = len(orders), int(y.sum())
+    for b in buckets:
+        nl = int((bucket <= b).sum())
+        pl = int(y[bucket <= b].sum())
+        nr, pr = total_n - nl, total_p - pl
+        if nl == 0 or nr == 0:
+            assert b not in got.index
+            continue
+        assert got.loc[b, "n_left"] == nl and got.loc[b, "pos_left"] == pl
+        assert got.loc[b, "n_right"] == nr and got.loc[b, "pos_right"] == pr
+        score = (pl * pl + (nl - pl) * (nl - pl)) / nl + (
+            pr * pr + (nr - pr) * (nr - pr)
+        ) / nr
+        assert got.loc[b, "score_micro"] == int(np.floor(1e6 * score))
