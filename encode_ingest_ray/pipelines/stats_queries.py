@@ -1912,3 +1912,112 @@ def best_split_orders(sf_dir: str):
     return hist.repartition(1).map_batches(
         score, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information: event_type x day-of-week dependence, per-cell terms
+# ---------------------------------------------------------------------------
+
+MUTUAL_INFO_SQL = """
+WITH t AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow
+  FROM events
+),
+cell AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM t GROUP BY event_type, dow
+),
+mx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       FROM cell GROUP BY event_type),
+my AS (SELECT dow, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cell GROUP BY dow),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cell)
+SELECT cell.event_type, cell.dow, cell.n_xy, mx.n_x, my.n_y,
+       CAST(FLOOR(1000000 * (CAST(cell.n_xy AS DOUBLE)
+              * ln(CAST(cell.n_xy AS DOUBLE) * tot.n
+                   / (CAST(mx.n_x AS DOUBLE) * my.n_y))
+              / tot.n) + 0.5) AS BIGINT) AS term_micro
+FROM cell
+JOIN mx USING (event_type)
+JOIN my USING (dow)
+CROSS JOIN tot
+"""
+
+
+@register("mutual_info_event_dow", MUTUAL_INFO_SQL)
+def mutual_info_event_dow(sf_dir: str):
+    """Mutual information I(event_type; day-of-week) — the dependence
+    measure behind feature selection, emitted as the PER-CELL term table
+    ``(n_xy/N)·ln(n_xy·N/(n_x·n_y))`` in micro-nats (summing term_micro
+    gives the MI estimate; the chi2_event_dow sibling tests the same
+    contingency table parametrically).
+
+    One scan: per-block (type, dow) count partials combine into the ≤35-
+    cell contingency table; marginals and terms are metadata-sized driver
+    arithmetic.  Each libm double expression is MIRRORED order-for-order
+    against the DuckDB oracle (``math.log == duckdb ln``, the
+    entropy/PSI/BM25 parity rule), rounded to an int64 micro-nat per CELL
+    so no float ever crosses a sum."""
+    import math
+
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import bucketed_sum_combine
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        dow = pc.subtract(
+            pc.divide(us, 86400000000),
+            pc.multiply(pc.divide(pc.divide(us, 86400000000), 7), 7),
+        )
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dow": dow,
+                "n_xy": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ).group_by(["event_type", "dow"]).aggregate([("n_xy", "sum")])
+        return g.rename_columns(["event_type", "dow", "n_xy"])
+
+    cells = bucketed_sum_combine(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["event_type", "dow"], ["n_xy"], 2,
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        s = t.combine_chunks().sort_by(
+            [("event_type", "ascending"), ("dow", "ascending")]
+        )
+        et = s.column("event_type").to_pylist()
+        dw = s.column("dow").to_pylist()
+        nxy = s.column("n_xy").to_pylist()
+        n_x = {}
+        n_y = {}
+        for e, d, c in zip(et, dw, nxy):
+            n_x[e] = n_x.get(e, 0) + c
+            n_y[d] = n_y.get(d, 0) + c
+        n = sum(nxy)
+        term = [
+            int(math.floor(
+                1000000 * (float(c) * math.log(
+                    float(c) * n / (float(n_x[e]) * n_y[d])) / n) + 0.5))
+            for e, d, c in zip(et, dw, nxy)
+        ]
+        return pa.table(
+            {
+                "event_type": pa.array(et),
+                "dow": pa.array(dw, pa.int64()),
+                "n_xy": pa.array(nxy, pa.int64()),
+                "n_x": pa.array([n_x[e] for e in et], pa.int64()),
+                "n_y": pa.array([n_y[d] for d in dw], pa.int64()),
+                "term_micro": pa.array(term, pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(
+        terms, batch_format="pyarrow", batch_size=None
+    )

@@ -114,3 +114,39 @@ def test_best_split_orders_vs_bruteforce(ray_session, sf_dir):
             pr * pr + (nr - pr) * (nr - pr)
         ) / nr
         assert got.loc[b, "score_micro"] == int(np.floor(1e6 * score))
+
+
+def test_mutual_info_terms_vs_bruteforce(ray_session, sf_dir):
+    import math
+
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["mutual_info_event_dow"](sf_dir)
+        .to_pandas()
+        .set_index(["event_type", "dow"])
+        .sort_index()
+    )
+    ev = _events(sf_dir)
+    dow = (ev["ts"].astype("int64") // 86400000000) % 7
+    cells = (
+        ev.assign(dow=dow).groupby(["event_type", "dow"]).size().rename("n")
+    )
+    n = int(cells.sum())
+    nx = cells.groupby("event_type").sum()
+    ny = cells.groupby("dow").sum()
+    assert len(got) == len(cells)
+    for (e, d), c in cells.items():
+        row = got.loc[(e, d)]
+        assert row["n_xy"] == c
+        assert row["n_x"] == nx[e] and row["n_y"] == ny[d]
+        term = int(
+            math.floor(
+                1e6 * (float(c) * math.log(float(c) * n / (float(nx[e]) * ny[d])) / n)
+                + 0.5
+            )
+        )
+        assert row["term_micro"] == term
+    # MI estimate itself must be >= 0 up to per-cell rounding slack
+    assert got["term_micro"].sum() >= -len(got)
