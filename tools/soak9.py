@@ -222,6 +222,11 @@ def _cli(args: list[str]) -> str:
 def chaos(n: int, segments: int, eps: int) -> dict:
     d = events_dir(n, segments, eps)
     out = os.path.join(STATE_BASE, "chaos")
+    # re-hold every marker so a rerun (e.g. after a later-phase crash)
+    # gates segments phase-by-phase again instead of ingesting everything
+    # in phase 0
+    for dm in glob.glob(os.path.join(d, "events-epoch-*.done")):
+        os.rename(dm, dm + ".hold")
     KILL_PHASE, MIGRATE_AFTER, BRANCH_PHASE = _phase_plan(segments)
     phases: list[dict] = []
     ops: list[dict] = []
@@ -367,7 +372,14 @@ def compare() -> dict:
 
 def oracle(n: int, segments: int, eps: int) -> dict:
     """DuckDB single-aggregation LWW fold of all raw epochs -> per-conv
-    fingerprints; exact set-equality against the engine's table."""
+    fingerprints; exact set-equality against the engine's table.
+
+    The fold streams SEGMENT BY SEGMENT into an incremental arg_max
+    aggregation state (win table re-aggregated per merge): one glob over
+    all 20k+ files exceeds RLIMIT_NOFILE, and arg_max merges
+    associatively, so per-segment partial winners then a final arg_max
+    over the union is the same LWW fold (composite keys are globally
+    comparable)."""
     import duckdb
 
     d = events_dir(n, segments, eps)
@@ -375,29 +387,51 @@ def oracle(n: int, segments: int, eps: int) -> dict:
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(32, os.cpu_count() or 8)}")
     con.execute("SET preserve_insertion_order=false")
-    fold = f"""
+
+    def seg_fold(s: int) -> str:
+        lo, hi = s * eps, (s + 1) * eps - 1
+        # dense zero-padded epoch ids: match per-segment via range glob
+        pats = ", ".join(
+            f"'{d}/events-epoch-{e:06d}-*.parquet'" for e in range(lo, hi + 1)
+        )
+        return f"""
 WITH ev AS (
   SELECT conv_id, turn_idx, op,
          CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + lsn AS k,
          epoch_us(ts) % {MOD} AS ts_r,
          octet_length(CAST(COALESCE(text, '') AS BLOB)) AS tl
-  FROM parquet_scan('{d}/events-epoch-*.parquet', union_by_name=true)
-),
-win AS (
-  SELECT conv_id, turn_idx,
-         arg_max(op, k) AS op, arg_max(ts_r, k) AS ts_r, arg_max(tl, k) AS tl
-  FROM ev GROUP BY conv_id, turn_idx
-),
-live AS (SELECT * FROM win WHERE op <> 'delete')
+  FROM parquet_scan([{pats}], union_by_name=true)
+)
+SELECT conv_id, turn_idx,
+       arg_max(op, k) AS op, arg_max(ts_r, k) AS ts_r,
+       arg_max(tl, k) AS tl, CAST(MAX(k) AS HUGEINT) AS k
+FROM ev GROUP BY conv_id, turn_idx
+"""
+
+    t0 = time.perf_counter()
+    con.execute(
+        "CREATE TEMP TABLE win (conv_id VARCHAR, turn_idx INTEGER,"
+        " op VARCHAR, ts_r BIGINT, tl BIGINT, k HUGEINT)"
+    )
+    for s in range(segments):
+        con.execute(f"INSERT INTO win {seg_fold(s)}")
+        # re-fold so the running winner table stays one row per key
+        con.execute(f"""
+CREATE OR REPLACE TEMP TABLE win AS
+SELECT conv_id, turn_idx,
+       arg_max(op, k) AS op, arg_max(ts_r, k) AS ts_r,
+       arg_max(tl, k) AS tl, CAST(MAX(k) AS HUGEINT) AS k
+FROM win GROUP BY conv_id, turn_idx
+""")
+    con.execute("""
+CREATE TEMP TABLE duck_fold AS
 SELECT conv_id,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(turn_idx AS BIGINT)) AS BIGINT) AS turn_m,
        CAST(SUM(ts_r) AS BIGINT) AS ts_m,
        CAST(SUM(tl) AS BIGINT) AS len_m
-FROM live GROUP BY conv_id
-"""
-    t0 = time.perf_counter()
-    con.execute(f"CREATE TEMP TABLE duck_fold AS {fold}")
+FROM win WHERE op <> 'delete' GROUP BY conv_id
+""")
     fold_s = round(time.perf_counter() - t0, 1)
     mism = con.execute(f"""
 SELECT CAST(COUNT(*) AS BIGINT) FROM (
@@ -451,7 +485,9 @@ def main() -> None:
     report["gen"] = gen(n, segs, eps, args.gen_procs)
     t0 = time.perf_counter()
     report["chaos"] = chaos(n, segs, eps)
+    print("CHAOS:", json.dumps(report["chaos"]), flush=True)
     report["clean"] = clean(n, segs, eps)
+    print("CLEAN:", json.dumps(report["clean"]), flush=True)
     # compare + oracle in fresh subprocesses (own Ray / DuckDB sessions)
     for ph in ("compare", "oracle"):
         r = subprocess.run(
