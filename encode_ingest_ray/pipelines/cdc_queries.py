@@ -1584,3 +1584,340 @@ def cdc_replication(sf_dir: str):
     src.run(epoch_files=files)         # epoch 2
     rep.replicate_from(src)            # incremental tail
     return rep.final_dataset()
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN materialized view across TWO CDC tables (stream-stream
+# join maintenance from both CDF feeds)
+# ---------------------------------------------------------------------------
+
+#: B-side dimension CDC: one row per conversation (turn_idx pinned to 0 so
+#: the engine key IS the conv), label churned by every event, signups
+#: tombstoning the dimension row — the inner join must drop those convs.
+_DERIVE_B_SQL = """
+SELECT 'u' || CAST(user_id AS VARCHAR)                     AS conv_id,
+       CAST(0 AS INTEGER)                                  AS turn_idx,
+       CASE event_id % 4 WHEN 0 THEN 'bronze'
+                         WHEN 1 THEN 'silver'
+                         WHEN 2 THEN 'gold'
+                         ELSE 'basic' END                  AS label,
+       ts                                                  AS ts,
+       CASE WHEN event_type = 'signup' THEN 'delete'
+            ELSE 'update' END                              AS op,
+       event_id                                            AS lsn
+FROM events
+"""
+
+CDC_JOIN_MV_SQL = f"""
+WITH evA AS ({_DERIVE_SQL}),
+rA AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM evA
+),
+liveA AS (SELECT * FROM rA WHERE rn = 1 AND op <> 'delete'),
+aggA AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(SUM(length(text)) AS BIGINT) AS text_chars
+  FROM liveA GROUP BY conv_id
+),
+evB AS ({_DERIVE_B_SQL}),
+rB AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id ORDER BY ts DESC, lsn DESC) AS rn
+  FROM evB
+),
+liveB AS (SELECT conv_id, label FROM rB WHERE rn = 1 AND op <> 'delete')
+SELECT label,
+       CAST(SUM(n_turns) AS BIGINT)    AS n_turns,
+       CAST(SUM(text_chars) AS BIGINT) AS text_chars,
+       CAST(COUNT(*) AS BIGINT)        AS n_convs
+FROM aggA JOIN liveB USING (conv_id)
+GROUP BY label
+"""
+
+
+def derive_b_batch(batch: pa.Table) -> pa.Table:
+    """Arrow-kernel twin of _DERIVE_B_SQL."""
+    import numpy as np
+
+    eid = batch.column("event_id")
+    lmod = pc.subtract(eid, pc.multiply(pc.divide(eid, 4), 4))
+    label = pc.if_else(
+        pc.equal(lmod, 0), "bronze",
+        pc.if_else(pc.equal(lmod, 1), "silver",
+                   pc.if_else(pc.equal(lmod, 2), "gold", "basic")),
+    )
+    return pa.table(
+        {
+            "conv_id": pc.binary_join_element_wise(
+                pa.scalar("u"), pc.cast(batch.column("user_id"), pa.string()), ""
+            ),
+            "turn_idx": pa.array(np.zeros(batch.num_rows, np.int32)),
+            "label": label,
+            "ts": batch.column("ts"),
+            "op": pc.if_else(
+                pc.equal(batch.column("event_type"), "signup"),
+                "delete", "update",
+            ),
+            "lsn": pc.cast(eid, pa.int64()),
+        }
+    )
+
+
+def _write_epoch_fixtures_b(sf_dir: str, events_dir: str, n_epochs: int = 3) -> None:
+    lsn_hi = _events_lsn_hi(sf_dir)
+    epoch_size = max(1, (lsn_hi + n_epochs) // n_epochs)
+    path = os.path.join(sf_dir, "events.parquet")
+    blocks = max(1, min(64, os.path.getsize(path) // (8 << 20)))
+    for e in range(n_epochs):
+        lo, hi = e * epoch_size, (e + 1) * epoch_size
+
+        def slice_epoch(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            return t.filter(
+                pc.and_(
+                    pc.greater_equal(t.column("lsn"), pa.scalar(lo)),
+                    pc.less(t.column("lsn"), pa.scalar(hi)),
+                )
+            )
+
+        stage = os.path.join(events_dir, f".stage-{e:06d}")
+        ray.data.read_parquet(path, override_num_blocks=blocks).map_batches(
+            derive_b_batch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).map_batches(
+            slice_epoch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).write_parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(events_dir, f"events-epoch-{e:06d}-{i:06d}.parquet"),
+            )
+        os.rmdir(stage)
+
+
+@register("cdc_incremental_join_mv", CDC_JOIN_MV_SQL)
+def cdc_incremental_join_mv(sf_dir: str):
+    """Stream-stream JOIN view maintenance: two CDC tables — A (the
+    transcript stream) and B (a conversation-label dimension whose rows
+    churn AND get tombstoned) — both with CDF preimages on, and a
+    per-label MV of A's live aggregates INNER-joined through B's live
+    label, maintained epoch by epoch from the two feeds with the classic
+    delta-join algebra: for every conversation dirty in either feed,
+    retract its OLD contribution (old A-aggregate at old B-label) and
+    assert its NEW one — ΔMV touches only changed keys, never a table
+    rescan.  Per epoch: ONE conv-bucketed cogroup of {A-state, B-state,
+    ΔA (signed CDF fold), ΔB (new label / tombstone)} emits the updated
+    states and the signed label deltas; the final MV is the label-keyed
+    fold of all epoch deltas (intermediate contributions telescope away).
+
+    Scale shape: state and deltas stay conv-partitioned on the SAME hash
+    (the one exchange per epoch); the production home for the carried
+    state is the CDC engine's own partition chains (the
+    incremental_user_totals precedent) — this query demonstrates the join
+    algebra end-to-end through real engine CDF feeds.  The oracle joins
+    the two full live views directly; telescoping makes the incremental
+    result exactly equal."""
+    import numpy as np
+    import pandas as pd
+
+    from encode_ingest_ray.pipelines.cdc import CdcEngine
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"cdcjmv-{uuid.uuid4().hex[:8]}-")
+    n_epochs = 3
+    dirs = {}
+    for side, writer in (("a", _write_epoch_fixtures),
+                         ("b", _write_epoch_fixtures_b)):
+        ev = os.path.join(work, f"events_{side}")
+        os.makedirs(ev)
+        writer(sf_dir, ev, n_epochs=n_epochs)
+        dirs[side] = ev
+    eng_a = CdcEngine(os.path.join(work, "out_a"), num_partitions=16,
+                      num_actors=4, changefeed_preimages=True,
+                      vacuum_retain=None)
+    eng_a.run(dirs["a"])
+    eng_b = CdcEngine(os.path.join(work, "out_b"), num_partitions=8,
+                      num_actors=4, changefeed_preimages=True,
+                      vacuum_retain=None)
+    eng_b.run(dirs["b"])
+
+    EMPTY = {
+        "conv_id": pa.array([], pa.string()),
+        "tag": pa.array([], pa.int8()),
+        "n": pa.array([], pa.int64()),
+        "chars": pa.array([], pa.int64()),
+        "label": pa.array([], pa.string()),
+        "b_del": pa.array([], pa.int8()),
+    }
+
+    def tagged(t: pa.Table, tag: int, n=None, chars=None, label=None,
+               b_del=None) -> pa.Table:
+        z = pa.nulls(t.num_rows, pa.string())
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "tag": pa.array(np.full(t.num_rows, tag, np.int8)),
+                "n": t.column(n) if n else pa.array(
+                    np.zeros(t.num_rows, np.int64)),
+                "chars": t.column(chars) if chars else pa.array(
+                    np.zeros(t.num_rows, np.int64)),
+                "label": t.column(label) if label else z,
+                "b_del": t.column(b_del) if b_del else pa.array(
+                    np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def signed_a(t: pa.Table) -> pa.Table:
+        pos = pc.is_in(
+            t.column("_change_type"),
+            value_set=pa.array(["insert", "update_postimage"]),
+        )
+        n = pc.if_else(pos, pa.scalar(1, pa.int64()), pa.scalar(-1, pa.int64()))
+        chars = pc.multiply(
+            pc.cast(pc.utf8_length(t.column("text")), pa.int64()), n
+        )
+        return tagged(
+            pa.table({"conv_id": t.column("conv_id"), "dn": n, "dc": chars}),
+            2, n="dn", chars="dc",
+        )
+
+    def b_updates(t: pa.Table) -> pa.Table:
+        # per epoch a conv's winner is either live (insert/update_postimage
+        # carries the new label) or a tombstone (delete) — preimage rows
+        # are state the cogroup already holds
+        keep = pc.is_in(
+            t.column("_change_type"),
+            value_set=pa.array(["insert", "update_postimage", "delete"]),
+        )
+        s = t.filter(keep)
+        return tagged(
+            pa.table(
+                {
+                    "conv_id": s.column("conv_id"),
+                    "label": s.column("label"),
+                    "b_del": pc.cast(
+                        pc.equal(s.column("_change_type"), "delete"), pa.int8()
+                    ),
+                }
+            ),
+            3, label="label", b_del="b_del",
+        )
+
+    def cogroup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        tag = df["tag"]
+        sa = df[tag == 0].set_index("conv_id")
+        sb = df[tag == 1].set_index("conv_id")
+        da = df[tag == 2].groupby("conv_id")[["n", "chars"]].sum()
+        db = df[tag == 3].set_index("conv_id")
+        convs = pd.Index(
+            sorted(set(sa.index) | set(sb.index) | set(da.index)
+                   | set(db.index))
+        )
+        old_n = sa["n"].reindex(convs, fill_value=0).to_numpy(np.int64)
+        old_c = sa["chars"].reindex(convs, fill_value=0).to_numpy(np.int64)
+        old_lab = sb["label"].reindex(convs)
+        d_n = da["n"].reindex(convs, fill_value=0).to_numpy(np.int64)
+        d_c = da["chars"].reindex(convs, fill_value=0).to_numpy(np.int64)
+        new_n, new_c = old_n + d_n, old_c + d_c
+        new_lab = old_lab.copy()
+        hit = db.index.intersection(convs)
+        new_lab.loc[hit] = db.loc[hit, "label"].where(
+            db.loc[hit, "b_del"] == 0, other=None
+        )
+        out = []
+        # retract old contributions, assert new ones (kind 2 = MV delta,
+        # keyed by label in conv_id's slot)
+        old_live = old_lab.notna().to_numpy() & (old_n > 0)
+        new_live = new_lab.notna().to_numpy() & (new_n > 0)
+        out.append(pd.DataFrame({
+            "kind": 2, "key": old_lab.to_numpy(dtype=object)[old_live],
+            "n": -old_n[old_live], "chars": -old_c[old_live],
+            "cv": -1,
+        }))
+        out.append(pd.DataFrame({
+            "kind": 2, "key": new_lab.to_numpy(dtype=object)[new_live],
+            "n": new_n[new_live], "chars": new_c[new_live], "cv": 1,
+        }))
+        keep_a = new_n != 0
+        out.append(pd.DataFrame({
+            "kind": 0, "key": convs.to_numpy(dtype=object)[keep_a],
+            "n": new_n[keep_a], "chars": new_c[keep_a], "cv": 0,
+        }))
+        keep_b = new_lab.notna().to_numpy()
+        out.append(pd.DataFrame({
+            "kind": 1, "key": convs.to_numpy(dtype=object)[keep_b],
+            "n": 0, "chars": 0, "cv": 0,
+            "label": new_lab.to_numpy(dtype=object)[keep_b],
+        }))
+        res = pd.concat(out, ignore_index=True)
+        if "label" not in res.columns:
+            res["label"] = None
+        return pa.Table.from_pandas(
+            res[["kind", "key", "n", "chars", "cv", "label"]],
+            schema=pa.schema([
+                ("kind", pa.int8()), ("key", pa.string()),
+                ("n", pa.int64()), ("chars", pa.int64()),
+                ("cv", pa.int64()), ("label", pa.string()),
+            ]),
+            preserve_index=False,
+        )
+
+    sa = ray.data.from_arrow(pa.table(EMPTY))
+    sb = ray.data.from_arrow(pa.table(EMPTY))
+    mv_deltas = []
+    for k in range(n_epochs):
+        da = eng_a.changes_cdf(since_epoch=k - 1, to_epoch=k).map_batches(
+            signed_a, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        db = eng_b.changes_cdf(since_epoch=k - 1, to_epoch=k).map_batches(
+            b_updates, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        stepped = bucketed_groupby_apply(
+            sa.union(sb).union(da).union(db), ["conv_id"], cogroup,
+            num_buckets=8,
+        ).materialize()
+
+        def pick(kind, out_cols):
+            def f(t: pa.Table, kind=kind, out_cols=out_cols) -> pa.Table:
+                s = t.filter(pc.equal(t.column("kind"), kind))
+                return pa.table({c: s.column(src) for c, src in out_cols})
+            return f
+
+        sa = stepped.map_batches(
+            pick(0, [("conv_id", "key"), ("n", "n"), ("chars", "chars")]),
+            batch_format="pyarrow", batch_size=None,
+        ).map_batches(
+            lambda t: tagged(t, 0, n="n", chars="chars"),
+            batch_format="pyarrow", batch_size=None,
+        )
+        sb = stepped.map_batches(
+            pick(1, [("conv_id", "key"), ("label", "label")]),
+            batch_format="pyarrow", batch_size=None,
+        ).map_batches(
+            lambda t: tagged(t, 1, label="label"),
+            batch_format="pyarrow", batch_size=None,
+        )
+        mv_deltas.append(stepped.map_batches(
+            pick(2, [("label", "key"), ("n_turns", "n"),
+                     ("text_chars", "chars"), ("n_convs", "cv")]),
+            batch_format="pyarrow", batch_size=None,
+        ))
+
+    feed = mv_deltas[0]
+    for d in mv_deltas[1:]:
+        feed = feed.union(d)
+    mv = bucketed_sum_combine(
+        feed, ["label"], ["n_turns", "text_chars", "n_convs"], 2
+    )
+    return mv.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_turns"), pa.scalar(0))),
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -150,3 +150,52 @@ def test_mutual_info_terms_vs_bruteforce(ray_session, sf_dir):
         assert row["term_micro"] == term
     # MI estimate itself must be >= 0 up to per-cell rounding slack
     assert got["term_micro"].sum() >= -len(got)
+
+
+def test_incremental_join_mv_vs_bruteforce(ray_session, sf_dir):
+    """The delta-join maintenance result must equal a naive full join of
+    the two derived live views (B tombstones excluded, empty-A convs
+    excluded)."""
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["cdc_incremental_join_mv"](sf_dir)
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    ev = _events(sf_dir)
+    # derive stream A (transcripts)
+    a = ev.copy()
+    a["conv_id"] = "u" + a["user_id"].astype(str)
+    a["turn_idx"] = a["event_id"] % 40
+    a["text"] = a["event_type"] + ":" + a["props"]
+    a["op"] = np.where(
+        a["event_type"] == "error", "delete",
+        np.where(a["event_type"] == "purchase", "update", "insert"),
+    )
+    a["lsn"] = a["event_id"]
+    a = a.sort_values(["ts", "lsn"]).groupby(["conv_id", "turn_idx"]).last()
+    live_a = a[a["op"] != "delete"]
+    agg_a = live_a.groupby("conv_id").agg(
+        n_turns=("lsn", "size"), text_chars=("text", lambda s: s.str.len().sum())
+    )
+    # derive stream B (labels)
+    b = ev.copy()
+    b["conv_id"] = "u" + b["user_id"].astype(str)
+    b["label"] = b["event_id"].mod(4).map(
+        {0: "bronze", 1: "silver", 2: "gold", 3: "basic"}
+    )
+    b["op"] = np.where(b["event_type"] == "signup", "delete", "update")
+    b["lsn"] = b["event_id"]
+    b = b.sort_values(["ts", "lsn"]).groupby("conv_id").last()
+    live_b = b[b["op"] != "delete"][["label"]]
+    joined = agg_a.join(live_b, how="inner")
+    want = joined.groupby("label").agg(
+        n_turns=("n_turns", "sum"), text_chars=("text_chars", "sum"),
+        n_convs=("n_turns", "size"),
+    ).sort_index()
+    assert list(got.index) == list(want.index)
+    for col in ("n_turns", "text_chars", "n_convs"):
+        assert (got[col] == want[col]).all(), col
