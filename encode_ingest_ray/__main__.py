@@ -66,6 +66,12 @@ def main(argv=None) -> int:
                         "== shard-index (key-sharded events required)")
     r.add_argument("--shard-count", type=int, default=None)
     r.add_argument("--object-store-gb", type=float, default=None)
+    r.add_argument(
+        "--compact-min-bytes-ratio", type=float, default=None,
+        help="defer a partition's compaction until its delta bytes reach "
+             "RATIO x base bytes (4x chain-length hard cap); default: "
+             "chain-length-only trigger",
+    )
     r.add_argument("--index-columns", default=None,
                    help="comma-separated payload columns for the engine-"
                         "maintained covering index (durable table identity; "
@@ -572,6 +578,7 @@ def main(argv=None) -> int:
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
                     fail_expectations=fail_expectations,
+                    compact_min_bytes_ratio=args.compact_min_bytes_ratio,
                 )
                 files = shard_epoch_files(
                     args.events, args.shard_index, args.shard_count
@@ -597,6 +604,7 @@ def main(argv=None) -> int:
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
                     fail_expectations=fail_expectations,
+                    compact_min_bytes_ratio=args.compact_min_bytes_ratio,
                 )
                 print(json.dumps(eng.tail(args.events, poll_s=args.poll_s,
                                           max_idle_polls=args.max_idle_polls)))
@@ -608,6 +616,7 @@ def main(argv=None) -> int:
                     expectations=expectations, changefeed_preimages=cdf_pre,
                     stats_columns=stats_columns,
                     fail_expectations=fail_expectations,
+                    compact_min_bytes_ratio=args.compact_min_bytes_ratio,
                 )
                 print(json.dumps(eng.run(args.events)))
         elif args.cmd == "extract":

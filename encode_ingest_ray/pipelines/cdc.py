@@ -209,6 +209,7 @@ class CdcEngine:
         turn_block: int | None = None,
         actor_num_cpus: float = 0,
         compact_every: int = 8,
+        compact_min_bytes_ratio: float | None = None,
         flush_fanout: int | None = None,
         vacuum_retain: int | None = 2,
         index_columns: list[str] | None = None,
@@ -327,6 +328,11 @@ class CdcEngine:
         self.turn_block = turn_block
         self.actor_num_cpus = actor_num_cpus
         self.compact_every = compact_every
+        # size-aware compaction deferral (None = chain-length-only trigger):
+        # a partition compacts when its chain reaches compact_every AND its
+        # delta bytes reach ratio x base bytes, with a 4x-chain hard cap —
+        # cold/huge partitions stop paying full rewrites for tiny churn
+        self.compact_min_bytes_ratio = compact_min_bytes_ratio
         self.flush_fanout = flush_fanout
         # GC superseded base/delta files this many commits after they drop
         # out of the pointer map (None disables); see Manifest.vacuum
@@ -930,6 +936,7 @@ class CdcEngine:
                     self._effective_schema_log(),
                     self.stats_columns,
                     self.fail_expectations,
+                    compact_min_bytes_ratio=self.compact_min_bytes_ratio,
                 )
             )
         ray.get([a.ping.remote() for a in actors])

@@ -334,6 +334,7 @@ def _flush_partitions(
     schema_log: list | None = None,
     stats_columns: list | None = None,
     fail_expectations: dict | None = None,
+    compact_min_bytes_ratio: float | None = None,
 ) -> dict[int, dict]:
     """Stateless flush worker: decompress the actor's buffered blobs, slice
     out this group's partitions, and run wm-filter + LWW + stage per
@@ -503,7 +504,24 @@ def _flush_partitions(
         # compaction epoch folds the delta into the base, so the feed costs
         # one extra small write there.  Vacuum retention is the horizon.
         cdf_path = os.path.join(_part_dir(out_dir, part), f"delta-{epoch:06d}.parquet")
-        compacting = len(deltas) + 1 >= compact_every
+        chain_len = len(deltas) + 1
+        compacting = chain_len >= compact_every
+        if compacting and compact_min_bytes_ratio is not None and base:
+            # size-aware deferral (LSM/OPTIMIZE tradeoff): a partition whose
+            # accumulated delta bytes are still tiny next to its base defers
+            # the rewrite — a cold 1 GB partition must not re-copy itself
+            # for a few KB of churn.  The 4x chain-length hard cap bounds
+            # read amplification regardless.  Decision inputs are committed
+            # chain files only, so a crash-replay reaches the identical
+            # verdict.
+            try:
+                base_b = os.path.getsize(base)
+                delta_b = sum(os.path.getsize(x) for x in deltas)
+            except OSError:
+                base_b, delta_b = 0, 0
+            if (delta_b < compact_min_bytes_ratio * base_b
+                    and chain_len < 4 * compact_every):
+                compacting = False
         pre_path = None
         prev_state = None
         if (cdf_preimages or compacting) and (base or deltas):
@@ -675,10 +693,12 @@ class PartitionMerger:
         schema_log: list | None = None,
         stats_columns: list | None = None,
         fail_expectations: dict | None = None,
+        compact_min_bytes_ratio: float | None = None,
     ):
         self.out_dir = out_dir
         self.pointers = pointers  # part -> committed pointer
         self.compact_every = compact_every
+        self.compact_min_bytes_ratio = compact_min_bytes_ratio
         self.flush_fanout = max(1, flush_fanout)
         self.index_root = index_root
         self.index_columns = index_columns
@@ -767,6 +787,7 @@ class PartitionMerger:
                 self.schema_log,
                 self.stats_columns,
                 self.fail_expectations,
+                compact_min_bytes_ratio=self.compact_min_bytes_ratio,
             )
             for group in (dirty[i::k] for i in range(k))
         ]
