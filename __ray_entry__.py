@@ -384,7 +384,9 @@ _TIER0_R4 = frozenset({
 #: driver CORRECTNESS row — the remaining 6 are the formerly-ERR promotions
 #: (rows-only in r1/r2, exact oracles since; their last driver status is
 #: still ERR, so a green row here closes them out).  Union across r1-r5
-#: after this window: 155 of 179 queries driver-verified at least once;
+#: after this window: 155 of the r4-era 179 queries driver-verified at
+#: least once (the registry has since grown to 187 — the r5 additions are
+#: tier 1 and enter a future window rotation);
 #: every query in or out of a window stays gate-green locally
 #: (tools/check_oracles.py at sf0.01 AND sf0.1, FAILURES: 0).
 _TIER0_R5 = frozenset({
