@@ -2021,3 +2021,122 @@ def mutual_info_event_dow(sf_dir: str):
     return cells.repartition(1).map_batches(
         terms, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: A-ES exponential keys, top-5 per event_type
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT event_type, event_id, value,
+         (1 + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT)) / 1152921504606846977.0 AS u
+  FROM events
+),
+k AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 1000) AS BIGINT) AS value_milli,
+         CAST(FLOOR(1000000.0 * (ln(u) / value)) AS BIGINT) AS key_micro
+  FROM t
+)
+SELECT event_type, event_id, value_milli, key_micro
+FROM k
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY key_micro DESC, event_id) <= 5
+"""
+
+
+@register("weighted_sample_events", WEIGHTED_SAMPLE_SQL)
+def weighted_sample_events(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each row draws the deterministic uniform u = md5(event_id)[:15] as a
+    60-bit fraction and ranks by the exponential key ln(u)/w (monotone
+    image of u^(1/w), w = value) — the top-5 per event_type are the
+    weighted sample.  Selection is over the INTEGER key FLOOR(1e6 *
+    (ln(u)/w)) with event_id tie-break, so it is engine-independent.
+
+    Float-parity note: the key is computed VECTORIZED with np.log, then
+    the rare rows whose micro value sits within 1e-4 of a floor boundary
+    are recomputed with scalar libm ``math.log`` (== DuckDB ``ln``, the
+    established parity) — np.log's SIMD path drifts from libm by ~1 ulp,
+    which can only flip a floor at a boundary; the margin is ~50x the
+    worst-case drift.  Everything else (int->double conversion, division,
+    multiply, floor) is IEEE-identical by construction.  Per-block local
+    head-5 per type makes the exchange carry <=5 rows x types per block."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    SCALE = 1152921504606846977.0  # 2^60 + 1
+
+    def keyed_head(t: pa.Table) -> pa.Table:
+        eids = t.column("event_id").to_pylist()
+        v = t.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.array(
+            [
+                1 + int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+                for e in eids
+            ],
+            np.float64,
+        ) / SCALE
+        micro = 1000000.0 * (np.log(u) / v)
+        k = np.floor(micro)
+        for i in np.flatnonzero(np.abs(micro - np.rint(micro)) < 1e-4):
+            k[i] = math.floor(1000000.0 * (math.log(u[i]) / v[i]))
+        out = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "value_milli": _milli(t.column("value")),
+                "key_micro": pa.array(k.astype(np.int64)),
+            }
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("event_type", "ascending"),
+                ("key_micro", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        return _head_per_type(out.take(idx))
+
+    local = ds.map_batches(
+        keyed_head, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return local.repartition(1).map_batches(
+        _weighted_sample_final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _head_per_type(s: pa.Table, k: int = 5) -> pa.Table:
+    """Vectorized head-k per event_type over a table already sorted by
+    (event_type, key DESC, tie): segment-rank via run boundaries, no
+    per-row Python."""
+    import numpy as np
+
+    if s.num_rows == 0:
+        return s
+    et = s.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(et)
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    rank = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+    return s.filter(pa.array(rank < k))
+
+
+def _weighted_sample_final(t: pa.Table) -> pa.Table:
+    """Final head-5 per type over the concatenated local heads."""
+    s = t.combine_chunks()
+    idx = pc.sort_indices(
+        s,
+        sort_keys=[
+            ("event_type", "ascending"),
+            ("key_micro", "descending"),
+            ("event_id", "ascending"),
+        ],
+    )
+    return _head_per_type(s.take(idx))
