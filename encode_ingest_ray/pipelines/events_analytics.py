@@ -583,3 +583,111 @@ def event_regex_match(sf_dir: str):
         ["user_id"],
         per_bucket,
     )
+
+
+# ---------------------------------------------------------------------------
+# Process mining: the eventually-follows matrix over first occurrences
+# ---------------------------------------------------------------------------
+
+EVENTUALLY_FOLLOWS_SQL = """
+WITH f AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id, event_type
+),
+fe AS (
+  SELECT f.user_id, f.event_type, f.t1,
+         (SELECT MIN(e.event_id) FROM events e
+          WHERE e.user_id = f.user_id AND e.event_type = f.event_type
+            AND epoch_us(e.ts) = f.t1) AS e1
+  FROM f
+)
+SELECT a.event_type AS x, b.event_type AS y,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM fe a JOIN fe b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+WHERE a.t1 < b.t1 OR (a.t1 = b.t1 AND a.e1 < b.e1)
+GROUP BY x, y
+"""
+
+
+@register("eventually_follows_matrix", EVENTUALLY_FOLLOWS_SQL)
+def eventually_follows_matrix(sf_dir: str):
+    """Process mining's eventually-follows relation: for every ordered
+    pair of event types (x, y), the number of users whose FIRST x
+    strictly precedes their FIRST y — the matrix behind directly-follows
+    graphs / alpha-miner footprints.  First occurrence is the
+    (min ts, then min event_id at that ts) two-level minimum, so
+    timestamp ties stay deterministic.
+
+    Shape: per-block (user, type) first-occurrence partials (mergeable
+    two-level minima) shrink the stream before ONE user-bucketed
+    exchange; each bucket pivots its users' ≤5 firsts and emits 20
+    pairwise-comparison count partials (vectorized column compares, no
+    per-user Python); the ≤20-cell matrix folds in a tiny final combine."""
+    import numpy as np
+
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "t1": pa.compute.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+            }
+        )
+        g = x.group_by(["user_id", "event_type"]).aggregate([("t1", "min")])
+        g = g.rename_columns(["user_id", "event_type", "tmin"])
+        # min event_id among rows AT the min ts (two-level minimum)
+        m = x.join(g, keys=["user_id", "event_type"])
+        m = m.filter(pa.compute.equal(m.column("t1"), m.column("tmin")))
+        e = m.group_by(["user_id", "event_type"]).aggregate(
+            [("t1", "min"), ("event_id", "min")]
+        )
+        return e.rename_columns(["user_id", "event_type", "t1", "e1"])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # merge block partials: two-level min again
+        df = t.to_pandas()
+        df = df.sort_values(["user_id", "event_type", "t1", "e1"])
+        df = df.groupby(["user_id", "event_type"], as_index=False).first()
+        piv_t = df.pivot(index="user_id", columns="event_type", values="t1")
+        piv_e = df.pivot(index="user_id", columns="event_type", values="e1")
+        rows = []
+        types = sorted(piv_t.columns)
+        for xx in types:
+            for yy in types:
+                if xx == yy:
+                    continue
+                tx, ty = piv_t[xx].to_numpy(), piv_t[yy].to_numpy()
+                ex, ey = piv_e[xx].to_numpy(), piv_e[yy].to_numpy()
+                ok = (~np.isnan(tx)) & (~np.isnan(ty)) & (
+                    (tx < ty) | ((tx == ty) & (ex < ey))
+                )
+                n = int(ok.sum())
+                if n:
+                    rows.append({"x": xx, "y": yy, "n_users": n})
+        if not rows:
+            return pa.table(
+                {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+                 "n_users": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pylist(rows).cast(
+            pa.schema([("x", pa.string()), ("y", pa.string()),
+                       ("n_users", pa.int64())])
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    cells = bucketed_groupby_apply(partials, ["user_id"], per_bucket)
+    return bucketed_sum_combine(cells, ["x", "y"], ["n_users"], 2)

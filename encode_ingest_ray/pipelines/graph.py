@@ -310,3 +310,140 @@ def kcore_copurchase(sf_dir: str):
         batch_size=None,
     )
     return k_core(edges, k=_KCORE_K, rounds=_KCORE_R)
+
+
+# ---------------------------------------------------------------------------
+# Association rules: confidence / lift over the top co-purchase pairs
+# ---------------------------------------------------------------------------
+
+ASSOC_RULES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY u, v),
+top AS (SELECT * FROM pc ORDER BY n DESC, u, v LIMIT 50),
+item AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nx
+  FROM lineitem GROUP BY l_partkey
+),
+nb AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem
+),
+rules AS (
+  SELECT u AS antecedent, v AS consequent, n FROM top
+  UNION ALL
+  SELECT v AS antecedent, u AS consequent, n FROM top
+)
+SELECT r.antecedent, r.consequent, r.n AS n_pair,
+       ia.nx AS n_ante, ic.nx AS n_cons,
+       CAST((1000000 * CAST(r.n AS HUGEINT)) // ia.nx AS BIGINT)
+         AS conf_micro,
+       CAST((1000000000 * CAST(r.n AS HUGEINT) * nb.n_orders)
+            // (CAST(ia.nx AS HUGEINT) * ic.nx) AS BIGINT) AS lift_nano
+FROM rules r
+JOIN item ia ON ia.l_partkey = r.antecedent
+JOIN item ic ON ic.l_partkey = r.consequent
+CROSS JOIN nb
+"""
+
+
+@register("association_rules_parts", ASSOC_RULES_SQL)
+def association_rules_parts(sf_dir: str):
+    """Association-rule mining over the co-purchase pairs (the Apriori
+    rule-generation step after ``frequent_part_pairs``): both directed
+    rules for each of the top-50 support pairs, with confidence
+    n(a,b)/n(a) and lift n(a,b)·N/(n(a)·n(b)) — ALL-INTEGER
+    (floor-micro / floor-nano via integer division; DuckDB ``//`` on
+    positive HUGEINTs == Python ``//``), so no float ever enters.
+
+    Shape: the pair counts ride the same distance-d pair scan + one
+    (u,v) combine as frequent_part_pairs; item supports are one
+    part-keyed distinct-order exchange; only the top-50 pairs, their
+    ≤100 item rows and ONE scalar (basket count) reach the driver —
+    rule arithmetic is metadata-sized."""
+    from encode_ingest_ray.stages.aggregate import (
+        bucketed_groupby_apply,
+        bucketed_sum_combine,
+    )
+    from encode_ingest_ray.stages.triangles import pairs_within_groups
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        return pairs_within_groups(t, "l_orderkey", "l_partkey")
+
+    raw = bucketed_groupby_apply(ds, ["l_orderkey"], gen)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "v"]).aggregate([("u", "count")])
+        return g.rename_columns(["u", "v", "n"])
+
+    local = raw.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    top = (
+        bucketed_sum_combine(local, ["u", "v"], ["n"])
+        .sort(["n", "u", "v"], descending=[True, False, False])
+        .limit(50)
+        .take_all()
+    )
+
+    # item supports: distinct orders per part (block-distinct partials ->
+    # one part-keyed exchange -> per-bucket distinct count)
+    def block_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_partkey", "l_orderkey"]).aggregate([])
+
+    def count_orders(t: pa.Table) -> pa.Table:
+        d = t.group_by(["l_partkey", "l_orderkey"]).aggregate([])
+        g = d.group_by(["l_partkey"]).aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["l_partkey", "nx"])
+
+    dist = ds.map_batches(
+        block_distinct, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    parts_needed = sorted({r["u"] for r in top} | {r["v"] for r in top})
+    items = {
+        r["l_partkey"]: r["nx"]
+        for r in bucketed_groupby_apply(dist, ["l_partkey"], count_orders)
+        .filter(lambda row: row["l_partkey"] in set(parts_needed))
+        .take_all()
+    }
+
+    def orders_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey"]).aggregate([])
+
+    n_orders = bucketed_groupby_apply(
+        ds.map_batches(
+            orders_distinct, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_orderkey"],
+        orders_distinct,
+    ).count()
+
+    rows = []
+    for r in top:
+        for a, c in ((r["u"], r["v"]), (r["v"], r["u"])):
+            na, nc, n = int(items[a]), int(items[c]), int(r["n"])
+            rows.append(
+                {
+                    "antecedent": a, "consequent": c, "n_pair": n,
+                    "n_ante": na, "n_cons": nc,
+                    "conf_micro": (1000000 * n) // na,
+                    "lift_nano": (1000000000 * n * n_orders) // (na * nc),
+                }
+            )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("antecedent", pa.int64()), ("consequent", pa.int64()),
+                ("n_pair", pa.int64()), ("n_ante", pa.int64()),
+                ("n_cons", pa.int64()), ("conf_micro", pa.int64()),
+                ("lift_nano", pa.int64()),
+            ]
+        )
+    )

@@ -199,3 +199,48 @@ def test_incremental_join_mv_vs_bruteforce(ray_session, sf_dir):
     assert list(got.index) == list(want.index)
     for col in ("n_turns", "text_chars", "n_convs"):
         assert (got[col] == want[col]).all(), col
+
+
+def test_eventually_follows_vs_bruteforce(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["eventually_follows_matrix"](sf_dir)
+        .to_pandas()
+        .set_index(["x", "y"])["n_users"]
+        .sort_index()
+    )
+    ev = _events(sf_dir)
+    ev["t"] = ev["ts"].astype("int64")
+    firsts = {}
+    for (u, e), grp in ev.groupby(["user_id", "event_type"]):
+        tmin = grp["t"].min()
+        firsts[(u, e)] = (tmin, grp.loc[grp["t"] == tmin, "event_id"].min())
+    import collections
+
+    want = collections.Counter()
+    users = ev["user_id"].unique()
+    types = sorted(ev["event_type"].unique())
+    for u in users:
+        for x in types:
+            for y in types:
+                if x == y or (u, x) not in firsts or (u, y) not in firsts:
+                    continue
+                if firsts[(u, x)] < firsts[(u, y)]:
+                    want[(x, y)] += 1
+    assert dict(got) == dict(want)
+
+
+def test_association_rules_integer_identities(ray_session, sf_dir):
+    from encode_ingest_ray.pipelines import registry
+
+    registry.load_all()
+    got = registry.QUERIES["association_rules_parts"](sf_dir).to_pandas()
+    assert len(got) == 100  # both directions of the top-50 pairs
+    # integer identities hold row-by-row
+    assert (got["conf_micro"] == (1000000 * got["n_pair"]) // got["n_ante"]).all()
+    assert (got["n_pair"] <= got[["n_ante", "n_cons"]].min(axis=1)).all()
+    # each unordered pair appears exactly twice (a->b and b->a)
+    key = got.apply(lambda r: tuple(sorted((r["antecedent"], r["consequent"]))), axis=1)
+    assert (key.value_counts() == 2).all()
