@@ -401,15 +401,19 @@ _TIER0_R5 = frozenset({
     # never-checked pool, one representative per remaining family
     "bloom_semi_join_urgent", "bfs_hops_copurchase", "kcore_copurchase",
     "triangle_count_copurchase", "pivot_event_counts", "cube_pricing",
-    "rollup_pricing", "cms_user_counts", "bpe_pair_counts", "doc_frequency",
+    "cms_user_counts", "bpe_pair_counts", "doc_frequency",
     "decontaminate_ngram", "pii_scrub", "repetition_stats", "doc_chunking",
     "train_val_split", "curriculum_order", "leakage_safe_split",
     "jl_project_embeddings", "filtered_ann_search", "ngram_jaccard_pairs",
-    "media_chunk_dedup", "media_decode_features", "json_props_stats",
+    "media_chunk_dedup", "json_props_stats",
     "unpivot_event_counts", "mode_event_type", "orders_price_histogram",
     "grouped_regression_supplier", "gini_order_value", "grouped_mad_orders",
     "skyline_parts", "equi_depth_prices", "zorder_orders_layout",
     "moving_sum_orders",
+    # round-5 flagships swapped in for in-window family siblings
+    # (rollup_pricing -> cube_pricing covers the grouping lattice;
+    # media_decode_features -> media_chunk_dedup covers media)
+    "cdc_incremental_join_mv", "event_regex_match",
 })
 
 
