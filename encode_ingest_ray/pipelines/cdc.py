@@ -2493,8 +2493,35 @@ class CdcEngine:
                 f"source committed epochs have gaps in ({since}, {to}]: "
                 f"{avail} — replica epoch numbering mirrors the source 1:1"
             )
+        # crashed-bootstrap fence: a snapshot catch-up commits EMPTY filler
+        # epochs first and the full-chain fold at the LAST epoch — so a
+        # kill between the fillers and the snapshot commit leaves a replica
+        # whose committed-epoch checkpoint overstates what it holds.  An
+        # incremental resume from that checkpoint would apply only the tail
+        # change files over nothing and silently diverge.  Detect it
+        # structurally: the replica's latest record carries NO partition
+        # state while the source's record at the same epoch does — no
+        # faithful replica (filtered or not, fillers or not) can look like
+        # that, so the only converging action is to re-bootstrap (LWW makes
+        # the refold idempotent).  Unreadable source records count as
+        # stale, conservatively.
+        stale_fillers = False
+        if committed:
+            try:
+                rep_parts = self.manifest.read_epoch(since).get("partitions")
+                src_parts = source.manifest.read_epoch(since).get("partitions")
+            except Exception:
+                stale_fillers = True
+            else:
+                stale_fillers = not rep_parts and bool(src_parts)
+        if stale_fillers and bootstrap is False:
+            raise ChangefeedHorizonError(
+                f"replica {self.out_dir!r} holds empty filler epochs up to "
+                f"{since} from an interrupted snapshot bootstrap — only a "
+                "re-bootstrap can converge it (bootstrap='auto' or True)"
+            )
         epoch_files: list[list[str]] | None = None
-        if bootstrap is not True:
+        if bootstrap is not True and not stale_fillers:
             try:
                 items = source._change_items(since, to)
             except ChangefeedHorizonError:

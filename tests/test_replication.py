@@ -167,3 +167,34 @@ def test_same_table_rejected(tmp_path):
     eng = CdcEngine(str(tmp_path / "t"), num_partitions=4, num_actors=2)
     with pytest.raises(ValueError, match="same table"):
         eng.replicate_from(eng)
+
+
+def test_crashed_bootstrap_fillers_force_rebootstrap(repl_env, tmp_path):
+    """The crashed-bootstrap fence: a snapshot catch-up commits empty
+    filler epochs first and the chain fold LAST, so a kill between them
+    leaves a replica whose checkpoint overstates its content.  A resume
+    must detect the stale fillers (empty replica record vs non-empty
+    source record at the same epoch) and RE-bootstrap — the incremental
+    path would apply only the tail change files over nothing and silently
+    diverge (the pytest-observed kill-9 flake, round 5)."""
+    _, files = repl_env
+    src = CdcEngine(str(tmp_path / "src"), num_partitions=8, num_actors=2,
+                    vacuum_retain=1, compact_every=2)
+    src.run(epoch_files=files)
+    # fabricate the crash window deterministically: the replica holds ONLY
+    # the bootstrap's empty filler epochs 0..3 (what a kill right before
+    # the snapshot epoch leaves behind)
+    rep = CdcEngine(str(tmp_path / "rep"), num_partitions=5, num_actors=2)
+    rep.run(epoch_files=[[], [], [], []])
+    assert rep.manifest.pointers() == {}
+    assert len(rep.manifest.committed_epochs()) == 4
+    # bootstrap=False: refuse loudly instead of diverging
+    with pytest.raises(ChangefeedHorizonError, match="filler"):
+        rep.replicate_from(src, bootstrap=False)
+    # auto: re-bootstrap and converge exactly
+    s = rep.replicate_from(src)
+    assert s["bootstrapped"] and s["to_epoch"] == 4
+    assert _canon(rep.final_table()).equals(_canon(src.final_table()))
+    # and the healed replica keeps syncing incrementally afterwards
+    s2 = rep.replicate_from(src)
+    assert s2["epochs_run"] == 0
