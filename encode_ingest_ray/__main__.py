@@ -759,14 +759,21 @@ def main(argv=None) -> int:
             if args.dest:
                 # one materialization: count from the written output rather
                 # than feed.count(), which would re-execute the whole
-                # read/map pipeline a second time
+                # read/map pipeline a second time.  Count ONLY the files
+                # this invocation writes — a re-run into the same dest
+                # (pagination, later windows) must not attribute the old
+                # files' rows to this window.
                 import pyarrow.parquet as pq
 
+                before = (
+                    set(os.listdir(args.dest))
+                    if os.path.isdir(args.dest) else set()
+                )
                 feed.write_parquet(args.dest)
                 rows = sum(
                     pq.read_metadata(os.path.join(args.dest, f)).num_rows
                     for f in os.listdir(args.dest)
-                    if f.endswith(".parquet")
+                    if f.endswith(".parquet") and f not in before
                 )
                 print(json.dumps({"dest": args.dest, "rows": rows}))
             else:

@@ -2146,7 +2146,7 @@ class CdcEngine:
         gen = st.get("restore_gen")
         return int(st["epoch"]), (None if gen is None else int(gen))
 
-    def ack(self, name: str, epoch: int) -> None:
+    def ack(self, name: str, epoch: int, *, gen: int | None = None) -> None:
         """Advance a consumer checkpoint (atomic tmp+rename — a torn write
         can never half-advance).  ``consume`` calls this after delivery;
         custom consumers over ``changes()`` call it themselves once their
@@ -2158,11 +2158,20 @@ class CdcEngine:
         consumer — whose next window would otherwise never cross the
         restore commit's missing ``changes`` record — is refused by
         ``consume`` instead of silently diverging (its downstream still
-        holds rows from the discarded epochs, with no retraction)."""
+        holds rows from the discarded epochs, with no retraction).
+
+        ``gen`` pins the generation the delivered window was READ under;
+        ``consume`` passes its own top-of-call read so a restore landing
+        between delivery and ack cannot launder the fence (re-reading here
+        would pin the POST-restore generation over pre-restore rows).
+        Custom consumers calling ack directly should pass the generation
+        they read their window under; omitting it keeps the old read-now
+        behavior."""
         path = self._consumer_path(name)
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
-        gen = int((self.manifest.latest() or {}).get("restore_gen", 0) or 0)
+        if gen is None:
+            gen = int((self.manifest.latest() or {}).get("restore_gen", 0) or 0)
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-ack-")
         try:
             with os.fdopen(fd, "w") as f:
@@ -2241,7 +2250,7 @@ class CdcEngine:
             .map_batches(deliver, batch_size=1, batch_format="pyarrow")
             .take_all()
         )
-        self.ack(name, to)
+        self.ack(name, to, gen=cur_gen)
         return {
             "consumer": name, "from_epoch": since, "to_epoch": to,
             "epochs": len(avail),
@@ -2455,9 +2464,20 @@ class CdcEngine:
         # (fresh directory + bootstrap) to recover.
         src_gen = int((source.manifest.latest() or {}).get("restore_gen", 0) or 0)
         cursor_path = os.path.join(self.out_dir, "_replication", "cursor.json")
+        # the key filter is replication IDENTITY (like partitioning params):
+        # a replica built as a key subset must never ingest under a
+        # different — or no — filter, or ownership silently mixes.  The
+        # cursor pins the filter id (owner_filter stamps one; anonymous
+        # callables pin the marker "custom", which still catches the
+        # filtered<->unfiltered mistake).
+        filter_id = (
+            None if key_filter is None
+            else getattr(key_filter, "replication_filter_id", "custom")
+        )
         if os.path.exists(cursor_path):
             with open(cursor_path) as f:
-                pinned = int(json.load(f).get("gen", 0))
+                cur = json.load(f)
+            pinned = int(cur.get("gen", 0))
             if pinned != src_gen:
                 raise ValueError(
                     f"source {source.out_dir!r} history was rewritten "
@@ -2465,6 +2485,13 @@ class CdcEngine:
                     "last synced; epochs the replica already applied may be "
                     "rolled back upstream — rebuild the replica from a fresh "
                     "directory (bootstrap replays the current source state)"
+                )
+            if "filter_id" in cur and cur["filter_id"] != filter_id:
+                raise ValueError(
+                    f"replica {self.out_dir!r} was built with key filter "
+                    f"{cur['filter_id']!r} but this call passes "
+                    f"{filter_id!r} — the key filter is replication "
+                    "identity; pass the same filter (or rebuild the replica)"
                 )
         committed = self.manifest.committed_epochs()
         since = committed[-1] if committed else -1
@@ -2506,7 +2533,28 @@ class CdcEngine:
         # the refold idempotent).  Unreadable source records count as
         # stale, conservatively.
         stale_fillers = False
-        if committed:
+        # (a) durable marker: every bootstrap writes _replication/
+        # bootstrap_pending.json BEFORE its run and unlinks it after the
+        # snapshot epoch commits — its survival past `committed` epochs <
+        # target IS the crash, for fresh AND lagged replicas, filtered or
+        # not (lagged fillers carry the previous cumulative pointer map
+        # forward, so no structural check can see them).
+        pending_path = os.path.join(
+            self.out_dir, "_replication", "bootstrap_pending.json"
+        )
+        if os.path.exists(pending_path):
+            with open(pending_path) as f:
+                pending = json.load(f)
+            if since < int(pending.get("target_epoch", -1)):
+                stale_fillers = True
+            else:
+                os.unlink(pending_path)  # snapshot landed; crash was post-run
+        # (b) structural check for UNFILTERED replicas (covers histories
+        # predating the marker): a faithful full replica can never hold an
+        # empty pointer map at an epoch where the source holds state.  A
+        # key-subset replica legitimately can (filter matched no keys yet),
+        # so key_filter replicas rely on the marker alone.
+        if not stale_fillers and committed and key_filter is None:
             try:
                 rep_parts = self.manifest.read_epoch(since).get("partitions")
                 src_parts = source.manifest.read_epoch(since).get("partitions")
@@ -2589,6 +2637,17 @@ class CdcEngine:
                     )
             epoch_files = [[] for _ in range(to)] + [sorted(chain)]
             summary_base["bootstrapped"] = True
+            # durable crash fence: written BEFORE the bootstrap run, removed
+            # only after its snapshot epoch commits — see stale_fillers above
+            os.makedirs(os.path.dirname(pending_path), exist_ok=True)
+            fd, tmp_pending = tempfile.mkstemp(
+                dir=os.path.dirname(pending_path), prefix=".tmp-bs-"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump({"target_epoch": to, "gen": src_gen}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp_pending, pending_path)
         # change rows are already source-transformed: the replica's
         # ingest_transform must not see them (same rule as delete_where's
         # engine-authored tombstones).  A key_filter, by contrast, is a
@@ -2611,6 +2670,9 @@ class CdcEngine:
         finally:
             self.ingest_transform = saved_transform
             self._schema_log_override = None
+        if summary_base["bootstrapped"] and os.path.exists(pending_path):
+            # the snapshot epoch is committed — retire the crash fence
+            os.unlink(pending_path)
         # pin the source generation we synced under (atomic tmp+rename; a
         # crash before this line re-runs the gen check against an unchanged
         # source next call — safe).  Single-writer source assumed during one
@@ -2621,7 +2683,10 @@ class CdcEngine:
         )
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"gen": src_gen, "epoch": int(to)}, f)
+                json.dump(
+                    {"gen": src_gen, "epoch": int(to), "filter_id": filter_id},
+                    f,
+                )
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, cursor_path)

@@ -1893,22 +1893,22 @@ def cdc_incremental_join_mv(sf_dir: str):
 
         sa = stepped.map_batches(
             pick(0, [("conv_id", "key"), ("n", "n"), ("chars", "chars")]),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         ).map_batches(
             lambda t: tagged(t, 0, n="n", chars="chars"),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         )
         sb = stepped.map_batches(
             pick(1, [("conv_id", "key"), ("label", "label")]),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         ).map_batches(
             lambda t: tagged(t, 1, label="label"),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         )
         mv_deltas.append(stepped.map_batches(
             pick(2, [("label", "key"), ("n_turns", "n"),
                      ("text_chars", "chars"), ("n_convs", "cv")]),
-            batch_format="pyarrow", batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         ))
 
     feed = mv_deltas[0]
@@ -1919,5 +1919,5 @@ def cdc_incremental_join_mv(sf_dir: str):
     )
     return mv.map_batches(
         lambda t: t.filter(pc.greater(t.column("n_turns"), pa.scalar(0))),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )

@@ -406,10 +406,14 @@ def association_rules_parts(sf_dir: str):
         batch_size=None,
     )
     parts_needed = sorted({r["u"] for r in top} | {r["v"] for r in top})
+    needed = pa.array(parts_needed)
     items = {
         r["l_partkey"]: r["nx"]
         for r in bucketed_groupby_apply(dist, ["l_partkey"], count_orders)
-        .filter(lambda row: row["l_partkey"] in set(parts_needed))
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("l_partkey"), value_set=needed)),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
         .take_all()
     }
 

@@ -826,8 +826,9 @@ def q18_large_volume(sf_dir: str):
     partials = line.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    heavy = bucketed_sum_combine(partials, ["l_orderkey"], ["sum_qty"]).filter(
-        lambda row: row["sum_qty"] > 250
+    heavy = bucketed_sum_combine(partials, ["l_orderkey"], ["sum_qty"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty"), 250)),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
     orders = _read(

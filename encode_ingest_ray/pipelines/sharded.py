@@ -229,6 +229,9 @@ def owner_filter(shard_index: int, shard_count: int, turn_block: int | None = No
         sid = mix_partition(h, turns, shard_count, tb, seed=1)
         return t.filter(pa.array(sid == np.int32(shard_index)))
 
+    # replication identity: replicate_from pins this in the replica cursor
+    # so a later sync with a different (or no) filter is a hard error
+    keep.replication_filter_id = f"owner:{shard_index}:{shard_count}:{tb}"
     return keep
 
 

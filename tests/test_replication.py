@@ -198,3 +198,78 @@ def test_crashed_bootstrap_fillers_force_rebootstrap(repl_env, tmp_path):
     # and the healed replica keeps syncing incrementally afterwards
     s2 = rep.replicate_from(src)
     assert s2["epochs_run"] == 0
+
+
+def test_lagged_crashed_bootstrap_marker_forces_rebootstrap(repl_env, tmp_path):
+    """The marker fence covers the case the structural check cannot: a
+    LAGGED replica's interrupted bootstrap — its filler records carry the
+    previous cumulative pointer map forward, so they look non-empty.  The
+    durable bootstrap_pending marker (written before the bootstrap run,
+    unlinked after the snapshot epoch commits) is the only crash signal."""
+    _, files = repl_env
+    src = CdcEngine(str(tmp_path / "src"), num_partitions=8, num_actors=2,
+                    vacuum_retain=1, compact_every=2)
+    src.run(epoch_files=files[:2])
+    rep = CdcEngine(str(tmp_path / "rep"), num_partitions=5, num_actors=2)
+    rep.replicate_from(src)                    # incremental, synced to 1
+    src.run(epoch_files=files)                 # epochs 2..4; old feed vacuumed
+
+    # crash the bootstrap mid-run: fillers commit, the snapshot epoch not
+    real_run = rep.run
+    calls = {}
+
+    def crashing_run(*, epoch_files=None, **kw):
+        calls["layout"] = [len(e) for e in epoch_files]
+        truncated = epoch_files[:-1]           # drop the snapshot epoch
+        real_run(epoch_files=truncated, **kw)
+        raise RuntimeError("simulated kill -9 before the snapshot epoch")
+
+    rep.run = crashing_run
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        rep.replicate_from(src)
+    rep.run = real_run
+    # the lagged fillers carry the old pointer map — structurally invisible
+    assert rep.manifest.pointers() != {}
+    assert os.path.exists(
+        os.path.join(rep.out_dir, "_replication", "bootstrap_pending.json")
+    )
+    # bootstrap=False refuses; auto re-bootstraps and converges exactly
+    with _pytest.raises(ChangefeedHorizonError, match="filler"):
+        rep.replicate_from(src, bootstrap=False)
+    s = rep.replicate_from(src)
+    assert s["bootstrapped"]
+    assert _canon(rep.final_table()).equals(_canon(src.final_table()))
+    assert not os.path.exists(
+        os.path.join(rep.out_dir, "_replication", "bootstrap_pending.json")
+    )
+    # healed: next call is a clean incremental no-op
+    assert rep.replicate_from(src)["epochs_run"] == 0
+
+
+def test_key_filter_is_replication_identity(repl_env, tmp_path):
+    """A replica built under a key filter refuses a later sync with a
+    different — or no — filter (and vice versa): ownership would silently
+    mix otherwise.  owner_filter stamps a deterministic id; anonymous
+    callables pin the marker 'custom'."""
+    from encode_ingest_ray.pipelines.sharded import owner_filter
+
+    _, files = repl_env
+    src = CdcEngine(str(tmp_path / "src"), num_partitions=8, num_actors=2,
+                    vacuum_retain=None)
+    src.run(epoch_files=files[:2])
+    rep = CdcEngine(str(tmp_path / "rep"), num_partitions=5, num_actors=2)
+    rep.replicate_from(src, key_filter=owner_filter(0, 2))
+    src.run(epoch_files=files)
+    with pytest.raises(ValueError, match="replication identity"):
+        rep.replicate_from(src)                         # filter dropped
+    with pytest.raises(ValueError, match="replication identity"):
+        rep.replicate_from(src, key_filter=owner_filter(1, 2))  # different
+    s = rep.replicate_from(src, key_filter=owner_filter(0, 2))  # same: fine
+    assert s["epochs_run"] == 3
+    # unfiltered replica refuses a late filter too
+    full = CdcEngine(str(tmp_path / "full"), num_partitions=5, num_actors=2)
+    full.replicate_from(src)
+    with pytest.raises(ValueError, match="replication identity"):
+        full.replicate_from(src, key_filter=owner_filter(0, 2))
